@@ -1,0 +1,272 @@
+"""Deterministic synthetic page generation (FIXTURES.md §1, SURVEY.md §2 op 3).
+
+Two generators:
+
+- :func:`fixture_pages` — small hand-designed fixture corpus (edge cases
+  included) built in plain Python with a seeded RNG; used with
+  ``ocr_spark.goldenref`` to produce the golden byte-identity set.
+- :func:`bench_pages` — Spark-side generation of arbitrarily many pages with
+  **pure column expressions** (no Python per row, scales to any size and any
+  cluster): Zipf-ish skewed hosts, variable-size HTML, ~2% PDF payloads,
+  ~1% NULL html, ~1% invalid-UTF-8 prefixes. Deterministic: every value is a
+  hash of the row id (no rand()).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.schemas import PAGES_SCHEMA
+from ocr_spark.spec import STOPWORDS
+
+_CONTENT_VOCAB = {
+    "en": "data spark engine table scan shuffle partition column vector batch".split(),
+    "de": "daten tabelle spalte motor verteilung anfrage zeile speicher wert plan".split(),
+    "es": "datos tabla columna motor consulta fila memoria valor plan nodo".split(),
+    "fr": "données table colonne moteur requête ligne mémoire valeur plan nœud".split(),
+    "zh": "数据 表 列 引擎 查询 行 内存 值 计划 节点".split(),
+}
+
+_BASE_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _salad(rng: random.Random, lang: str, n_words: int, stop_frac: float) -> str:
+    """Seeded word salad with a controlled stopword fraction."""
+    stops = sorted(STOPWORDS[lang])
+    vocab = _CONTENT_VOCAB[lang]
+    words = []
+    for _ in range(n_words):
+        if rng.random() < stop_frac:
+            words.append(rng.choice(stops))
+        else:
+            words.append(rng.choice(vocab))
+    return " ".join(words)
+
+
+def _nav(rng: random.Random, n_links: int = 6) -> str:
+    links = "".join(
+        f'<a href="/s{i}">menu item {i}</a> ' for i in range(n_links)
+    )
+    return f"<nav>{links}</nav>"
+
+
+def _article(rng: random.Random, lang: str, n_paras: int) -> str:
+    paras = []
+    for _ in range(n_paras):
+        paras.append(f"<p>{_salad(rng, lang, rng.randint(25, 90), 0.45)}</p>")
+    return "<article>" + "".join(paras) + "</article>"
+
+
+def _template_page(rng: random.Random, lang: str) -> str:
+    n_paras = rng.randint(3, 10)
+    side = "".join(f'<li><a href="/c{i}">cat {i}</a></li>' for i in range(5))
+    return (
+        "<html><head><title>t</title><style>p{color:red}</style></head><body>"
+        + _nav(rng)
+        + '<header><h1>Site header</h1></header>'
+        + f'<div class="menu"><ul>{side}</ul></div>'
+        + _article(rng, lang, n_paras)
+        + '<footer><a href="/tos">terms</a> © 2024 example</footer>'
+        + "</body></html>"
+    )
+
+
+def _pdf_payload(rng: random.Random, lang: str, two_cols: bool) -> bytes:
+    blocks = []
+    cols = [(50.0, 280.0), (320.0, 550.0)] if two_cols else [(50.0, 550.0)]
+    for cx0, cx1 in cols:
+        y = 60.0
+        for _ in range(rng.randint(2, 5)):
+            h = rng.uniform(20, 60)
+            blocks.append(
+                {
+                    "text": _salad(rng, lang, rng.randint(8, 30), 0.4),
+                    "x0": round(cx0 + rng.uniform(-3, 3), 2),
+                    "y0": round(y, 2),
+                    "x1": round(cx1 + rng.uniform(-3, 3), 2),
+                    "y1": round(y + h, 2),
+                }
+            )
+            y += h + rng.uniform(5, 15)
+    rng.shuffle(blocks)  # storage order ≠ reading order: grouping must fix it
+    return json.dumps({"kind": "pdf", "blocks": blocks}).encode("utf-8")
+
+
+def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
+    """(name, html, lang) triples for the hand-designed edge fixtures."""
+    long_para = _salad(rng, "en", 1200, 0.4)
+    cases: list[tuple[str, bytes | None, str]] = [
+        ("empty-body", b"<html><body></body></html>", "en"),
+        ("zero-byte", b"", "en"),
+        ("null-html", None, "en"),
+        ("script-style-only",
+         b"<html><body><script>var x=1;</script><style>p{}</style></body></html>",
+         "en"),
+        ("comments-only", b"<html><body><!-- hidden --></body></html>", "en"),
+        ("whitespace-only", b"<html><body>   \n\t  </body></html>", "en"),
+        ("malformed-unclosed",
+         ("<html><body><p>" + _salad(rng, "en", 40, 0.5)
+          + "<div><p>" + _salad(rng, "en", 30, 0.5) + "</body>").encode(),
+         "en"),
+        ("bare-text-no-tags", _salad(rng, "en", 50, 0.5).encode(), "en"),
+        ("entities",
+         ("<p>the data &amp; the engine &lt;is&gt; " + _salad(rng, "en", 30, 0.5)
+          + " &#169; done</p>").encode(),
+         "en"),
+        ("nested-lists",
+         ("<ul><li>" + _salad(rng, "en", 25, 0.5) + "<ul><li>"
+          + _salad(rng, "en", 25, 0.5) + "</li></ul></li></ul>").encode(),
+         "en"),
+        ("table",
+         ("<table><tr><td>" + _salad(rng, "en", 25, 0.5) + "</td><td>"
+          + _salad(rng, "en", 25, 0.5) + "</td></tr></table>").encode(),
+         "en"),
+        ("link-farm",
+         ("<body>" + "".join(f'<p><a href="/{i}">click here now {i}</a></p>'
+                             for i in range(12)) + "</body>").encode(),
+         "en"),
+        ("content-only",
+         ("<body><p>" + _salad(rng, "en", 60, 0.5) + "</p><p>"
+          + _salad(rng, "en", 60, 0.5) + "</p></body>").encode(),
+         "en"),
+        ("very-long-paragraph", f"<body><p>{long_para}</p></body>".encode(), "en"),
+        ("br-splits",
+         ("<p>" + _salad(rng, "en", 30, 0.5) + "<br>"
+          + _salad(rng, "en", 30, 0.5) + "<br/></p>").encode(),
+         "en"),
+        ("short-between-good",
+         ("<p>" + _salad(rng, "en", 50, 0.5) + "</p><p>tiny bit</p><p>"
+          + _salad(rng, "en", 50, 0.5) + "</p>").encode(),
+         "en"),
+        ("short-between-bad",
+         ('<p><a href="/x">all link text here</a></p><p>tiny bit</p>'
+          '<p><a href="/y">another link block</a></p>').encode(),
+         "en"),
+        ("non-utf8-bytes",
+         b"\xff\xfe<body><p>" + _salad(rng, "en", 40, 0.5).encode()
+         + b" \xf0\x28\x8c\x28 tail</p></body>",
+         "en"),
+        ("json-but-not-pdf", b'{"kind":"other","x":1}', "en"),
+        ("pdf-malformed-blocks",
+         json.dumps({"kind": "pdf",
+                     "blocks": [{"text": "ok block one", "x0": 0, "y0": 0,
+                                 "x1": 10, "y1": 5},
+                                {"text": "missing coords"},
+                                {"x0": 0, "y0": 9, "x1": 4, "y1": 12},
+                                "junk",
+                                {"text": "", "x0": 0, "y0": 20, "x1": 4,
+                                 "y1": 22}]}).encode(),
+         "en"),
+        ("pdf-empty", json.dumps({"kind": "pdf", "blocks": []}).encode(), "en"),
+        ("pdf-single-col", _pdf_payload(rng, "en", two_cols=False), "en"),
+        ("pdf-two-col", _pdf_payload(rng, "en", two_cols=True), "en"),
+        ("pdf-two-col-de", _pdf_payload(rng, "de", two_cols=True), "de"),
+        ("unknown-lang",
+         ("<p>" + _salad(rng, "en", 40, 0.5) + "</p>").encode(), "xx"),
+        ("null-lang", ("<p>" + _salad(rng, "en", 40, 0.5) + "</p>").encode(), None),
+    ]
+    return cases
+
+
+def fixture_pages(seed: int = 42, n_template: int = 60) -> list[dict]:
+    """The golden fixture corpus: list of pages rows (dicts)."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    langs = ["en", "en", "en", "de", "es", "fr", "zh"]
+    for i in range(n_template):
+        lang = langs[i % len(langs)]
+        html = _template_page(rng, lang).encode("utf-8")
+        rows.append(
+            {
+                "url": f"https://h{i % 7}.example.com/page/{i}",
+                "warc_ts": _BASE_TS + dt.timedelta(minutes=i * 7),
+                "html": html,
+                "text": None,
+                "lang": lang,
+            }
+        )
+    for j, (name, html, lang) in enumerate(_edge_cases(rng)):
+        rows.append(
+            {
+                "url": f"https://edge.example.com/{name}",
+                "warc_ts": _BASE_TS + dt.timedelta(hours=5, minutes=j),
+                "html": html,
+                "text": None,
+                "lang": lang,
+            }
+        )
+    # recrawls: same url, later warc_ts (exercises dedup/as-of ops)
+    for k in range(5):
+        base = rows[k]
+        rows.append({**base, "warc_ts": base["warc_ts"] + dt.timedelta(days=1)})
+    return rows
+
+
+def fixture_pages_df(spark: SparkSession, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(fixture_pages(seed), schema=PAGES_SCHEMA)
+
+
+def bench_pages(spark: SparkSession, n: int, n_hosts: int = 200) -> DataFrame:
+    """Deterministic Spark-generated pages table, pure column expressions.
+
+    Skew: ~30% of pages land on host 0 (hot host), the rest spread uniformly
+    over ``n_hosts - 1`` hosts — exercises the salting path (SURVEY §2 op 21).
+    Page size varies ~6×; ~2% PDF payloads, ~1% NULL html, ~1% bad UTF-8.
+    """
+    df = spark.range(n).withColumnRenamed("id", "i")
+    h = F.abs(F.xxhash64(F.col("i").cast("string")))
+    host = F.when(h % 10 < 3, F.lit(0)).otherwise(1 + (h % (n_hosts - 1)))
+    # seeded paragraph: stopword-rich sentence repeated a hash-dependent
+    # number of times + a unique tail so every page differs
+    para = F.concat(
+        F.expr(
+            "repeat('the data engine is on a table and the scan of it was in "
+            "the plan for this batch with all of those rows ', "
+            "1 + pmod(abs(xxhash64(i, 42)), 6))"
+        ),
+        F.lit("tail "),
+        F.col("i").cast("string"),
+    )
+    nav = F.lit(
+        '<nav><a href="/a">one link</a> <a href="/b">two link</a> '
+        '<a href="/c">three link</a></nav>'
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"),
+        nav,
+        F.lit("<p>"), para, F.lit("</p><p>"), para, F.lit("</p>"),
+        F.lit('<footer><a href="/tos">terms</a></footer></body></html>'),
+    )
+    pdf_str = F.concat(
+        F.lit('{"kind":"pdf","blocks":[{"text":"left col '),
+        F.col("i").cast("string"),
+        F.lit('","x0":50,"y0":60,"x1":280,"y1":90},'
+              '{"text":"right col","x0":320,"y0":60,"x1":550,"y1":90},'
+              '{"text":"left lower","x0":50,"y0":120,"x1":280,"y1":150}]}'),
+    )
+    mod = h % 100
+    html_bin = (
+        F.when(mod == 0, F.lit(None).cast("binary"))
+        .when(mod == 1, F.concat(F.unhex(F.lit("FFFE")), F.encode(html_str, "UTF-8")))
+        .when(mod <= 3, F.encode(pdf_str, "UTF-8"))
+        .otherwise(F.encode(html_str, "UTF-8"))
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("de"),
+                F.lit("es"), F.lit("fr"), F.lit("zh")),
+        (h % 7 + 1).cast("int"),
+    )
+    return df.select(
+        F.concat(F.lit("https://h"), host.cast("string"),
+                 F.lit(".example.com/p/"), F.col("i").cast("string")).alias("url"),
+        (F.lit(_BASE_TS) + F.make_interval(secs=(h % 86400).cast("double"))
+         ).alias("warc_ts"),
+        html_bin.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        lang.alias("lang"),
+    )

@@ -1,0 +1,260 @@
+"""Frozen single-threaded golden reference extractor (SPEC.md, all sections).
+
+This module stands in for the reference implementation's golden outputs:
+`/root/reference` (dun933/ocr) was an empty checkout (SURVEY.md §0), so per
+SURVEY.md §5.1 this frozen, pure-Python, one-document-at-a-time extractor IS
+the byte-identity reference demanded by BASELINE.json:6 ("byte-identical
+extracted text per url against the reference implementation's golden
+outputs"). It mirrors the reference's per-document loop shape: decode →
+detect blocks → classify → group → assemble, one doc at a time.
+
+It is implemented INDEPENDENTLY of the distributed engine
+(`ocr_spark.html_blocks` + the Spark SQL stages in
+`ocr_spark.operators.extract`): no code is shared beyond the frozen
+constants in `ocr_spark.spec`. Keep it that way — the golden pytest gate
+compares the two implementations and any shared logic would weaken it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from html.parser import HTMLParser
+
+from ocr_spark.spec import (
+    BLOCK_TAGS,
+    LEN_SHORT,
+    MAX_BLOCKS,
+    MAX_LINK_DENSITY,
+    PUNCT,
+    SEP,
+    SKIP_TAGS,
+    STOP_GOOD,
+    STOP_NEAR,
+    VOID_TAGS,
+    stopword_set,
+)
+
+
+def _normalize(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _GoldenHTML(HTMLParser):
+    """Event recorder for the SPEC.md §1 tokenizer rules (reference impl)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.open_tags: list[str] = []
+        self.n_skip = 0
+        self.n_anchor = 0
+        self.fragments: list[str] = []
+        self.frag_link_len = 0
+        self.block_ctx: tuple[str, int] | None = None
+        self.raw_blocks: list[tuple[str, int, str, int]] = []
+
+    def _emit(self) -> None:
+        if self.fragments:
+            joined = _normalize("".join(self.fragments))
+            if joined:
+                tag, depth = self.block_ctx if self.block_ctx else ("body", 0)
+                self.raw_blocks.append((tag, depth, joined, self.frag_link_len))
+            self.fragments = []
+        self.frag_link_len = 0
+        self.block_ctx = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in BLOCK_TAGS:
+            self._emit()
+        if tag in SKIP_TAGS and tag not in VOID_TAGS:
+            self.n_skip += 1
+        if tag == "a":
+            self.n_anchor += 1
+        if tag not in VOID_TAGS:
+            self.open_tags.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in BLOCK_TAGS:
+            self._emit()
+        if tag in SKIP_TAGS and self.n_skip:
+            self.n_skip -= 1
+        if tag == "a" and self.n_anchor:
+            self.n_anchor -= 1
+        for i in range(len(self.open_tags) - 1, -1, -1):
+            if self.open_tags[i] == tag:
+                self.open_tags = self.open_tags[:i]
+                break
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in BLOCK_TAGS:
+            self._emit()
+
+    def handle_data(self, data):
+        if self.n_skip or data == "":
+            return
+        if self.block_ctx is None and data.strip() != "":
+            enclosing = "body"
+            for t in self.open_tags[::-1]:
+                if t in BLOCK_TAGS:
+                    enclosing = t
+                    break
+            self.block_ctx = (enclosing, len(self.open_tags))
+        self.fragments.append(data)
+        if self.n_anchor:
+            self.frag_link_len += len(_normalize(data))
+
+
+def _features(block_id, tag, depth, text, link_len, bbox, stops):
+    n_chars = len(text)
+    tokens = text.split(" ")
+    stop_hits = [t for t in tokens if t.lower().strip(PUNCT) in stops]
+    link_density = min(1.0, link_len / n_chars)
+    return {
+        "block_id": block_id,
+        "tag": tag,
+        "depth": depth,
+        "text": text,
+        "text_len": n_chars,
+        "n_words": len(tokens),
+        "n_link_chars": link_len,
+        "link_density": link_density,
+        "char_density": n_chars / len(tokens),
+        "stopword_density": len(stop_hits) / len(tokens),
+        "bbox": bbox,
+    }
+
+
+def _classify(b: dict) -> str:
+    if b["link_density"] > MAX_LINK_DENSITY:
+        return "bad"
+    if b["text_len"] < LEN_SHORT:
+        return "short"
+    if b["stopword_density"] >= STOP_GOOD:
+        return "good"
+    if b["stopword_density"] >= STOP_NEAR:
+        return "near"
+    return "bad"
+
+
+def _smooth(labels: list[str]) -> list[str]:
+    n = len(labels)
+    out = []
+    for i, lab in enumerate(labels):
+        if lab == "good":
+            out.append("content")
+            continue
+        if lab == "bad":
+            out.append("boilerplate")
+            continue
+        prev_edge = next(
+            (labels[j] for j in range(i - 1, -1, -1) if labels[j] in ("good", "bad")),
+            None,
+        )
+        next_edge = next(
+            (labels[j] for j in range(i + 1, n) if labels[j] in ("good", "bad")),
+            None,
+        )
+        ok = prev_edge == "good" or next_edge == "good"
+        out.append("content" if ok else "boilerplate")
+    return out
+
+
+def _pdf_reading_order(obj: dict) -> list[tuple]:
+    kept = []
+    for raw in obj.get("blocks") or []:
+        if not isinstance(raw, dict):
+            continue
+        try:
+            coords = tuple(float(raw[k]) for k in ("x0", "y0", "x1", "y1"))
+            text = _normalize(str(raw["text"]))
+        except (KeyError, TypeError, ValueError):
+            continue
+        if text:
+            kept.append(coords + (text,))
+    if not kept:
+        return []
+    column_of = {}
+    current, right = -1, float("-inf")
+    for blk in sorted(kept, key=lambda b: (b[0], b[1], b[2], b[4])):
+        if blk[0] > right:
+            current += 1
+            right = blk[2]
+        else:
+            right = max(right, blk[2])
+        column_of[blk] = current
+    ordered = sorted(kept, key=lambda b: (column_of[b], b[1], b[0], b[2], b[4]))
+    return ordered[:MAX_BLOCKS]
+
+
+def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
+    """Extract one document per SPEC.md; returns the full `extracted` row."""
+    stops = stopword_set(lang)
+    kind = "empty"
+    blocks: list[dict] = []
+    if html:
+        decoded = html.decode("utf-8", errors="replace")
+        obj = None
+        if decoded.lstrip().startswith("{"):
+            try:
+                obj = json.loads(decoded)
+            except (ValueError, RecursionError):
+                obj = None
+        if (
+            isinstance(obj, dict)
+            and obj.get("kind") == "pdf"
+            and isinstance(obj.get("blocks"), list)
+        ):
+            kind = "pdf"
+            for i, blk in enumerate(_pdf_reading_order(obj)):
+                x0, y0, x1, y1, text = blk
+                blocks.append(
+                    _features(
+                        i, "pdfblock", 0, text, 0,
+                        {"x0": x0, "y0": y0, "x1": x1, "y1": y1}, stops,
+                    )
+                )
+        else:
+            kind = "html"
+            p = _GoldenHTML()
+            try:
+                p.feed(decoded)
+                p.close()
+            except Exception:
+                pass
+            p._emit()
+            for i, (tag, depth, text, link_len) in enumerate(
+                p.raw_blocks[:MAX_BLOCKS]
+            ):
+                blocks.append(_features(i, tag, depth, text, link_len, None, stops))
+
+    if kind == "pdf":
+        finals = ["content"] * len(blocks)
+    else:
+        finals = _smooth([_classify(b) for b in blocks])
+
+    content = [b for b, f in zip(blocks, finals) if f == "content"]
+    extracted_text = SEP.join(b["text"] for b in content)
+    spans = []
+    pos = 0
+    for b in content:
+        spans.append(
+            {
+                "block_id": b["block_id"],
+                "start": pos,
+                "end": pos + b["text_len"],
+                "label": "content",
+            }
+        )
+        pos += b["text_len"] + len(SEP)
+    return {
+        "url": url,
+        "lang": lang,
+        "kind": kind,
+        "blocks": blocks,
+        "labels": finals,
+        "extracted_text": extracted_text,
+        "spans": spans,
+        "text_sha256": hashlib.sha256(extracted_text.encode("utf-8")).hexdigest(),
+        "n_blocks": len(blocks),
+        "n_content_blocks": len(content),
+    }

@@ -1,0 +1,248 @@
+"""Batch HTML/PDF-payload → block-array parser (engine side, SPEC.md §1–3).
+
+This is the hot Python path of the whole engine: it runs inside
+``mapInArrow`` / scalar-iter ``pandas_udf`` workers over Arrow batches
+(SURVEY.md §2 ops 11, 57, 60). Everything downstream of it (classification,
+smoothing, span offsets, assembly) is pure JVM-side Spark SQL.
+
+It is one of TWO independent implementations of SPEC.md — the other is the
+frozen single-threaded ``ocr_spark.goldenref`` used to produce golden
+fixtures. The byte-identity pytest gate (tests/test_golden.py) holds the two
+together. Do not import goldenref here (and vice versa).
+
+Scale notes (100 TB design point): per-document parsing is inherently
+sequential Python, but it is embarrassingly parallel across documents and
+amortized per Arrow batch; parser instances are recycled via
+``HTMLParser.reset()`` to avoid per-doc allocation churn. MAX_BLOCKS caps
+pathological documents so a single page can never blow up a task.
+"""
+
+from __future__ import annotations
+
+import json
+from html.parser import HTMLParser
+
+from ocr_spark import spec
+
+_EDGE = ("good", "bad")  # classification edge labels (SPEC.md §2)
+
+
+class _BlockParser(HTMLParser):
+    """HTMLParser subclass implementing the SPEC.md §1 event rules."""
+
+    __slots__ = (
+        "stack",
+        "skip_depth",
+        "anchor_depth",
+        "buf",
+        "link_chars",
+        "ctx_tag",
+        "ctx_depth",
+        "blocks",
+        "stopset",
+    )
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._reset_doc(frozenset())
+
+    def _reset_doc(self, stopset: frozenset[str]) -> None:
+        self.stack: list[str] = []
+        self.skip_depth = 0
+        self.anchor_depth = 0
+        self.buf: list[str] = []
+        self.link_chars = 0
+        self.ctx_tag: str | None = None
+        self.ctx_depth = 0
+        self.blocks: list[dict] = []
+        self.stopset = stopset
+
+    # --- event handlers (SPEC.md §1) --------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in spec.BLOCK_TAGS:
+            self._flush()
+        if tag in spec.SKIP_TAGS and tag not in spec.VOID_TAGS:
+            self.skip_depth += 1
+        if tag == "a":
+            self.anchor_depth += 1
+        if tag not in spec.VOID_TAGS:
+            self.stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in spec.BLOCK_TAGS:
+            self._flush()
+        if tag in spec.SKIP_TAGS and self.skip_depth > 0:
+            self.skip_depth -= 1
+        if tag == "a" and self.anchor_depth > 0:
+            self.anchor_depth -= 1
+        stack = self.stack
+        if tag in stack:
+            # pop up to and including the last occurrence (implicit closes)
+            idx = len(stack) - 1 - stack[::-1].index(tag)
+            del stack[idx:]
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in spec.BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self.skip_depth > 0 or not data:
+            return
+        if self.ctx_tag is None and not data.isspace():
+            tag = "body"
+            for t in reversed(self.stack):
+                if t in spec.BLOCK_TAGS:
+                    tag = t
+                    break
+            self.ctx_tag = tag
+            self.ctx_depth = len(self.stack)
+        self.buf.append(data)
+        if self.anchor_depth > 0:
+            self.link_chars += len(" ".join(data.split()))
+
+    # --- block emission ----------------------------------------------------
+    def _flush(self) -> None:
+        if self.buf:
+            text = " ".join("".join(self.buf).split())
+            if text and len(self.blocks) < spec.MAX_BLOCKS:
+                self.blocks.append(
+                    _make_block(
+                        len(self.blocks),
+                        self.ctx_tag or "body",
+                        self.ctx_depth,
+                        text,
+                        self.link_chars,
+                        None,
+                        self.stopset,
+                    )
+                )
+            self.buf = []
+        self.link_chars = 0
+        self.ctx_tag = None
+        self.ctx_depth = 0
+
+
+def _make_block(
+    block_id: int,
+    tag: str,
+    depth: int,
+    text: str,
+    link_chars: int,
+    bbox: dict | None,
+    stopset: frozenset[str],
+) -> dict:
+    """Compute SPEC.md §2 features for one normalized text block."""
+    text_len = len(text)
+    words = text.split(" ")
+    n_words = len(words)
+    punct = spec.PUNCT
+    n_stop = 0
+    for w in words:
+        if w.lower().strip(punct) in stopset:
+            n_stop += 1
+    ld = link_chars / text_len
+    return {
+        "block_id": block_id,
+        "tag": tag,
+        "depth": depth,
+        "text": text,
+        "text_len": text_len,
+        "n_words": n_words,
+        "n_link_chars": link_chars,
+        "link_density": ld if ld < 1.0 else 1.0,
+        "char_density": text_len / n_words,
+        "stopword_density": n_stop / n_words,
+        "bbox": bbox,
+    }
+
+
+def _pdf_blocks(obj: dict, stopset: frozenset[str]) -> list[dict]:
+    """SPEC.md §3: column clustering + reading order for PDF-like payloads."""
+    cleaned: list[tuple[float, float, float, float, str]] = []
+    for b in obj.get("blocks") or []:
+        if not isinstance(b, dict):
+            continue
+        try:
+            x0 = float(b["x0"])
+            y0 = float(b["y0"])
+            x1 = float(b["x1"])
+            y1 = float(b["y1"])
+            text = " ".join(str(b["text"]).split())
+        except (KeyError, TypeError, ValueError):
+            continue
+        if text:
+            cleaned.append((x0, y0, x1, y1, text))
+    if not cleaned:
+        return []
+    # single-linkage column clustering on x-interval overlap
+    by_x = sorted(cleaned, key=lambda t: (t[0], t[1], t[2], t[4]))
+    cols: dict[tuple, int] = {}
+    col_id = -1
+    cur_x1 = float("-inf")
+    for t in by_x:
+        if t[0] > cur_x1:
+            col_id += 1
+            cur_x1 = t[2]
+        elif t[2] > cur_x1:
+            cur_x1 = t[2]
+        cols[t] = col_id
+    reading = sorted(cleaned, key=lambda t: (cols[t], t[1], t[0], t[2], t[4]))
+    out = []
+    for i, (x0, y0, x1, y1, text) in enumerate(reading[: spec.MAX_BLOCKS]):
+        out.append(
+            _make_block(
+                i, "pdfblock", 0, text, 0,
+                {"x0": x0, "y0": y0, "x1": x1, "y1": y1},
+                stopset,
+            )
+        )
+    return out
+
+
+def parse_payload(
+    html: bytes | None, lang: str | None, parser: _BlockParser | None = None
+) -> tuple[str, list[dict]]:
+    """Parse one page payload → (kind, blocks). SPEC.md §0 dispatch."""
+    if not html:
+        return "empty", []
+    stopset = spec.stopword_set(lang)
+    decoded = html.decode("utf-8", errors="replace")
+    stripped = decoded.lstrip()
+    if stripped.startswith("{"):
+        try:
+            obj = json.loads(decoded)
+        except (ValueError, RecursionError):
+            obj = None
+        if (
+            isinstance(obj, dict)
+            and obj.get("kind") == "pdf"
+            and isinstance(obj.get("blocks"), list)
+        ):
+            return "pdf", _pdf_blocks(obj, stopset)
+    if parser is None:
+        parser = _BlockParser()
+    parser.reset()  # HTMLParser internal state
+    parser._reset_doc(stopset)
+    try:
+        parser.feed(decoded)
+        parser.close()
+    except Exception:
+        # html.parser is tolerant, but guard the 100 TB run anyway:
+        # a pathological page yields whatever was flushed so far.
+        pass
+    parser._flush()
+    return "html", parser.blocks
+
+
+def parse_batch(
+    htmls: list[bytes | None], langs: list[str | None]
+) -> tuple[list[str], list[list[dict]]]:
+    """Parse an Arrow batch of payloads; reuses one parser instance."""
+    parser = _BlockParser()
+    kinds: list[str] = []
+    blocks: list[list[dict]] = []
+    for html, lang in zip(htmls, langs):
+        k, b = parse_payload(html, lang, parser)
+        kinds.append(k)
+        blocks.append(b)
+    return kinds, blocks

@@ -1,0 +1,210 @@
+"""The fused extraction pipeline (SURVEY.md §3.2 entry point, SPEC.md).
+
+Pipeline shape (design point: 100 TB / 10^12 docs on 1000 executors):
+
+    pages ──mapInArrow(parse)──► blocks array ──JVM array HOFs──► extracted
+
+The single JVM→Python Arrow hop is the parse (SURVEY §2 op 11 / op 60);
+classification (op 13), jusText smoothing (op 14), span offsets (op 15) and
+assembly (op 17) are pure Spark SQL **higher-order functions over the
+per-document block array** — they run inside WholeStageCodegen, need NO
+shuffle, and make the whole extraction embarrassingly parallel: the plan has
+no wide dependency, so scaling efficiency N→4N executors is bounded only by
+input-split balance, not by shuffle or skew. (An equivalent
+explode→window→groupBy formulation of ops 12–17 lives in
+``ocr_spark.operators.exploded`` and is property-tested to produce identical
+bytes; this fused form is the production path.)
+
+Per-document classification/smoothing is O(n_blocks²) in the worst case via
+array slices, bounded by spec.MAX_BLOCKS; typical pages have < 100 blocks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark import spec
+from ocr_spark.schemas import block_pa_type
+
+PARSED_DDL = (
+    "url string, warc_ts timestamp, lang string, part_id int, kind string,"
+    " blocks array<struct<block_id: int, tag: string, depth: int,"
+    " text: string, text_len: int, n_words: int, n_link_chars: int,"
+    " link_density: double, char_density: double, stopword_density: double,"
+    " bbox: struct<x0: double, y0: double, x1: double, y1: double>>>"
+)
+
+SPANS_DDL = (
+    "array<struct<block_id: int, start: bigint, `end`: bigint, label: string>>"
+)
+
+DEFAULT_NUM_PARTS = 64  # resume/lineage granularity (part_id space)
+DEFAULT_SALT_N = 16  # salt fan-out for hot hosts when repartitioning
+
+
+def _parse_arrow_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow worker: html bytes → block structs, one Arrow batch a time.
+
+    Runs on executors; imports resolved via --py-files/driver-shipped package.
+    """
+    from ocr_spark.html_blocks import parse_batch
+
+    block_type = block_pa_type()
+    for batch in batches:
+        htmls = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        kinds, blocks = parse_batch(htmls, langs)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("url"),
+                batch.column("warc_ts"),
+                batch.column("lang"),
+                batch.column("part_id"),
+                pa.array(kinds, type=pa.string()),
+                pa.array(blocks, type=pa.list_(block_type)),
+            ],
+            names=["url", "warc_ts", "lang", "part_id", "kind", "blocks"],
+        )
+
+
+def with_part_id(df: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
+    """Deterministic partition-lineage key: pmod(xxhash64(url), num_parts).
+
+    Independent of cluster size / task layout → resume manifests written at
+    N executors stay valid at 4N (SURVEY §2 op 22).
+    """
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
+    )
+
+
+def salted(df: DataFrame, partitions: int, salt_n: int = DEFAULT_SALT_N) -> DataFrame:
+    """Explicit salted repartition for skewed hosts (SURVEY §2 op 21).
+
+    hash(url) alone already spreads a hot host's pages, but the salt term
+    keeps the guarantee even for a single viral url recrawled millions of
+    times: (url, warc_ts) salting splits identical urls across tasks.
+    """
+    return (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64("url", "warc_ts"), F.lit(salt_n)).cast("int")
+        )
+        .repartition(partitions, "part_id", "_salt")
+        .drop("_salt")
+    )
+
+
+def parse_pages(df: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
+    """SURVEY §2 op 11 (+60): pages → (url, warc_ts, lang, part_id, kind, blocks)."""
+    if "part_id" not in df.columns:
+        df = with_part_id(df, num_parts)
+    narrow = df.select("url", "warc_ts", "lang", "part_id", "html")
+    return narrow.mapInArrow(_parse_arrow_batches, PARSED_DDL)
+
+
+def classify_expr(block: Column) -> Column:
+    """SURVEY §2 op 13: context-free jusText labels — pure column exprs."""
+    return (
+        F.when(block["link_density"] > F.lit(spec.MAX_LINK_DENSITY), "bad")
+        .when(block["text_len"] < F.lit(spec.LEN_SHORT), "short")
+        .when(block["stopword_density"] >= F.lit(spec.STOP_GOOD), "good")
+        .when(block["stopword_density"] >= F.lit(spec.STOP_NEAR), "near")
+        .otherwise("bad")
+    )
+
+
+# SQL fragment for the smoothing pass (op 14) over a labels array `labs`:
+# nearest preceding / following edge label via array slices (JVM-side).
+_SMOOTH_SQL = """
+CASE WHEN kind = 'pdf' THEN transform(labs, l -> 'content')
+ELSE transform(labs, (l, i) -> CASE
+  WHEN l = 'good' THEN 'content'
+  WHEN l = 'bad' THEN 'boilerplate'
+  WHEN try_element_at(
+         reverse(filter(slice(labs, 1, i), x -> x IN ('good','bad'))), 1
+       ) = 'good'
+    OR try_element_at(
+         filter(slice(labs, i + 2, size(labs) - i - 1),
+                x -> x IN ('good','bad')), 1
+       ) = 'good'
+  THEN 'content' ELSE 'boilerplate' END)
+END
+"""
+
+
+def label_blocks(parsed: DataFrame) -> DataFrame:
+    """Ops 13+14 fused: adds `labels: array<string>` aligned with `blocks`."""
+    return parsed.withColumn(
+        "labs", F.transform("blocks", classify_expr)
+    ).withColumn("labels", F.expr(_SMOOTH_SQL)).drop("labs")
+
+
+def assemble(labeled: DataFrame) -> DataFrame:
+    """Ops 15+17: span offsets + byte-identical assembly, all JVM-side."""
+    content = F.transform(
+        F.filter(
+            F.arrays_zip("blocks", "labels"),
+            lambda z: z["labels"] == F.lit("content"),
+        ),
+        lambda z: z["blocks"],
+    )
+    df = labeled.withColumn("content", content)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.expr(f"CAST(array() AS {SPANS_DDL})").alias("spans"),
+    )
+
+    def step(acc: Column, b: Column) -> Column:
+        span = F.struct(
+            b["block_id"].alias("block_id"),
+            acc["pos"].alias("start"),
+            (acc["pos"] + b["text_len"]).cast("long").alias("end"),
+            F.lit("content").alias("label"),
+        )
+        return F.struct(
+            (acc["pos"] + b["text_len"] + F.lit(len(spec.SEP))).cast("long").alias("pos"),
+            F.concat(acc["spans"], F.array(span)).alias("spans"),
+        )
+
+    return df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.array_join(
+            F.transform("content", lambda b: b["text"]), spec.SEP
+        ).alias("extracted_text"),
+        F.aggregate("content", zero, step, lambda acc: acc["spans"]).alias("spans"),
+        F.sha2(
+            F.coalesce(
+                F.array_join(F.transform("content", lambda b: b["text"]), spec.SEP),
+                F.lit(""),
+            ),
+            256,
+        ).alias("text_sha256"),
+        F.size("blocks").alias("n_blocks"),
+        F.size("content").alias("n_content_blocks"),
+        "part_id",
+    )
+
+
+def extract_pages(
+    df: DataFrame,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Full fused extraction: pages → extracted (SURVEY §3.2).
+
+    ``repartition`` (optional) forces a salted exchange before the parse —
+    used when input splits are unbalanced or to bound output file counts;
+    the default (None) keeps the plan shuffle-free.
+    """
+    df = with_part_id(df, num_parts)
+    if repartition:
+        df = salted(df, repartition)
+    return assemble(label_blocks(parse_pages(df, num_parts)))

@@ -1,0 +1,85 @@
+"""The byte-identity gate (BASELINE.json:6,15): Spark pipeline vs goldens.
+
+Golden outputs are produced by the frozen single-threaded reference
+``ocr_spark.goldenref`` (standing in for the empty reference checkout —
+SURVEY.md §0/§5.1) and committed at tests/fixtures/golden.json.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _spark_results(spark, fixture_df):
+    from ocr_spark.operators.extract import extract_pages
+
+    out = {}
+    for r in extract_pages(fixture_df).collect():
+        key = (r.url, r.warc_ts.isoformat())
+        out[key] = r
+    return out
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, fixture_df):
+    return _spark_results(spark, fixture_df)
+
+
+def test_goldenref_is_stable(golden_records):
+    """Regenerating goldens from the frozen reference must match the
+    committed file — catches accidental spec drift."""
+    from ocr_spark.gen import fixture_pages
+    from ocr_spark.goldenref import extract_document
+
+    regen = {}
+    for page in fixture_pages():
+        g = extract_document(page["url"], page["html"], page["lang"])
+        regen[(page["url"], page["warc_ts"].isoformat())] = g
+    assert len(regen) == len(golden_records)
+    for rec in golden_records:
+        g = regen[(rec["url"], rec["warc_ts"])]
+        assert g["extracted_text"] == rec["extracted_text"], rec["url"]
+        assert g["text_sha256"] == rec["text_sha256"], rec["url"]
+
+
+def test_rowcount(extracted, golden_records):
+    assert len(extracted) == len(golden_records)
+
+
+def test_byte_identical_text(extracted, golden_records):
+    for rec in golden_records:
+        r = extracted[(rec["url"], rec["warc_ts"])]
+        assert r.extracted_text == rec["extracted_text"], rec["url"]
+        assert r.text_sha256 == rec["text_sha256"], rec["url"]
+
+
+def test_spans_exact(extracted, golden_records):
+    for rec in golden_records:
+        r = extracted[(rec["url"], rec["warc_ts"])]
+        got = [[s.block_id, s.start, s.end, s.label] for s in r.spans]
+        want = [[s["block_id"], s["start"], s["end"], s["label"]] for s in rec["spans"]]
+        assert got == want, rec["url"]
+
+
+def test_block_counts(extracted, golden_records):
+    for rec in golden_records:
+        r = extracted[(rec["url"], rec["warc_ts"])]
+        assert r.n_blocks == rec["n_blocks"], rec["url"]
+        assert r.n_content_blocks == rec["n_content_blocks"], rec["url"]
+
+
+def test_span_offsets_consistent(extracted):
+    """Spans must tile extracted_text exactly: text[start:end] is the block
+    text and blocks are separated by exactly one SEP char."""
+    from ocr_spark.spec import SEP
+
+    for r in extracted.values():
+        prev_end = None
+        for s in r.spans:
+            if prev_end is not None:
+                assert s.start == prev_end + len(SEP)
+            segment = r.extracted_text[s.start : s.end]
+            assert SEP not in segment
+            prev_end = s.end
+        if r.spans:
+            assert r.spans[-1].end == len(r.extracted_text)
