@@ -1,0 +1,62 @@
+"""Multimodal column plumbing (task brief: image/audio/video as opaque
+binary + typed metadata).
+
+The container has no image/audio codecs, so the actual decoding is stubbed:
+:func:`_decode_stub` raises ``NotImplementedError`` unless a known library is
+importable, and :func:`decode_features` falls back to a deterministic fake
+(byte-length-derived dimensions) so the Spark-side plumbing — schema,
+Arrow batching, mapInPandas signature, partitioning — is real and testable.
+
+At 100 TB the pattern is: binary payloads stay columnar in parquet, decode
+runs as an Arrow-batched ``mapInPandas`` stage (one Python worker per core,
+payloads never hit the driver), and downstream feature columns are plain
+Spark types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Real media decode — intentionally unimplemented in this container."""
+    try:
+        import PIL.Image  # noqa: F401  (not installed here)
+    except ImportError as exc:  # pragma: no cover - always taken in sandbox
+        raise NotImplementedError(
+            "media decoding requires an image/audio library not present in"
+            " this container; use fake=True for the deterministic stub"
+        ) from exc
+    raise NotImplementedError("real decode path not wired yet")
+
+
+def _fake_features(payload: bytes | None) -> tuple[int, int, int]:
+    n = len(payload) if payload is not None else 0
+    return n, n % 640, n % 480
+
+
+def decode_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """payload binary -> (id, n_bytes, fake_width, fake_height) via
+    mapInPandas (Arrow-batched; no per-row Python UDF calls)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                feats = [_fake_features(p) for p in pdf[payload_col]]
+            else:  # pragma: no cover - stub path
+                feats = [_decode_stub(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                feats, columns=["n_bytes", "fake_width", "fake_height"]
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(
+        fn, f"{id_col} bigint, n_bytes int, fake_width int, fake_height int"
+    )

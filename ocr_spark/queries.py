@@ -1,0 +1,402 @@
+"""The driver-verification query registry (SURVEY.md §2, __spark_entry__.py).
+
+Each entry pairs a PySpark DataFrame query with the ANSI-SQL oracle DuckDB
+runs on the same parquet tables. The driver compares row-count + schema +
+order-insensitive value hash at sf0.01; tests/test_oracle.py replicates that
+comparison locally and strictly.
+
+Cross-engine determinism rules used throughout (SURVEY.md §3.3):
+
+- every computed column is aliased identically on both sides;
+- floating-point aggregates go through exact integer/bigint arithmetic
+  (``round(x*100) -> sum bigint -> /100.0``) so partial-aggregation order
+  can never change a bit;
+- all window orderings carry a unique tie-break column;
+- hashes use md5/sha256 (identical hex in Spark and DuckDB) — never
+  engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_spark import spec
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_list(words) -> str:
+    items = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+    return f"[{items}]"
+
+
+def _spark_array(words) -> str:
+    items = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+    return f"array({items})"
+
+
+EN_STOP_SQL = _sql_list(spec.STOPWORDS["en"])
+EN_STOP_SPARK = _spark_array(spec.STOPWORDS["en"])
+
+# stopword list resolver keyed on the row's lang (both dialects)
+_LANG_CASE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {_sql_list(ws)}" for lg, ws in spec.STOPWORDS.items()
+) + f" ELSE {EN_STOP_SQL} END"
+_LANG_CASE_SPARK = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {_spark_array(ws)}" for lg, ws in spec.STOPWORDS.items()
+) + f" ELSE {EN_STOP_SPARK} END"
+
+# ---------------------------------------------------------------------------
+# Flagship: end-to-end extraction with a full SQL oracle (SURVEY §2 op 11-17).
+#
+# Wraps documents.text into a 3-block HTML page (nav boilerplate / one content
+# paragraph prefixed with stopword-rich filler / footer boilerplate), runs the
+# REAL extraction pipeline (mapInArrow HTML parse -> classify -> smooth ->
+# assemble), and the oracle recomputes SPEC.md §2 semantics directly in SQL:
+# nav and footer have link_density > 0.33 -> boilerplate; the paragraph is
+# content iff text_len >= 20 and stopword_density >= 0.30 (its link_density
+# is 0 and its only edge neighbors are bad, so smoothing reduces to exactly
+# that predicate).
+# ---------------------------------------------------------------------------
+
+_PREFIX_UNIT = "the is a of to in and it with for "
+
+
+@register(
+    "extract_wrapped",
+    f"""
+WITH feats AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      repeat('{_PREFIX_UNIT}',
+             greatest(1, CAST(round(n_chars / 60.0, 0) AS INT))) || text,
+      '\\s+', ' ', 'g')) AS ptext
+  FROM documents
+), c AS (
+  SELECT doc_id, ptext,
+    length(ptext) AS tl,
+    len(string_split(ptext, ' ')) AS nw,
+    len(list_filter(string_split(ptext, ' '),
+        w -> list_contains({EN_STOP_SQL},
+                           trim(lower(w), '.,;:!?"''()[]{{}}')))) AS ns
+  FROM feats
+), r AS (
+  SELECT doc_id,
+    CASE WHEN tl >= 20 AND ns * 1.0 / nw >= 0.30 THEN ptext ELSE '' END
+      AS extracted_text
+  FROM c
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       extracted_text,
+       sha256(extracted_text) AS text_sha256,
+       3 AS n_blocks,
+       CASE WHEN extracted_text = '' THEN 0 ELSE 1 END AS n_content_blocks
+FROM r
+""",
+)
+def q_extract_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.extract import extract_pages
+
+    docs = t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><nav><a href="/a">one link</a> '
+                      '<a href="/b">two link</a></nav><p>'),
+                F.expr(
+                    f"repeat('{_PREFIX_UNIT}',"
+                    " greatest(1, CAST(round(n_chars / 60.0, 0) AS INT)))"
+                ),
+                F.col("text"),
+                F.lit('</p><footer><a href="/t">terms</a> c</footer>'
+                      "</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    ex = extract_pages(pages)
+    return ex.select(
+        "url",
+        "extracted_text",
+        "text_sha256",
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.col("n_content_blocks").cast("int").alias("n_content_blocks"),
+    )
+
+
+# --- A. scans --------------------------------------------------------------
+
+@register(
+    "scan_counts",
+    " UNION ALL ".join(
+        f"SELECT '{tb}' AS tbl, count(*) AS n FROM {tb}" for tb in TABLES
+    ),
+)
+def q_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tb in TABLES:
+        d = t(spark, sf_dir, tb).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tb).alias("tbl"), "n"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+# --- B. projection / filter / derivation ------------------------------------
+
+@register(
+    "project_prune",
+    "SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0",
+)
+def q_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "filter_pred",
+    "SELECT doc_id, n_chars FROM documents WHERE lang = 'en' AND n_chars > 100",
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.filter((F.col("lang") == "en") & (F.col("n_chars") > 100)).select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
+    "derive_host",
+    """
+SELECT doc_id,
+  regexp_extract('https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR),
+                 'https?://([^/]+)/', 1) AS host,
+  regexp_extract('https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR),
+                 'https?://[^/]+(/.*)$', 1) AS path
+FROM documents
+""",
+)
+def q_derive_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+    )
+
+
+@register(
+    "derive_hashes",
+    "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256 "
+    "FROM documents",
+)
+def q_derive_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+# --- C. extraction-core analogs on driver tables -----------------------------
+
+@register(
+    "explode_blocks",
+    """
+SELECT doc_id,
+  unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+  unnest(string_split(text, ' ')) AS word
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def q_explode_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@register(
+    "classify_blocks",
+    f"""
+SELECT doc_id, tl AS text_len, nw AS n_words, ns AS n_stop,
+  CASE WHEN tl < {spec.LEN_SHORT} THEN 'short'
+       WHEN ns * 1.0 / nw >= {spec.STOP_GOOD} THEN 'good'
+       WHEN ns * 1.0 / nw >= {spec.STOP_NEAR} THEN 'near'
+       ELSE 'bad' END AS label
+FROM (
+  SELECT doc_id, length(text) AS tl, len(string_split(text, ' ')) AS nw,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({_LANG_CASE_SQL}, lower(w)))) AS ns
+  FROM documents
+)
+""",
+)
+def q_classify_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id",
+        F.length("text").alias("tl"),
+        F.size(F.split("text", " ")).alias("nw"),
+        F.expr(
+            f"size(filter(split(text, ' '), w -> "
+            f"array_contains({_LANG_CASE_SPARK}, lower(w))))"
+        ).alias("ns"),
+    )
+    dens = F.col("ns") * 1.0 / F.col("nw")
+    return d.select(
+        "doc_id",
+        F.col("tl").alias("text_len"),
+        F.col("nw").alias("n_words"),
+        F.col("ns").alias("n_stop"),
+        F.when(F.col("tl") < spec.LEN_SHORT, "short")
+        .when(dens >= spec.STOP_GOOD, "good")
+        .when(dens >= spec.STOP_NEAR, "near")
+        .otherwise("bad")
+        .alias("label"),
+    )
+
+
+@register(
+    "smooth_labels",
+    """
+SELECT event_id, event_type,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  CASE WHEN event_type = 'click'
+        AND (lag(event_type) OVER w = 'error'
+             OR lead(event_type) OVER w = 'error')
+       THEN 'error_adjacent' ELSE event_type END AS smoothed
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_smooth_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    nxt = F.lead("event_type").over(w)
+    return e.select(
+        "event_id",
+        "event_type",
+        prev.alias("prev_type"),
+        nxt.alias("next_type"),
+        F.when(
+            (F.col("event_type") == "click")
+            & ((prev == "error") | (nxt == "error")),
+            "error_adjacent",
+        ).otherwise(F.col("event_type")).alias("smoothed"),
+    )
+
+
+# NOTE: (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+# lineitem — the window order must be total, or running sums are ambiguous
+# across engines. The tie-break chain below includes every column that
+# contributes to the output, so residual ties are exact-duplicate rows and
+# produce identical output multisets regardless of order.
+_SPAN_ORDER_SQL = "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice"
+
+
+@register(
+    "span_offsets",
+    f"""
+SELECT l_orderkey, l_linenumber,
+  CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) OVER (
+    PARTITION BY l_orderkey ORDER BY {_SPAN_ORDER_SQL}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+  CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) OVER (
+    PARTITION BY l_orderkey ORDER BY {_SPAN_ORDER_SQL}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    + CAST(l_quantity AS BIGINT) AS BIGINT) AS end_off
+FROM lineitem
+""",
+)
+def q_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice",
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    start = F.coalesce(F.sum(qty).over(w), F.lit(0)).cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        start.alias("start_off"),
+        (start + qty).cast("bigint").alias("end_off"),
+    )
+
+
+@register(
+    "stopword_density",
+    f"""
+SELECT doc_id,
+  CAST(round(len(list_filter(string_split(text, ' '),
+      w -> list_contains({EN_STOP_SQL}, lower(w)))) * 1000000.0
+    / len(string_split(text, ' ')), 0) AS BIGINT) AS stop_ppm
+FROM documents WHERE lang = 'en'
+""",
+)
+def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"CAST(round(size(filter(split(text, ' '), w -> "
+            f"array_contains({EN_STOP_SPARK}, lower(w)))) * 1000000.0"
+            f" / size(split(text, ' ')), 0) AS BIGINT)"
+        ).alias("stop_ppm"),
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # importing the sibling modules populates the registry
+    from ocr_spark import queries_joins_aggs  # noqa: F401
+    from ocr_spark import queries_fns  # noqa: F401
+    from ocr_spark import queries_textml  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    all_queries()
+    return dict(ORACLES)

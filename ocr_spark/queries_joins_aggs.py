@@ -1,0 +1,519 @@
+"""Join / aggregation / window / set-op operators (SURVEY.md §2 groups D-G).
+
+Registered into the shared ``ocr_spark.queries`` registry. Cross-engine
+float determinism: money aggregates run through exact bigint cents
+(``round(x*100) -> sum(bigint) -> /100.0``) so Spark's partial-agg order can
+never flip a bit vs DuckDB's sequential sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+
+# exact-cents helpers (see module docstring)
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("bigint")
+
+
+def _sql_cents(col: str) -> str:
+    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+
+
+# --- D. joins ---------------------------------------------------------------
+
+@register(
+    "join_broadcast",
+    f"""
+SELECT p.p_brand, count(*) AS n_lines,
+  CAST(sum({_sql_cents('l.l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(_cents("l_extendedprice")).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+@register(
+    "join_shuffle",
+    f"""
+SELECT o.o_orderstatus, count(*) AS n_lines,
+  CAST(sum({_sql_cents('l.l_extendedprice')}) AS DOUBLE) / 100.0 AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(_cents("l_extendedprice")).cast("double") / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_salted",
+    """
+SELECT s.s_name, count(*) AS n_lines,
+  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (SURVEY §2 op 21): fact side gets a salt,
+    the small dim side is exploded over the full salt range, then the join
+    runs on (key, salt) so one hot key spreads over SALT_N tasks. The
+    oracle proves result-equivalence with the plain unsalted join."""
+    salt_n = 8
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt_n)).cast("int")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {salt_n - 1})")))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        li.join(s, (li.l_suppkey == s.s_suppkey) & (li.salt == s.salt))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "join_anti",
+    """
+SELECT c.c_custkey, c.c_name FROM customer c
+ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_semi",
+    """
+SELECT c.c_custkey, c.c_mktsegment FROM customer c
+SEMI JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_range",
+    """
+SELECT e1.user_id, count(*) AS n_follow
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+WHERE e1.event_type = 'error'
+GROUP BY e1.user_id
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    e1 = e.filter(F.col("event_type") == "error").alias("e1")
+    e2 = e.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTE"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+@register(
+    "join_asof",
+    """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type
+FROM (
+  SELECT user_id, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-01 12:00:00'
+) WHERE rn = 1
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-01 12:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    """
+SELECT g.thr, count(*) AS n_docs
+FROM (VALUES (100), (300), (600)) AS g(thr), documents d
+WHERE d.n_chars > g.thr
+GROUP BY g.thr
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    grid = spark.createDataFrame([(100,), (300,), (600,)], "thr int")
+    return (
+        d.crossJoin(F.broadcast(grid))
+        .filter(F.col("n_chars") > F.col("thr"))
+        .groupBy("thr")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- E. aggregations ---------------------------------------------------------
+
+@register(
+    "agg_basic",
+    f"""
+SELECT l_returnflag, l_linestatus,
+  count(*) AS n,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum({_sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_price,
+  CAST(sum({_sql_cents('l_discount')}) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+  CAST(min(l_quantity) AS BIGINT) AS min_qty,
+  CAST(max(l_quantity) AS BIGINT) AS max_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100.0).alias("sum_price"),
+        (
+            F.sum(_cents("l_discount")).cast("double") / 100.0 / F.count(F.lit(1))
+        ).alias("avg_disc"),
+        F.min("l_quantity").cast("bigint").alias("min_qty"),
+        F.max("l_quantity").cast("bigint").alias("max_qty"),
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+SELECT lang, count(DISTINCT source) AS n_sources,
+       count(DISTINCT n_chars) AS n_lengths
+FROM documents GROUP BY lang
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("n_chars").alias("n_lengths"),
+    )
+
+
+@register("agg_approx_distinct", None)  # approximate: rows-only driver check
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.approx_count_distinct("text", rsd=0.01).alias("approx_texts"),
+        F.countDistinct("text").alias("exact_texts"),
+    )
+
+
+@register(
+    "agg_groupingsets",
+    """
+SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+""",
+)
+def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+        F.coalesce("source", F.lit("<all>")).alias("source"),
+        "n",
+        "sum_chars",
+    )
+
+
+@register(
+    "agg_collect",
+    """
+SELECT n_regionkey AS region_key,
+  array_to_string(list_sort(list(n_name)), ',') AS nations
+FROM nation GROUP BY n_regionkey
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "agg_percentile",
+    """
+SELECT lang,
+  CAST(round(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS p50,
+  CAST(round(quantile_cont(n_chars, 0.95), 4) AS DOUBLE) AS p95,
+  CAST(round(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
+FROM documents GROUP BY lang
+""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).cast("double").alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).cast("double").alias("p95"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).cast("double").alias("p99"),
+    )
+
+
+@register(
+    "agg_custom_pandas",
+    """
+SELECT source,
+  CAST(round(sum(n_chars * CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END)
+    / sum(CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END), 4) AS DOUBLE)
+    AS weighted_len
+FROM documents GROUP BY source
+""",
+)
+def q_agg_custom_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (SURVEY §2 op 32/59): weighted mean doc length,
+    weight 2.0 for English docs. Sums run in int64/float64 over the whole
+    group inside one pandas call -> deterministic vs the SQL oracle."""
+    from ocr_spark.functions.udfs import weighted_len
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        weighted_len("n_chars", "lang").alias("weighted_len")
+    )
+
+
+# --- F. windows ---------------------------------------------------------------
+
+@register(
+    "win_rownum_dedup",
+    """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_win_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@register(
+    "win_rank_topk",
+    """
+SELECT * FROM (
+  SELECT lang, doc_id, n_chars,
+    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+    ntile(4) OVER w AS quartile,
+    CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS prank
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+) WHERE rnk <= 10
+""",
+)
+def q_win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).cast("double").alias("prank"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "win_laglead",
+    """
+SELECT event_id, user_id,
+  lag(event_id, 1, -1) OVER w AS prev_id,
+  lead(event_id, 1, -1) OVER w AS next_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id", 1, -1).over(w).alias("prev_id"),
+        F.lead("event_id", 1, -1).over(w).alias("next_id"),
+    )
+
+
+@register(
+    "win_frame_sum",
+    """
+SELECT event_id, user_id,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS moving_sum,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+    AS running_sum
+FROM events
+""",
+)
+def q_win_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum("cents").over(base.rowsBetween(-3, 0)).cast("double") / 100.0).alias(
+            "moving_sum"
+        ),
+        (
+            F.sum("cents").over(base.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / 100.0
+        ).alias("running_sum"),
+    )
+
+
+# --- G. sorts / limits / set ops ----------------------------------------------
+
+@register(
+    "sort_global",
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 500",
+)
+def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.orderBy(F.col("n_chars").desc(), "doc_id").select(
+        "doc_id", "n_chars"
+    ).limit(500)
+
+
+@register(
+    "topk",
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.orderBy(F.col("n_chars").desc(), "doc_id").select(
+        "doc_id", "n_chars"
+    ).limit(10)
+
+
+@register(
+    "set_union",
+    """
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang FROM documents WHERE n_chars < 200
+""",
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id", "lang")
+    b = d.filter(F.col("n_chars") < 200).select("doc_id", "lang")
+    return a.unionByName(b)
+
+
+@register(
+    "set_except",
+    """
+SELECT doc_id FROM documents WHERE lang = 'en'
+EXCEPT ALL
+SELECT doc_id FROM documents WHERE n_chars < 200
+""",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id")
+    b = d.filter(F.col("n_chars") < 200).select("doc_id")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect",
+    """
+SELECT doc_id FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT doc_id FROM documents WHERE n_chars >= 200
+""",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id")
+    b = d.filter(F.col("n_chars") >= 200).select("doc_id")
+    return a.intersect(b)

@@ -1,0 +1,423 @@
+"""Training-data pipeline operators: dedup, similarity search, text analysis,
+multimodal stubs (task brief "beyond the reference" requirements).
+
+All hash-based operators use md5 (identical hex in Spark and DuckDB) so even
+the MinHash/SimHash outputs are value-checked against the oracle — no
+engine-specific hash functions in checked paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import _LANG_CASE_SPARK, _LANG_CASE_SQL, register, t
+from ocr_spark import spec
+
+# --- exact dedup ---------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+
+
+# --- MinHash signatures + LSH candidate pairs ------------------------------------
+# Shingles: word 3-grams. Signature_i = min over shingles of md5('s<i>|'||sh).
+# The min of a uniform hash is a valid MinHash; md5 hex strings order-compare
+# identically in both engines. Bands: (sig0,sig1) and (sig2,sig3) -> candidate
+# pair iff either band matches (standard banding, b=2 r=2).
+
+_SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(w) - 2, 0)),"
+    " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+    " element_at(w, i + 2)))"
+)
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+    " i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])"
+)
+
+
+def _sig_spark(i: int) -> str:
+    return (
+        f"coalesce(array_min(transform(sh, s -> md5(concat('s{i}|', s)))), '')"
+    )
+
+
+def _sig_sql(i: int) -> str:
+    return (
+        f"coalesce(list_aggregate(list_transform(sh,"
+        f" s -> md5('s{i}|' || s)), 'min'), '')"
+    )
+
+
+_MINHASH_SQL_BASE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
+sig AS (
+  SELECT doc_id, {_sig_sql(0)} AS sig0, {_sig_sql(1)} AS sig1,
+         {_sig_sql(2)} AS sig2, {_sig_sql(3)} AS sig3
+  FROM sh
+)
+"""
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    d = d.withColumn("w", F.split("text", " "))
+    d = d.withColumn("sh", F.expr(_SHINGLES_SPARK))
+    return d.select(
+        "doc_id",
+        F.expr(_sig_spark(0)).alias("sig0"),
+        F.expr(_sig_spark(1)).alias("sig1"),
+        F.expr(_sig_spark(2)).alias("sig2"),
+        F.expr(_sig_spark(3)).alias("sig3"),
+    )
+
+
+@register("dedup_minhash_sig", _MINHASH_SQL_BASE + "SELECT * FROM sig")
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sigs(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_pairs",
+    _MINHASH_SQL_BASE
+    + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+   OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+""",
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: shuffle on the band key (scales as a hash join on band
+    buckets — never an all-pairs comparison)."""
+    sig = _minhash_sigs(spark, sf_dir)
+    b0 = sig.select(
+        "doc_id", F.concat_ws("#", "sig0", "sig1").alias("band"), F.lit(0).alias("bi")
+    )
+    b1 = sig.select(
+        "doc_id", F.concat_ws("#", "sig2", "sig3").alias("band"), F.lit(1).alias("bi")
+    )
+    bands = b0.unionByName(b1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- SimHash (16-bit, md5-derived bit planes) -------------------------------------
+
+_HI = "('8','9','a','b','c','d','e','f')"
+
+_SIMHASH_SPARK = (
+    "aggregate(transform(sequence(1, 16), j -> IF("
+    " aggregate(w, 0, (acc, t) -> acc +"
+    f" IF(substring(md5(t), j, 1) IN {_HI}, 1, -1)) > 0,"
+    " shiftleft(1, j - 1), 0)), 0, (s, v) -> s + v)"
+)
+_SIMHASH_SQL = (
+    "list_aggregate(list_transform(generate_series(1, 16), j -> CASE WHEN"
+    " list_aggregate(list_transform(w, t -> CASE WHEN"
+    f" substr(md5(t), j, 1) IN {_HI} THEN 1 ELSE -1 END), 'sum') > 0"
+    " THEN (1 << (j - 1)) ELSE 0 END), 'sum')"
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+SELECT doc_id, CAST({_SIMHASH_SQL} AS INT) AS simhash16
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    return d.select(
+        "doc_id", F.expr(_SIMHASH_SPARK).cast("int").alias("simhash16")
+    )
+
+
+# --- n-gram Jaccard near-dup --------------------------------------------------
+
+@register(
+    "dedup_jaccard",
+    """
+WITH d AS (
+  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(round(
+    len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1000000.0
+    / (len(a.ws) + len(b.ws)
+       - len(list_filter(a.ws, x -> list_contains(b.ws, x)))),
+    0) AS BIGINT) AS jaccard_ppm
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source
+ AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
+""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") - F.col("a.doc_id") <= 20),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter * 1000000.0 / union, 0).cast("bigint").alias("jaccard_ppm"),
+        )
+    )
+
+
+# --- similarity search over embeddings ---------------------------------------
+
+from ocr_spark.queries_fns import _DOT_SPARK, _DOT_SQL, _NORM_SPARK, _NORM_SQL  # noqa: E402
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+SELECT e.vec_id, e.label,
+  CAST(round({_DOT_SQL}
+    / ({_NORM_SQL.format(col='embedding')} * {_NORM_SQL.format(col='probe')}),
+    6) AS DOUBLE) AS cosine
+FROM embeddings e
+CROSS JOIN (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0) p
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+""",
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline). At cluster scale this
+    is a broadcast of the probe + a TakeOrderedAndProject — no shuffle of
+    the embedding table itself."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    cos = F.expr(
+        f"round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"
+        f" * {_NORM_SPARK.format(col='probe')}), 6)"
+    ).cast("double")
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+# Random-hyperplane LSH: plane j's component for dim d is +1/-1 from
+# md5("p<j>_<d>") — deterministic, identical in both engines, so even the
+# ANN bucket assignment is value-checked.
+
+_PLANE_BIT_SPARK = (
+    "IF(aggregate(transform(sequence(1, size(embedding)), d ->"
+    " CAST(element_at(embedding, d) AS DOUBLE) *"
+    f" IF(substring(md5(concat('p', j, '_', d)), 1, 1) IN {_HI}, 1.0D, -1.0D)),"
+    " CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0D, shiftleft(1, j - 1), 0)"
+)
+_PLANE_BIT_SQL = (
+    "CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)),"
+    " d -> CAST(embedding[d] AS DOUBLE) * (CASE WHEN"
+    f" substr(md5('p' || j || '_' || d), 1, 1) IN {_HI}"
+    " THEN 1.0 ELSE -1.0 END)), 'sum') > 0"
+    " THEN (1 << (j - 1)) ELSE 0 END"
+)
+
+
+@register(
+    "sim_ann_lsh",
+    f"""
+SELECT vec_id,
+  CAST(list_aggregate(list_transform(generate_series(1, 8),
+    j -> {_PLANE_BIT_SQL}), 'sum') AS INT) AS bucket
+FROM embeddings
+""",
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit random-hyperplane LSH bucket per vector (the ANN scale path:
+    search only within the probe's bucket; a shuffle on `bucket` replaces
+    the all-pairs scan)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr(
+            "CAST(aggregate(transform(sequence(1, 8), j -> "
+            f"{_PLANE_BIT_SPARK}), 0, (s, v) -> s + v) AS INT)"
+        ).alias("bucket"),
+    )
+
+
+# --- text analysis -------------------------------------------------------------
+
+_LANGS = list(spec.STOPWORDS.keys())
+
+
+def _hits_spark(lg: str) -> str:
+    from ocr_spark.queries import _spark_array
+
+    return (
+        f"size(filter(w, t -> array_contains("
+        f"{_spark_array(spec.STOPWORDS[lg])}, lower(t))))"
+    )
+
+
+def _hits_sql(lg: str) -> str:
+    from ocr_spark.queries import _sql_list
+
+    return (
+        f"len(list_filter(w, t -> list_contains("
+        f"{_sql_list(spec.STOPWORDS[lg])}, lower(t))))"
+    )
+
+
+def _argmax_case(hits_fn) -> str:
+    # fixed tie order: first language in _LANGS order with the max hit count
+    conds = []
+    for lg in _LANGS:
+        others = " AND ".join(
+            f"{hits_fn(lg)} >= {hits_fn(o)}" for o in _LANGS if o != lg
+        )
+        conds.append(f"WHEN {others} THEN '{lg}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+@register(
+    "text_langid",
+    f"""
+SELECT doc_id, lang AS lang_true, {_argmax_case(_hits_sql)} AS lang_pred
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.expr(_argmax_case(_hits_spark)).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+  CAST(round(
+    0.4 * least(1.0, n_chars / 500.0)
+  + 0.3 * (len(list_filter(w, t -> list_contains({_LANG_CASE_SQL}, lower(t))))
+           * 1.0 / len(w))
+  + 0.3 * least(1.0, len(w) / 80.0), 6) AS DOUBLE) AS quality
+FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.expr(
+            "CAST(round(0.4 * least(1.0D, n_chars / 500.0D)"
+            f" + 0.3 * (size(filter(w, t -> array_contains({_LANG_CASE_SPARK},"
+            " lower(t)))) * 1.0D / size(w))"
+            " + 0.3 * least(1.0D, size(w) / 80.0D), 6) AS DOUBLE)"
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_tokens",
+    """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish
+FROM documents WHERE doc_id % 8 = 0
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+  md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS fp_bag
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("fp_md5"),
+        F.md5(
+            F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fp_bag"),
+    )
+
+
+# --- multimodal stubs -------------------------------------------------------------
+
+@register(
+    "mm_decode_stub",
+    """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+  CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+FROM documents WHERE doc_id % 13 = 0
+""",
+)
+def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat a binary column as an opaque media payload
+    and run a mapInPandas feature-extraction stage. Real decode is stubbed
+    (no image/audio libs in this container — see
+    ocr_spark.operators.multimodal) but the Spark-side schema, batching and
+    UDF signature are real and value-checked via the deterministic fake."""
+    from ocr_spark.operators.multimodal import decode_features
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return decode_features(payload, id_col="doc_id")
