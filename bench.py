@@ -1,0 +1,125 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink (full evaluation of every
+column on executors, nothing collected to the driver), timed after a small
+warm-up query so JVM/py4j startup is not billed to the first entry.
+
+The flagship extraction additionally reports docs/sec over a deterministic
+synthetic pages table (``ocr_spark.gen.bench_pages`` — no external data);
+the full N-vs-4N scaling evidence lives in scripts/bench_scaling.py and
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+# headline subset: flagship + one representative per SURVEY.md §2 family
+HEADLINE = [
+    "extract_wrapped",      # C: full extraction pipeline (ops 11-17)
+    "join_shuffle",         # D: large-large sort-merge join
+    "join_broadcast",       # D: broadcast hash join
+    "agg_basic",            # E: partial+final aggregation
+    "agg_percentile",       # E: approx percentiles
+    "win_rownum_dedup",     # F: window dedup
+    "span_offsets",         # F: running-sum frames
+    "topk",                 # G: TakeOrderedAndProject
+    "dedup_minhash_pairs",  # training-data: MinHash LSH band join
+    "dedup_exact",          # training-data: exact hash dedup
+    "sim_cosine_topk",      # training-data: brute-force ANN baseline
+    "text_quality",         # training-data: quality scoring
+    "text_fingerprint",     # training-data: doc fingerprints
+]
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ocr_spark.session import build_session
+
+    spark = build_session(
+        master=f"local[{cpus}]",
+        app_name="ocr-spark-bench",
+        shuffle_partitions=int(cpus),
+    )
+    try:
+        import __spark_entry__ as entrymod
+
+        registry = entrymod.queries()
+        # warm-up: touch every input table once (parquet footer reads, JVM JIT)
+        from ocr_spark.queries import TABLES, t
+
+        for tb in TABLES:
+            t(spark, sf_dir, tb).count()
+
+        # best-of-2 per query: this sandbox is a shared-host VM with visible
+        # CPU steal; a single reading can be inflated several-fold
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                _materialize(registry[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+
+        # flagship throughput: synthetic pages table, seed-fixed, docs/sec
+        from ocr_spark.gen import bench_pages
+        from ocr_spark.operators.extract import extract_pages
+
+        pages = bench_pages(spark, BENCH_DOCS).repartition(int(cpus) * 2)
+        pages.cache().count()  # exclude generation from the timed window
+        # warm-up (BASELINE.md protocol): spawns the Python UDF workers so
+        # fork/import cost isn't billed to the measured run
+        _materialize(extract_pages(bench_pages(spark, 2000)))
+        extract_sec = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            _materialize(extract_pages(pages))
+            extract_sec = min(extract_sec, time.perf_counter() - start)
+        pages.unpersist()
+        timings["extract_synthetic_pages"] = round(extract_sec, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline query wall time (13 registry queries "
+                    f"+ extraction of {BENCH_DOCS} synthetic pages)",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "docs_per_sec": round(BENCH_DOCS / extract_sec, 1),
+                    "cpus": int(cpus),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -326,11 +326,17 @@ FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
 """,
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hit counts are materialized as columns first (one filter scan per
+    # language), then the argmax CASE compares plain int columns — the
+    # naive inline form re-runs each filter scan per pairwise comparison
     d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    for lg in _LANGS:
+        d = d.withColumn(f"h_{lg}", F.expr(_hits_spark(lg)))
+    argmax = _argmax_case(lambda lg: f"h_{lg}")
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
-        F.expr(_argmax_case(_hits_spark)).alias("lang_pred"),
+        F.expr(argmax).alias("lang_pred"),
     )
 
 
@@ -347,12 +353,20 @@ FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
 """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    # hoist the per-language stopword array OUT of the lambda: a lambda body
+    # re-evaluates its expressions per array element, so inlining the CASE
+    # would rebuild the ~100-element array once per token (measured 100x
+    # slower at sf0.1)
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("w", F.split("text", " "))
+        .withColumn("stops", F.expr(_LANG_CASE_SPARK))
+    )
     return d.select(
         "doc_id",
         F.expr(
             "CAST(round(0.4 * least(1.0D, n_chars / 500.0D)"
-            f" + 0.3 * (size(filter(w, t -> array_contains({_LANG_CASE_SPARK},"
+            " + 0.3 * (size(filter(w, t -> array_contains(stops,"
             " lower(t)))) * 1.0D / size(w))"
             " + 0.3 * least(1.0D, size(w) / 80.0D), 6) AS DOUBLE)"
         ).alias("quality"),
