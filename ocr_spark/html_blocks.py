@@ -122,6 +122,15 @@ class _BlockParser(HTMLParser):
         self.ctx_depth = 0
 
 
+# word -> is-stopword memo, keyed by (stopset identity, raw word). The
+# frozensets in spec.STOPWORDS are stable module-level objects, so id() is a
+# valid per-process key; web text repeats words heavily, so this turns most
+# lower()/strip()/set-lookup work into one dict get. Bounded to keep
+# long-lived reused Python workers from growing without limit.
+_STOP_MEMO: dict[tuple[int, str], bool] = {}
+_STOP_MEMO_MAX = 1_000_000
+
+
 def _make_block(
     block_id: int,
     tag: str,
@@ -136,9 +145,17 @@ def _make_block(
     words = text.split(" ")
     n_words = len(words)
     punct = spec.PUNCT
+    memo = _STOP_MEMO
+    sid = id(stopset)
     n_stop = 0
     for w in words:
-        if w.lower().strip(punct) in stopset:
+        key = (sid, w)
+        hit = memo.get(key)
+        if hit is None:
+            hit = w.lower().strip(punct) in stopset
+            if len(memo) < _STOP_MEMO_MAX:
+                memo[key] = hit
+        if hit:
             n_stop += 1
     ld = link_chars / text_len
     return {
@@ -246,3 +263,54 @@ def parse_batch(
         kinds.append(k)
         blocks.append(b)
     return kinds, blocks
+
+
+_BLOCK_FIELDS = (
+    "block_id", "tag", "depth", "text", "text_len", "n_words",
+    "n_link_chars", "link_density", "char_density", "stopword_density",
+)
+
+
+def parse_batch_columnar(
+    htmls: list[bytes | None], langs: list[str | None]
+) -> tuple[list[str], list[int], dict[str, list], list[bool]]:
+    """Parse a batch into FLAT columns + list offsets for zero-inference
+    Arrow construction.
+
+    ``pa.array`` over list-of-dicts walks Python objects with per-value type
+    dispatch; building primitive columns + ``StructArray.from_arrays`` +
+    ``ListArray.from_arrays`` measured ~2x faster end-to-end in the
+    mapInArrow worker. Returns (kinds, offsets, columns, bbox_is_null) where
+    offsets has len(htmls)+1 entries and each columns[f] is the concatenation
+    of field f over all blocks of all documents in order.
+    """
+    parser = _BlockParser()
+    kinds: list[str] = []
+    offsets: list[int] = [0]
+    cols: dict[str, list] = {f: [] for f in _BLOCK_FIELDS}
+    cols.update({"x0": [], "y0": [], "x1": [], "y1": []})
+    bbox_null: list[bool] = []
+    appenders = [(f, cols[f].append) for f in _BLOCK_FIELDS]
+    x0a, y0a, x1a, y1a = (
+        cols["x0"].append, cols["y0"].append, cols["x1"].append,
+        cols["y1"].append,
+    )
+    bna = bbox_null.append
+    n = 0
+    for html, lang in zip(htmls, langs):
+        kind, blocks = parse_payload(html, lang, parser)
+        kinds.append(kind)
+        n += len(blocks)
+        offsets.append(n)
+        for b in blocks:
+            for f, app in appenders:
+                app(b[f])
+            bbox = b["bbox"]
+            if bbox is None:
+                bna(True)
+                x0a(None); y0a(None); x1a(None); y1a(None)
+            else:
+                bna(False)
+                x0a(bbox["x0"]); y0a(bbox["y0"])
+                x1a(bbox["x1"]); y1a(bbox["y1"])
+    return kinds, offsets, cols, bbox_null
