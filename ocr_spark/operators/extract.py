@@ -31,7 +31,8 @@ from ocr_spark import spec
 from ocr_spark.schemas import block_pa_type
 
 PARSED_DDL = (
-    "url string, warc_ts timestamp, lang string, part_id int, kind string,"
+    "url string, warc_ts timestamp, lang string, part_id int,"
+    " bytes_in bigint, kind string,"
     " blocks array<struct<block_id: int, tag: string, depth: int,"
     " text: string, text_len: int, n_words: int, n_link_chars: int,"
     " link_density: double, char_density: double, stopword_density: double,"
@@ -64,6 +65,12 @@ def _parse_arrow_batches(
         htmls = batch.column("html").to_pylist()
         langs = batch.column("lang").to_pylist()
         kinds, offsets, cols, bbox_null = parse_batch_columnar(htmls, langs)
+        import pyarrow.compute as pc
+
+        bytes_in = pc.coalesce(
+            pc.cast(pc.binary_length(batch.column("html")), pa.int64()),
+            pa.scalar(0, type=pa.int64()),
+        )
         bbox_arr = pa.StructArray.from_arrays(
             [
                 pa.array(cols[f], type=pa.float64())
@@ -89,10 +96,14 @@ def _parse_arrow_batches(
                 batch.column("warc_ts"),
                 batch.column("lang"),
                 batch.column("part_id"),
+                bytes_in,
                 pa.array(kinds, type=pa.string()),
                 blocks_arr,
             ],
-            names=["url", "warc_ts", "lang", "part_id", "kind", "blocks"],
+            names=[
+                "url", "warc_ts", "lang", "part_id", "bytes_in", "kind",
+                "blocks",
+            ],
         )
 
 
@@ -168,8 +179,12 @@ def label_blocks(parsed: DataFrame) -> DataFrame:
     ).withColumn("labels", F.expr(_SMOOTH_SQL)).drop("labs")
 
 
-def assemble(labeled: DataFrame) -> DataFrame:
-    """Ops 15+17: span offsets + byte-identical assembly, all JVM-side."""
+def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
+    """Ops 15+17: span offsets + byte-identical assembly, all JVM-side.
+
+    ``stats=True`` keeps the per-row ``bytes_in`` column (input payload size)
+    for the lineage aggregation in :mod:`ocr_spark.operators.runner`.
+    """
     content = F.transform(
         F.filter(
             F.arrays_zip("blocks", "labels"),
@@ -199,6 +214,7 @@ def assemble(labeled: DataFrame) -> DataFrame:
         "url",
         "warc_ts",
         "lang",
+        *(["bytes_in"] if stats else []),
         F.array_join(
             F.transform("content", lambda b: b["text"]), spec.SEP
         ).alias("extracted_text"),
@@ -220,14 +236,16 @@ def extract_pages(
     df: DataFrame,
     num_parts: int = DEFAULT_NUM_PARTS,
     repartition: int | None = None,
+    stats: bool = False,
 ) -> DataFrame:
     """Full fused extraction: pages → extracted (SURVEY §3.2).
 
     ``repartition`` (optional) forces a salted exchange before the parse —
     used when input splits are unbalanced or to bound output file counts;
-    the default (None) keeps the plan shuffle-free.
+    the default (None) keeps the plan shuffle-free. ``stats=True`` adds a
+    per-row ``bytes_in`` column for lineage accounting.
     """
     df = with_part_id(df, num_parts)
     if repartition:
         df = salted(df, repartition)
-    return assemble(label_blocks(parse_pages(df, num_parts)))
+    return assemble(label_blocks(parse_pages(df, num_parts)), stats=stats)
