@@ -1,0 +1,178 @@
+"""Incremental crawl ingestion — Structured Streaming (SURVEY.md §2 ops 50-56,
+§3.4 entry point 3).
+
+The batch extraction DAG (ops 11-17) composes unchanged onto an unbounded
+DataFrame: ``mapInArrow`` and the per-document array HOFs are stateless
+row-transforms, so the only streaming-specific pieces are the source, the
+watermark/dedup state, the windowed aggregations, and the idempotent sink.
+
+Sink exactly-once contract (op 56): ``foreachBatch`` + the same manifest
+layer as the batch runner, keyed by (run_id, micro-batch id). Structured
+Streaming replays a failed micro-batch with the SAME batch_id after restart
+from the checkpoint; the commit record makes the replay a no-op, so the
+output table sees each micro-batch exactly once even though the stream is
+at-least-once. Tests run with ``trigger(availableNow=True)`` (deterministic
+drain of everything present, then stop).
+
+At cluster scale the parquet file source scales by listing + split planning
+exactly like a batch scan; state (dedup, session windows) is per-key in the
+executor state store backed by the checkpoint location.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from ocr_spark.operators.extract import extract_pages
+from ocr_spark.schemas import PAGES_SCHEMA
+
+DEFAULT_WATERMARK = "1 hour"
+
+
+# --- op 50: source -----------------------------------------------------------
+
+def stream_pages(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """New page files appearing under ``pages_dir`` become micro-batches."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_dir)
+
+
+# --- ops 51 + 55: watermark + dedup -----------------------------------------
+
+def with_late_bound(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Op 51: bound state; rows later than the watermark are dropped."""
+    return df.withWatermark("warc_ts", watermark)
+
+
+def dedup_recrawls(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Op 55: drop recrawls of a url arriving within the watermark window.
+    State per url is evicted once the watermark passes — bounded memory."""
+    return with_late_bound(df, watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+# --- ops 52-54: windowed aggregations ----------------------------------------
+
+def ingest_counts_tumbling(df: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Op 52: docs per tumbling window (append-able once watermarked)."""
+    return (
+        with_late_bound(df)
+        .groupBy(F.window("warc_ts", width).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_docs",
+        )
+    )
+
+
+def ingest_counts_sliding(
+    df: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Op 53: rolling throughput over overlapping windows."""
+    return (
+        with_late_bound(df)
+        .groupBy(F.window("warc_ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_docs",
+        )
+    )
+
+
+def crawl_sessions(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Op 54: per-host crawl sessions closed after ``gap`` of inactivity."""
+    host = F.parse_url("url", F.lit("HOST")).alias("host")
+    return (
+        with_late_bound(df)
+        .groupBy(F.session_window("warc_ts", gap).alias("win"), host)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "host",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_docs",
+        )
+    )
+
+
+# --- op 56: idempotent sink ---------------------------------------------------
+
+class _BatchCommitter:
+    """foreachBatch function: append extracted rows + commit batch manifest.
+
+    Idempotent under micro-batch replay: a batch_id already present in the
+    manifest directory is skipped entirely.
+    """
+
+    def __init__(self, out_dir: str, run_id: str) -> None:
+        self.out = pathlib.Path(out_dir)
+        self.run_id = run_id
+
+    def _record(self, batch_id: int) -> pathlib.Path:
+        return self.out / "_stream_manifest" / f"batch-{batch_id:010d}.json"
+
+    def committed(self) -> list[int]:
+        d = self.out / "_stream_manifest"
+        if not d.is_dir():
+            return []
+        return sorted(
+            int(p.stem.split("-")[1]) for p in d.glob("batch-*.json")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        rec_path = self._record(batch_id)
+        if rec_path.exists():
+            return  # replayed micro-batch: already committed
+        n = batch_df.count()
+        if n > 0:
+            batch_df.write.mode("append").parquet(str(self.out / "data"))
+        rec_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = rec_path.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps(
+                {"batch_id": batch_id, "run_id": self.run_id, "rows": n}
+            )
+        )
+        os.replace(tmp, rec_path)
+
+
+def incremental_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    watermark: str = DEFAULT_WATERMARK,
+    dedup: bool = True,
+) -> tuple[DataStreamWriter, _BatchCommitter]:
+    """§3.4 flagship: pages files → dedup'd extraction → idempotent append.
+
+    Returns (writer, committer); caller picks the trigger, e.g.::
+
+        writer, _ = incremental_extract(spark, src, out, ckpt)
+        writer.trigger(availableNow=True).start().awaitTermination()
+    """
+    src = stream_pages(spark, pages_dir)
+    if dedup:
+        src = dedup_recrawls(src, watermark)
+    extracted = extract_pages(src)
+    committer = _BatchCommitter(out_dir, run_id)
+    writer = (
+        extracted.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer

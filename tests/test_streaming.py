@@ -1,0 +1,183 @@
+"""Structured Streaming tests (SURVEY.md §2 ops 50-56) — deterministic via
+``trigger(availableNow=True)`` drains.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+
+@pytest.fixture()
+def pages_dir(spark, fixture_df, tmp_path):
+    d = str(tmp_path / "pages_in")
+    fixture_df.repartition(2).write.parquet(d)
+    return d
+
+
+def _drain(writer):
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
+
+
+def test_incremental_extract_end_to_end(spark, fixture_df, pages_dir,
+                                        tmp_path, golden_records):
+    """Ops 50+51+55+56 composed with the batch DAG: output matches goldens
+    per url; recrawls within the watermark are dropped."""
+    from ocr_spark.streaming.incremental import incremental_extract
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    writer, committer = incremental_extract(spark, pages_dir, out, ckpt)
+    _drain(writer)
+
+    rows = spark.read.parquet(f"{out}/data").collect()
+    n_urls = fixture_df.select("url").distinct().count()
+    assert len(rows) == n_urls  # 5 recrawls deduplicated
+
+    golden_by_url = {g["url"]: g for g in golden_records}
+    for r in rows:
+        assert r.text_sha256 == golden_by_url[r.url]["text_sha256"], r.url
+    assert committer.committed()  # stream manifest written
+
+    # restart with no new files: no new batches, no new rows
+    writer2, _ = incremental_extract(spark, pages_dir, out, ckpt)
+    _drain(writer2)
+    assert spark.read.parquet(f"{out}/data").count() == n_urls
+
+
+def test_foreachbatch_replay_is_idempotent(spark, fixture_df, tmp_path):
+    """Op 56 contract: the same micro-batch id delivered twice commits once."""
+    from ocr_spark.streaming.incremental import _BatchCommitter
+
+    out = str(tmp_path / "out")
+    committer = _BatchCommitter(out, run_id="r1")
+    small = fixture_df.limit(5).select("url", "lang")
+    committer(small, 7)
+    committer(small, 7)  # replay
+    assert spark.read.parquet(f"{out}/data").count() == 5
+    assert committer.committed() == [7]
+    rec = json.loads((committer._record(7)).read_text())
+    assert rec["rows"] == 5
+
+
+def test_tumbling_counts_match_batch(spark, fixture_df, pages_dir):
+    """Op 52: streaming tumbling counts (complete mode) == batch window agg."""
+    from ocr_spark.streaming.incremental import (
+        ingest_counts_tumbling, stream_pages,
+    )
+    from pyspark.sql import functions as F
+
+    src = stream_pages(spark, pages_dir)
+    _drain(
+        ingest_counts_tumbling(src, "30 minutes")
+        .writeStream.format("memory").queryName("tumb")
+        .outputMode("complete")
+    )
+    got = {
+        (r.win_start.isoformat(), r.win_end.isoformat()): r.n_docs
+        for r in spark.table("tumb").collect()
+    }
+    want = {
+        (r["win"].start.isoformat(), r["win"].end.isoformat()): r["n"]
+        for r in fixture_df.groupBy(F.window("warc_ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_windows_match_batch(spark, fixture_df, pages_dir):
+    """Op 54: per-host session windows == the batch session_window agg."""
+    from ocr_spark.streaming.incremental import crawl_sessions, stream_pages
+    from pyspark.sql import functions as F
+
+    src = stream_pages(spark, pages_dir)
+    _drain(
+        crawl_sessions(src, "30 minutes")
+        .writeStream.format("memory").queryName("sess")
+        .outputMode("complete")
+    )
+    got = sorted(
+        (r.host, r.session_start.isoformat(), r.session_end.isoformat(), r.n_docs)
+        for r in spark.table("sess").collect()
+    )
+    want = sorted(
+        (
+            r["host"], r["win"].start.isoformat(), r["win"].end.isoformat(),
+            r["n"],
+        )
+        for r in fixture_df.groupBy(
+            F.session_window("warc_ts", "30 minutes").alias("win"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Op 51: once the watermark has passed a window and its state was
+    evicted (the guaranteed part of watermark semantics), a late row for
+    that window is dropped instead of resurrecting it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.schemas import PAGES_SCHEMA
+
+    base = dt.datetime(2024, 1, 1)
+
+    def page(i, minutes):
+        return {
+            "url": f"https://w.example.com/{i}",
+            "warc_ts": base + dt.timedelta(minutes=minutes),
+            "html": b"<p>x</p>", "text": None, "lang": "en",
+        }
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    sink = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run():
+        src = spark.readStream.schema(PAGES_SCHEMA).parquet(str(d / "*"))
+        agg = (
+            src.withWatermark("warc_ts", "10 minutes")
+            .groupBy(F.window("warc_ts", "10 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.col("win.start").alias("win_start"), "n_docs")
+        )
+        _drain(
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+
+    # run 1: the 00:00-00:10 window fills with 2 rows; the minute-120 row
+    # advances the watermark to 01:50, so the drained run emits the window
+    # (n=2) and evicts its state into the checkpoint
+    spark.createDataFrame(
+        [page(0, 0), page(1, 5), page(2, 120)], schema=PAGES_SCHEMA
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    run()
+    # run 2 restarts from the checkpoint (watermark restored at 01:50) and
+    # sees one late minute-7 row: the guaranteed drop — the emitted window
+    # must be neither re-emitted nor recounted
+    time.sleep(1.1)
+    spark.createDataFrame([page(3, 7)], schema=PAGES_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(d / "f2"))
+    run()
+
+    emitted = {
+        r.win_start.isoformat(): r.n_docs
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert emitted == {"2024-01-01T00:00:00": 2}
