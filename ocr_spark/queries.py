@@ -174,6 +174,40 @@ def q_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("gen_pages", None)  # deterministic generator: rows-only driver check
+def q_gen_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 op 3: seeded synthetic Common-Crawl-style pages, pure column
+    expressions (no external data, no per-row Python)."""
+    from ocr_spark.gen import bench_pages
+
+    p = bench_pages(spark, 2000)
+    return p.select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.octet_length("html").alias("n_bytes"),
+        F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256).alias("html_sha256"),
+        "lang",
+    )
+
+
+@register("scan_pages", None)  # table-layer round trip: rows-only driver check
+def q_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 ops 1+4: write a pages table through the manifest-layer
+    layout and read it back with the spec'd schema."""
+    import tempfile
+
+    from ocr_spark.gen import bench_pages
+    from ocr_spark.operators.runner import read_pages
+
+    path = tempfile.mkdtemp(prefix="ocr-spark-scan-pages-") + "/pages"
+    bench_pages(spark, 500).write.mode("overwrite").parquet(path)
+    p = read_pages(spark, path)
+    return p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("html")).alias("bytes"),
+    )
+
+
 # --- B. projection / filter / derivation ------------------------------------
 
 @register(
