@@ -60,3 +60,71 @@ def decode_features(
     return df.mapInPandas(
         fn, f"{id_col} bigint, n_bytes int, fake_width int, fake_height int"
     )
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage plumbing: binary in -> binary out with typed metadata.
+
+    The deterministic fake 'resize' keeps ``target_w * target_h // 64``
+    payload bytes (a real implementation decodes + resamples in the same
+    mapInPandas slot); output schema carries the new dimensions as columns
+    so downstream stages never re-decode to learn them.
+    """
+    keep = max(1, target_w * target_h // 64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                (p[:keep] if p is not None else b"") for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": payloads,
+                    "resized_bytes": [len(p) for p in payloads],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(
+        fn,
+        f"{id_col} bigint, width int, height int, resized binary,"
+        " resized_bytes int",
+    )
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame-sampling plumbing: one video payload row -> N frame rows.
+
+    Demonstrates the fan-out shape (mapInPandas emitting more rows than it
+    consumes). Deterministic fake: ``1 + n_bytes % max_frames`` frames, each
+    frame a fixed-stride byte slice; a real build swaps the slicing for
+    codec frame extraction, nothing else changes.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                data = p if p is not None else b""
+                n_frames = 1 + len(data) % max_frames
+                stride = max(1, len(data) // n_frames)
+                for f in range(n_frames):
+                    ids.append(i)
+                    fidx.append(f)
+                    frames.append(data[f * stride : f * stride + 16])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "frame": frames}
+            )
+
+    return df.mapInPandas(
+        fn, f"{id_col} bigint, frame_idx int, frame binary"
+    )

@@ -284,6 +284,57 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_SPARK = (
+    "CAST(aggregate(transform(sequence(1, 8), j -> "
+    f"{_PLANE_BIT_SPARK}), 0, (s, v) -> s + v) AS INT)"
+)
+_BUCKET_SQL = (
+    "CAST(list_aggregate(list_transform(generate_series(1, 8),"
+    f" j -> {_PLANE_BIT_SQL}), 'sum') AS INT)"
+)
+
+
+@register(
+    "sim_ann_search",
+    f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), p AS (
+  SELECT bucket, embedding AS probe FROM b WHERE vec_id = 0
+)
+SELECT c.vec_id, c.label,
+  CAST(round({_DOT_SQL}
+    / ({_NORM_SQL.format(col='embedding')} * {_NORM_SQL.format(col='probe')}),
+    6) AS DOUBLE) AS cosine
+FROM b c JOIN p ON c.bucket = p.bucket
+WHERE c.vec_id <> 0
+ORDER BY cosine DESC, c.vec_id
+LIMIT 10
+""",
+)
+def q_sim_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: candidates are restricted to the probe's LSH
+    bucket (a broadcast semi-filter — at cluster scale a shuffle on bucket
+    replaces the all-pairs scan), then exact cosine top-k within it."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_BUCKET_SPARK)
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("pbucket"), F.col("embedding").alias("probe")
+    )
+    cos = F.expr(
+        f"round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"
+        f" * {_NORM_SPARK.format(col='probe')}), 6)"
+    ).cast("double")
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), F.col("bucket") == F.col("pbucket"))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # --- text analysis -------------------------------------------------------------
 
 _LANGS = list(spec.STOPWORDS.keys())
@@ -435,3 +486,50 @@ def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
     payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return decode_features(payload, id_col="doc_id")
+
+
+@register(
+    "mm_resize_stub",
+    """
+SELECT doc_id, 128 AS width, 128 AS height,
+  encode(substring(text, 1, 256)) AS resized,
+  CAST(octet_length(encode(substring(text, 1, 256))) AS INT) AS resized_bytes
+FROM documents WHERE doc_id % 17 = 0
+-- driver tables' text is pure ASCII (verified at every SF), so char slicing
+-- here equals the engine's byte slicing
+""",
+)
+def q_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stage plumbing (binary in -> binary out + typed dims via
+    mapInPandas); the deterministic fake is value-checked by the oracle."""
+    from ocr_spark.operators.multimodal import resize_images
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return resize_images(payload, 128, 128, id_col="doc_id")
+
+
+@register(
+    "mm_frames_stub",
+    """
+WITH v AS (
+  SELECT doc_id, text, 1 + length(text) % 4 AS n_frames
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT doc_id,
+  CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx,
+  encode(substring(text,
+    unnest(generate_series(0, n_frames - 1))
+      * greatest(1, length(text) // n_frames) + 1, 16)) AS frame
+FROM v
+-- ASCII text (verified): char offsets/lengths equal the engine's byte math
+""",
+)
+def q_mm_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one payload row -> N frame rows via
+    mapInPandas fan-out; deterministic fake, value-checked."""
+    from ocr_spark.operators.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0)
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(payload, id_col="doc_id", max_frames=4)
