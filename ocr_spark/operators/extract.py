@@ -7,8 +7,9 @@ Pipeline shape (design point: 100 TB / 10^12 docs on 1000 executors):
 The single JVM→Python Arrow hop is the parse (SURVEY §2 op 11 / op 60);
 classification (op 13), jusText smoothing (op 14), span offsets (op 15) and
 assembly (op 17) are pure Spark SQL **higher-order functions over the
-per-document block array** — they run inside WholeStageCodegen, need NO
-shuffle, and make the whole extraction embarrassingly parallel: the plan has
+per-document block array** — they evaluate JVM-side (array HOFs are
+interpreted expressions, not codegen'd, but never cross into Python), need
+NO shuffle, and make the whole extraction embarrassingly parallel: the plan has
 no wide dependency, so scaling efficiency N→4N executors is bounded only by
 input-split balance, not by shuffle or skew. (An equivalent
 explode→window→groupBy formulation of ops 12–17 lives in

@@ -1,0 +1,114 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+engine's 100 TB story depends on must be visible in the explain output, so a
+refactor that silently reintroduces a shuffle or breaks pushdown fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def parquet_pages(spark, fixture_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_pages") / "pages")
+    fixture_df.write.parquet(d)
+    return d
+
+
+def test_extraction_plan_has_no_shuffle(spark, fixture_df):
+    """The fused pipeline is a narrow plan: scaling N->4N is bounded by
+    input splits only. Any Exchange here is a regression."""
+    from ocr_spark.operators.extract import extract_pages
+
+    plan = _plan(extract_pages(fixture_df))
+    assert "Exchange" not in plan
+    assert re.search(r"MapInArrow|ArrowEvalPython|PythonMapInArrow", plan)
+
+
+def test_extraction_single_python_boundary(spark, fixture_df):
+    """Exactly one JVM->Python hop (the parse); classify/smooth/assemble
+    stay JVM-side."""
+    from ocr_spark.operators.extract import extract_pages
+
+    plan = _plan(extract_pages(fixture_df))
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 1
+    # no row-at-a-time Python UDFs anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_filter_and_column_pushdown_to_scan(spark, parquet_pages):
+    """Predicate + projection reach the parquet scan: the 100 TB read only
+    materializes the filtered rows' url/lang columns."""
+    df = (
+        spark.read.parquet(parquet_pages)
+        .filter(F.col("lang") == "en")
+        .select("url", "lang")
+    )
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"url", "lang"}, plan
+
+
+def test_extraction_prunes_unused_page_columns(spark, parquet_pages):
+    """The pipeline never reads the crawl-provided `text` column."""
+    from ocr_spark.operators.extract import extract_pages
+
+    plan = _plan(extract_pages(spark.read.parquet(parquet_pages)))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "text" not in cols
+    assert {"url", "warc_ts", "html", "lang"} <= cols
+
+
+def test_broadcast_join_plan(spark):
+    """join_broadcast must be a BroadcastHashJoin (no shuffle of lineitem)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["join_broadcast"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_search_broadcasts_probe(spark):
+    """sim_ann_search: the probe side is broadcast, the embeddings table is
+    never exchanged for the join."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["sim_ann_search"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_partial_final(spark):
+    """agg_basic shows map-side partial aggregation before the exchange."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["agg_basic"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_classify_stays_jvm_side(spark, fixture_df):
+    """Ops 13-17 are Project nodes over array expressions — JVM-side
+    evaluation (array HOFs don't codegen, but they never leave the JVM),
+    and the pre-parse stage is whole-stage codegen'd."""
+    from ocr_spark.operators.extract import extract_pages
+
+    plan = _plan(extract_pages(fixture_df))
+    assert "codegen id" in plan  # scan+part_id stage is codegen'd
+    # everything after the single MapInArrow is plain Project — no Python
+    # eval nodes of any kind downstream of the parse
+    tail = plan.split("MapInArrow", 1)[1]
+    assert "EvalPython" not in tail and "MapInPandas" not in tail
