@@ -103,20 +103,27 @@ def main() -> None:
         timings["extract_synthetic_pages"] = round(extract_sec, 3)
 
         total = round(sum(timings.values()), 3)
-        print(
-            json.dumps(
-                {
-                    "metric": "headline query wall time (13 registry queries "
-                    f"+ extraction of {BENCH_DOCS} synthetic pages)",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "docs_per_sec": round(BENCH_DOCS / extract_sec, 1),
-                    "cpus": int(cpus),
-                }
+        result = {
+            "metric": "headline query wall time (13 registry queries "
+            f"+ extraction of {BENCH_DOCS} synthetic pages)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "docs_per_sec": round(BENCH_DOCS / extract_sec, 1),
+            "cpus": int(cpus),
+        }
+        # surface the last measured N->4N executor scaling efficiency
+        # (scripts/bench_scaling.py writes BENCH/BASELINE.md)
+        bench_md = pathlib.Path(__file__).resolve().parent / "BENCH" / "BASELINE.md"
+        if bench_md.is_file():
+            m = re.search(
+                r"scaling efficiency = [\d.,]+ / \(4 × [\d.,]+\) = ([\d.]+)",
+                bench_md.read_text(),
             )
-        )
+            if m:
+                result["scaling_efficiency"] = float(m.group(1))
+        print(json.dumps(result))
     finally:
         spark.stop()
 

@@ -20,6 +20,7 @@ pathological documents so a single page can never blow up a task.
 from __future__ import annotations
 
 import json
+import re
 from html.parser import HTMLParser
 
 from ocr_spark import spec
@@ -216,10 +217,94 @@ def _pdf_blocks(obj: dict, stopset: frozenset[str]) -> list[dict]:
     return out
 
 
+# --- fast-path tokenizer ----------------------------------------------------
+# A regex scanner for "simple" markup: no entities, no comments/doctype/PI,
+# every `<` opening a plain tag. Measured ~2x end-to-end vs html.parser on
+# template pages. It feeds the SAME _BlockParser handlers, and BAILS to
+# html.parser on anything it cannot prove it tokenizes identically — the
+# differential tests (fast vs forced-slow over the adversarial corpus and
+# hypothesis-generated soup) hold the two tokenizations together.
+
+_SIMPLE_TAG = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*?)(/?)>"
+)
+# html.parser gives only <script>/<style> CDATA treatment
+_CDATA_ELEMS = frozenset(("script", "style"))
+_CDATA_CLOSE = {
+    name: (
+        re.compile(rf"</\s*{name}\s*>", re.IGNORECASE),
+        re.compile(rf"</\s*{name}", re.IGNORECASE),
+    )
+    for name in _CDATA_ELEMS
+}
+
+
+def _fast_scan(decoded: str, h: _BlockParser) -> bool:
+    """Tokenize simple markup into handler events; False = use html.parser.
+
+    May have emitted events before bailing — the caller must reset the
+    handler before falling back.
+    """
+    if (
+        "&" in decoded or "<!" in decoded or "<?" in decoded
+        or "\x00" in decoded  # html.parser treats NUL-bearing tags as data
+    ):
+        return False
+    pos = 0
+    find = decoded.find
+    match = _SIMPLE_TAG.match
+    n = len(decoded)
+    while True:
+        lt = find("<", pos)
+        if lt == -1:
+            if pos < n:
+                h.handle_data(decoded[pos:])
+            return True
+        if lt > pos:
+            h.handle_data(decoded[pos:lt])
+        m = match(decoded, lt)
+        if m is None:
+            return False  # bogus `<`: html.parser has bespoke tolerance
+        closing, name, attrs, selfclose = m.groups()
+        name = name.lower()
+        if closing:
+            if attrs.strip() or selfclose:
+                return False  # `</p x>` is a bogus-comment in html.parser
+            h.handle_endtag(name)
+        elif selfclose:
+            # `<a href=x/>`: html.parser folds the `/` into the unquoted
+            # attribute value (NOT self-closing) — bail on that ambiguity
+            if "=" in attrs and attrs.rstrip()[-1:] not in ('"', "'"):
+                return False
+            h.handle_startendtag(name, ())
+        else:
+            h.handle_starttag(name, ())
+            if name in _CDATA_ELEMS:
+                close_rx, prefix_rx = _CDATA_CLOSE[name]
+                mc = close_rx.search(decoded, m.end())
+                mp = prefix_rx.search(decoded, m.end())
+                if mc is None or mp is None or mp.start() != mc.start():
+                    # unterminated or gnarly (`</script x>`) content
+                    return False
+                if mc.start() > m.end():
+                    h.handle_data(decoded[m.end() : mc.start()])
+                h.handle_endtag(name)
+                pos = mc.end()
+                continue
+        pos = m.end()
+
+
 def parse_payload(
-    html: bytes | None, lang: str | None, parser: _BlockParser | None = None
+    html: bytes | None,
+    lang: str | None,
+    parser: _BlockParser | None = None,
+    force_slow: bool = False,
 ) -> tuple[str, list[dict]]:
-    """Parse one page payload → (kind, blocks). SPEC.md §0 dispatch."""
+    """Parse one page payload → (kind, blocks). SPEC.md §0 dispatch.
+
+    ``force_slow`` disables the fast-path tokenizer (used by the
+    differential tests that prove the two tokenizers agree).
+    """
     if not html:
         return "empty", []
     stopset = spec.stopword_set(lang)
@@ -239,6 +324,11 @@ def parse_payload(
     if parser is None:
         parser = _BlockParser()
     parser.reset()  # HTMLParser internal state
+    parser._reset_doc(stopset)
+    if not force_slow and _fast_scan(decoded, parser):
+        parser._flush()
+        return "html", parser.blocks
+    parser.reset()  # discard any partial fast-path events
     parser._reset_doc(stopset)
     try:
         parser.feed(decoded)

@@ -211,7 +211,11 @@ def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
             F.concat(acc["spans"], F.array(span)).alias("spans"),
         )
 
-    return df.select(
+    # two-step projection: text is materialized once and the sha reuses the
+    # column (CollapseProject keeps multi-referenced non-cheap aliases
+    # un-inlined, so the interpreted array_join/transform runs once per row,
+    # not twice)
+    joined = df.select(
         "url",
         "warc_ts",
         "lang",
@@ -220,15 +224,22 @@ def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
             F.transform("content", lambda b: b["text"]), spec.SEP
         ).alias("extracted_text"),
         F.aggregate("content", zero, step, lambda acc: acc["spans"]).alias("spans"),
-        F.sha2(
-            F.coalesce(
-                F.array_join(F.transform("content", lambda b: b["text"]), spec.SEP),
-                F.lit(""),
-            ),
-            256,
-        ).alias("text_sha256"),
         F.size("blocks").alias("n_blocks"),
         F.size("content").alias("n_content_blocks"),
+        "part_id",
+    )
+    return joined.select(
+        "url",
+        "warc_ts",
+        "lang",
+        *(["bytes_in"] if stats else []),
+        "extracted_text",
+        "spans",
+        F.sha2(F.coalesce(F.col("extracted_text"), F.lit("")), 256).alias(
+            "text_sha256"
+        ),
+        "n_blocks",
+        "n_content_blocks",
         "part_id",
     )
 

@@ -343,6 +343,48 @@ def q_agg_custom_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_grouped_map",
+    """
+SELECT user_id, event_id, ts,
+  CAST(round(value - avg(value) OVER (PARTITION BY user_id), 6) AS DOUBLE)
+    AS value_centered,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+    AS seq
+FROM events WHERE user_id % 20 = 0
+""",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SURVEY §2 op 58): whole-group pandas
+    transform — per-user mean-centering + arrival sequence. The same shape
+    carries the reference's region-grouping analog when a whole document's
+    blocks must be seen at once."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "value_centered": (pdf["value"] - pdf["value"].mean()).round(6),
+                "seq": range(1, len(pdf) + 1),
+            }
+        )
+        return out
+
+    return e.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandas(
+        center,
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value_centered double, seq int",
+    )
+
+
 # --- F. windows ---------------------------------------------------------------
 
 @register(

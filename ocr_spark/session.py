@@ -29,6 +29,12 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime split of skewed join partitions (salting still covers the
+        # repartition+UDF path, which AQE skew handling does not)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # html-heavy pages tables: smaller input splits keep per-task memory
+        # bounded when rows are multi-KB binary blobs
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))

@@ -1,0 +1,112 @@
+"""Fast-path vs html.parser tokenizer equivalence.
+
+The fast scanner may only produce output when it tokenizes EXACTLY like
+html.parser; anything else must bail to the slow path. These tests compare
+``parse_payload`` with and without ``force_slow`` over every corpus we have:
+fixtures, the adversarial fuzz corpus, hypothesis-generated tag soup, and a
+targeted list of tricky constructs (the documented bail conditions).
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.html_blocks import parse_payload
+
+TRICKY = [
+    b"<p>a &amp; b</p>",                      # entities -> bail
+    b"<!-- c --><p>the data of it</p>",       # comment -> bail
+    b"<!DOCTYPE html><p>the data of it</p>",
+    b"<?xml version='1'?><p>x</p>",
+    b"<p a='>'>quoted gt</p>",
+    b'<p a=">">quoted gt</p>',
+    b"<a href=/x/>unquoted self-close ambiguity</a>",
+    b"<br/><br /><img src='x'/>",
+    b"</p x>bogus end tag</p>",
+    b"<script>var a = 1 < 2;</script><p>the data of it stays</p>",
+    b"<script>'</p>'</script><p>the data of it</p>",   # cdata containing markup
+    b"<script x>unclosed",
+    b"<style>p{color:red}</style><p>the data of it</p>",
+    b"<SCRIPT>UP</SCRIPT><P>the upper case of it</P>",
+    b"<script></scriptx></script><p>x</p>",
+    b"< p>not a tag</p>",
+    b"<p>trailing lt <",
+    b"<p>lone > gt</p>",
+    b"<foo-bar>custom of the element</foo-bar>",
+    b"<p\x00nul>weird</p>",
+    b"<p title='it''s'>quote soup</p>",
+    b"<td>cell</td></tr>stray closes</table>",
+    b"<ul><li>the item of it<li>implicit close</ul>",
+]
+
+
+def _sig(html: bytes, lang: str | None):
+    kind, blocks = parse_payload(html, lang)
+    return kind, [
+        (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
+         b["stopword_density"]) for b in blocks
+    ]
+
+
+def _sig_slow(html: bytes, lang: str | None):
+    kind, blocks = parse_payload(html, lang, force_slow=True)
+    return kind, [
+        (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
+         b["stopword_density"]) for b in blocks
+    ]
+
+
+def test_tricky_constructs_agree():
+    for html in TRICKY:
+        assert _sig(html, "en") == _sig_slow(html, "en"), html
+
+
+def test_fixture_corpus_agrees():
+    from ocr_spark.gen import fixture_pages
+
+    for page in fixture_pages():
+        assert _sig(page["html"], page["lang"]) == _sig_slow(
+            page["html"], page["lang"]
+        ), page["url"]
+
+
+def test_adversarial_corpus_agrees():
+    from tests.test_properties import _adversarial_corpus
+
+    for name, html, lang in _adversarial_corpus():
+        assert _sig(html, lang) == _sig_slow(html, lang), name
+
+
+_CHUNK = st.sampled_from(
+    ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<br/>",
+     "<br />", "<script>", "</script>", "<style>", "</style>", "<!-- z -->",
+     "&amp;", "&", "<", ">", "</", "<>", "< q>", "'", '"', "=", "/>",
+     "the of it is", "xyzzy 123", " ", "<img src=x/>", "<p a='>'>",
+     "</p x>", "<FOO>", "</foo>", "\x00", "é", "中文"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_CHUNK, max_size=30))
+def test_hypothesis_soup_agrees(chunks):
+    html = "".join(chunks).encode("utf-8")
+    assert _sig(html, "en") == _sig_slow(html, "en"), html
+
+
+def test_fast_path_actually_taken():
+    """Guard against the fast path silently bailing on the mainline shape."""
+    from ocr_spark.html_blocks import _BlockParser, _fast_scan
+
+    p = _BlockParser()
+    assert _fast_scan(
+        '<html><body><nav><a href="/a">x</a></nav><p>the data of it</p>'
+        "</body></html>", p,
+    )
+    p2 = _BlockParser()
+    assert _fast_scan(
+        "<style>p{}</style><script>1 &lt; 2</script>".replace("&lt;", "x"),
+        p2,
+    )
