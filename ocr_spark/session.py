@@ -35,6 +35,9 @@ def build_session(
         # html-heavy pages tables: smaller input splits keep per-task memory
         # bounded when rows are multi-KB binary blobs
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # zstd: ~30% smaller extracted-text parquet than snappy at similar
+        # scan speed — at 100 TB the write+storage saving dominates
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
