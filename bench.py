@@ -102,6 +102,28 @@ def main() -> None:
         pages.unpersist()
         timings["extract_synthetic_pages"] = round(extract_sec, 3)
 
+        # production-shape end-to-end: parquet in -> extraction -> partitioned
+        # zstd parquet out + lineage + manifest commits (the full runner)
+        import shutil
+        import tempfile
+
+        from ocr_spark.operators.runner import run_extract
+
+        e2e_dir = tempfile.mkdtemp(prefix="ocr-spark-bench-e2e-")
+        try:
+            src = f"{e2e_dir}/pages"
+            bench_pages(spark, 20000).repartition(int(cpus)).write.parquet(src)
+            start = time.perf_counter()
+            run_extract(
+                spark, spark.read.parquet(src), f"{e2e_dir}/out",
+                run_id="bench", num_parts=64, parts_per_batch=64,
+            )
+            timings["extract_e2e_runner_20k"] = round(
+                time.perf_counter() - start, 3
+            )
+        finally:
+            shutil.rmtree(e2e_dir, ignore_errors=True)
+
         total = round(sum(timings.values()), 3)
         result = {
             "metric": "headline query wall time (13 registry queries "

@@ -139,9 +139,15 @@ def run_extract(
             sub = pages.where(F.col("part_id").isin(batch))
             ex = extract_pages(sub, num_parts=num_parts, repartition=repartition,
                                stats=True)
+            # cluster output by part_id before the partitioned write: without
+            # it every task writes a file into every part dir (tasks x parts
+            # small files — measured 7x slower and 32x the file count). The
+            # shuffle moves extracted text, a fraction of the input bytes.
             # dynamic overwrite: replaces exactly the part_id=N dirs in this
             # batch — idempotent re-run after a crash, no duplicate rows
-            ex.write.mode("overwrite").partitionBy("part_id").parquet(data_dir)
+            ex.repartition(len(batch), "part_id").write.mode(
+                "overwrite"
+            ).partitionBy("part_id").parquet(data_dir)
             elapsed = time.perf_counter() - t0
             finished = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 

@@ -208,6 +208,46 @@ def q_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_tumbling_counts", None)  # streaming: rows-only driver check
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 op 52 as a driver-visible query: availableNow drain of the
+    events table through the streaming tumbling-window aggregation; result
+    equals the batch window() agg (asserted in tests/test_streaming.py for
+    the pages pipeline — here the driver sees the streaming path run)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    name = "stream_tumbling_" + uuid.uuid4().hex[:8]
+    # the file stream source requires a DIRECTORY of files
+    src_dir = tempfile.mkdtemp(prefix="ocr-spark-stream-q-")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    src = (
+        spark.readStream.schema(
+            t(spark, sf_dir, "events").schema
+        ).parquet(src_dir)
+    )
+    q = (
+        src.groupBy(F2.window("ts", "1 hour").alias("win"))
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .select(
+            F2.col("win.start").alias("win_start"),
+            F2.col("win.end").alias("win_end"),
+            "n",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- B. projection / filter / derivation ------------------------------------
 
 @register(
