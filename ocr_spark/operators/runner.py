@@ -136,18 +136,33 @@ def run_extract(
         for batch in batches:
             started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             t0 = time.perf_counter()
-            sub = pages.where(F.col("part_id").isin(batch))
-            ex = extract_pages(sub, num_parts=num_parts, repartition=repartition,
-                               stats=True)
-            # cluster output by part_id before the partitioned write: without
-            # it every task writes a file into every part dir (tasks x parts
-            # small files — measured 7x slower and 32x the file count). The
-            # shuffle moves extracted text, a fraction of the input bytes.
-            # dynamic overwrite: replaces exactly the part_id=N dirs in this
-            # batch — idempotent re-run after a crash, no duplicate rows
-            ex.repartition(len(batch), "part_id").write.mode(
-                "overwrite"
-            ).partitionBy("part_id").parquet(data_dir)
+            try:
+                sub = pages.where(F.col("part_id").isin(batch))
+                ex = extract_pages(sub, num_parts=num_parts,
+                                   repartition=repartition, stats=True)
+                # cluster output by part_id before the partitioned write:
+                # without it every task writes a file into every part dir
+                # (tasks x parts small files — measured 7x slower and 32x
+                # the file count). The shuffle moves extracted text, a
+                # fraction of the input bytes.
+                # dynamic overwrite: replaces exactly the part_id=N dirs in
+                # this batch — idempotent re-run after a crash, no
+                # duplicate rows
+                ex.repartition(len(batch), "part_id").write.mode(
+                    "overwrite"
+                ).partitionBy("part_id").parquet(data_dir)
+            except Exception:
+                # record the failure in the metrics table, then surface it;
+                # the partitions stay uncommitted so a rerun redoes them
+                ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+                failed = [
+                    (part, run_id, 0, 0, 0, started, ts, "failed", 0.0)
+                    for part in batch
+                ]
+                spark.createDataFrame(
+                    failed, schema=LINEAGE_SCHEMA
+                ).coalesce(1).write.mode("append").parquet(lineage_dir)
+                raise
             elapsed = time.perf_counter() - t0
             finished = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 

@@ -118,6 +118,41 @@ def test_crash_between_write_and_commit_is_idempotent(spark, fixture_df, out_dir
     assert rec["run_id"] == "r2"
 
 
+def test_failed_batch_writes_failed_lineage(spark, fixture_df, out_dir):
+    """A batch whose action fails leaves status='failed' lineage rows and
+    NO manifest commits, so the rerun redoes exactly those partitions."""
+    import pathlib
+    import shutil
+
+    from ocr_spark.operators.runner import (
+        Manifest, read_lineage, run_extract,
+    )
+
+    # a pages df whose files vanish before the action: the BATCH fails,
+    # not the plan construction
+    src = pathlib.Path(out_dir + "-input")
+    fixture_df.write.parquet(str(src))
+    broken = spark.read.parquet(str(src))
+    for f in src.glob("*.parquet"):
+        f.unlink()
+    with pytest.raises(Exception):
+        run_extract(spark, broken, out_dir, run_id="rf",
+                    num_parts=N_PARTS, parts_per_batch=3)
+
+    lin = read_lineage(spark, out_dir).collect()
+    assert lin and all(r.status == "failed" and r.run_id == "rf" for r in lin)
+    assert Manifest(out_dir).completed_parts() == {}
+
+    # rerun with good input: everything recovers, ok rows land per part
+    run_extract(spark, fixture_df, out_dir, run_id="rf2",
+                num_parts=N_PARTS, parts_per_batch=N_PARTS)
+    lin2 = read_lineage(spark, out_dir).collect()
+    assert sorted(r.part_id for r in lin2 if r.status == "ok") == list(
+        range(N_PARTS)
+    )
+    assert sorted(Manifest(out_dir).completed_parts()) == list(range(N_PARTS))
+
+
 def test_part_id_independent_of_partitioning(spark, fixture_df):
     """part_id depends only on url — identical across any repartitioning, so
     a manifest written at N executors is valid at 4N (SURVEY §2 op 22)."""
