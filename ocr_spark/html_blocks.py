@@ -225,8 +225,15 @@ def _pdf_blocks(obj: dict, stopset: frozenset[str]) -> list[dict]:
 # differential tests (fast vs forced-slow over the adversarial corpus and
 # hypothesis-generated soup) hold the two tokenizations together.
 
+# The name charset here is NARROWER than html.parser's tagfind_tolerant
+# (`[a-zA-Z][^\t\n\r\f />\x00]*`), so the lookahead is load-bearing: a name
+# that continues with a char outside [a-zA-Z0-9-] (e.g. `<o:p>`, `<div.cls>`
+# — namespaced tags are common in Word-exported HTML) must FAIL the match and
+# bail to html.parser, not be silently split into name + attrs (html.parser
+# would take `o:p` as the whole tag name, changing block boundaries).
 _SIMPLE_TAG = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*?)(/?)>"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?=[\t\n\r\f />])"
+    r"((?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*?)(/?)>"
 )
 # html.parser gives only <script>/<style> CDATA treatment
 _CDATA_ELEMS = frozenset(("script", "style"))
@@ -237,6 +244,22 @@ _CDATA_CLOSE = {
     )
     for name in _CDATA_ELEMS
 }
+
+# _CDATA_CLOSE mirrors CPython 3.11's set_cdata_mode pattern (`</\s*name`-
+# style closers). CPython 3.13+ tightened it to `</name(?=[\t\n\r\f />])`;
+# probe the running interpreter at import and, if the pattern ever differs,
+# disable the CDATA fast path entirely (always bail to html.parser) rather
+# than risk a silent fast/slow divergence after a Python upgrade.
+def _cdata_fast_ok() -> bool:
+    probe = HTMLParser()
+    try:
+        probe.set_cdata_mode("script")
+        return probe.interesting.pattern == r"</\s*script\s*>"
+    except Exception:
+        return False
+
+
+_CDATA_FAST = _cdata_fast_ok()
 
 
 def _fast_scan(decoded: str, h: _BlockParser) -> bool:
@@ -280,6 +303,8 @@ def _fast_scan(decoded: str, h: _BlockParser) -> bool:
         else:
             h.handle_starttag(name, ())
             if name in _CDATA_ELEMS:
+                if not _CDATA_FAST:
+                    return False  # html.parser CDATA rules changed: bail
                 close_rx, prefix_rx = _CDATA_CLOSE[name]
                 mc = close_rx.search(decoded, m.end())
                 mp = prefix_rx.search(decoded, m.end())

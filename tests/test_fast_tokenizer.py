@@ -40,6 +40,14 @@ TRICKY = [
     b"<p title='it''s'>quote soup</p>",
     b"<td>cell</td></tr>stray closes</table>",
     b"<ul><li>the item of it<li>implicit close</ul>",
+    # tag names outside [a-zA-Z0-9-]: html.parser takes the full run as the
+    # name (`p:x`), so the fast path must bail, not split into name + attrs
+    b"<p:x>a<p>the data of it</p>",
+    b"<o:p>the word of it</o:p><p>the data of it</p>",
+    b"<div.cls>a<div>the data of it</div>",
+    b"<a:b href='x'>ns link</a:b><a href='/y'>real link</a>",
+    b"<P=>odd</P=><p>the data of it</p>",
+    b"<p_u>under</p_u><p>the data of it</p>",
 ]
 
 
@@ -85,7 +93,8 @@ _CHUNK = st.sampled_from(
      "<br />", "<script>", "</script>", "<style>", "</style>", "<!-- z -->",
      "&amp;", "&", "<", ">", "</", "<>", "< q>", "'", '"', "=", "/>",
      "the of it is", "xyzzy 123", " ", "<img src=x/>", "<p a='>'>",
-     "</p x>", "<FOO>", "</foo>", "\x00", "é", "中文"]
+     "</p x>", "<FOO>", "</foo>", "\x00", "é", "中文",
+     "<p:x>", "</p:x>", "<o:p>", "<div.cls>", "<P=>"]
 )
 
 
