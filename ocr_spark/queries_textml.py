@@ -8,7 +8,7 @@ engine-specific hash functions in checked paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.queries import _LANG_CASE_SPARK, _LANG_CASE_SQL, register, t
@@ -33,89 +33,120 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash signatures + LSH candidate pairs ------------------------------------
 # Shingles: word 3-grams. Signature_i = min over shingles of md5('s<i>|'||sh).
 # The min of a uniform hash is a valid MinHash; md5 hex strings order-compare
-# identically in both engines. Bands: (sig0,sig1) and (sig2,sig3) -> candidate
-# pair iff either band matches (standard banding, b=2 r=2).
+# identically in both engines. Standard banding: NUM_PERMS perms split into
+# BANDS bands of ROWS_PER_BAND rows; candidate pair iff any full band matches.
+#
+# Skew safety (the 100 TB property): a doc with < 3 words has NO shingles and
+# therefore no meaningful MinHash — at web scale that segment (near-empty /
+# boilerplate-only pages) is huge, and routing it into any shared band key
+# would create one quadratic mega-bucket in the self-join. Such docs are
+# excluded from banding entirely (``size(sh) > 0``); exact dedup (md5 groupBy)
+# still covers them. tests/test_textml_scale.py asserts the max band-bucket
+# size stays bounded on a 10k near-empty-doc corpus.
 
+NUM_PERMS = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERMS // BANDS
+
+# NB: guarded with IF, not greatest(size-2, 0): Spark's sequence(1, 0) is a
+# DESCENDING [1, 0] (not empty), which under ANSI mode turns a < 3-word doc
+# into an element_at out-of-bounds error
 _SHINGLES_SPARK = (
-    "transform(sequence(1, greatest(size(w) - 2, 0)),"
+    "IF(size(w) < 3, array(),"
+    " transform(sequence(1, size(w) - 2),"
     " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
-    " element_at(w, i + 2)))"
+    " element_at(w, i + 2))))"
 )
 _SHINGLES_SQL = (
     "list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
     " i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])"
 )
 
+# empty tokens (doubled/leading/trailing separators) are dropped before
+# shingling: otherwise every whitespace-only doc collapses onto the same
+# degenerate shingle -> identical signature -> one quadratic band bucket
+_WORDS_SPARK = "filter(split({col}, ' '), x -> x != '')"
+_WORDS_SQL = "list_filter(string_split(text, ' '), x -> x != '')"
 
-def _sig_spark(i: int) -> str:
+
+def _sigs_spark(num_perms: int) -> str:
+    # one array expr for the whole signature; i is 0-based perm index
     return (
-        f"coalesce(array_min(transform(sh, s -> md5(concat('s{i}|', s)))), '')"
+        f"transform(sequence(0, {num_perms - 1}), i -> array_min("
+        "transform(sh, s -> md5(concat('s', CAST(i AS STRING), '|', s)))))"
     )
 
 
-def _sig_sql(i: int) -> str:
+def _sigs_sql(num_perms: int) -> str:
     return (
-        f"coalesce(list_aggregate(list_transform(sh,"
-        f" s -> md5('s{i}|' || s)), 'min'), '')"
+        f"list_transform(generate_series(0, {num_perms - 1}), i -> "
+        "list_aggregate(list_transform(sh, s -> md5('s' || i || '|' || s)),"
+        " 'min'))"
     )
 
 
-_MINHASH_SQL_BASE = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
+def _minhash_sql_base(num_perms: int) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+shd AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
 sig AS (
-  SELECT doc_id, {_sig_sql(0)} AS sig0, {_sig_sql(1)} AS sig1,
-         {_sig_sql(2)} AS sig2, {_sig_sql(3)} AS sig3
-  FROM sh
+  SELECT doc_id, {_sigs_sql(num_perms)} AS sigs
+  FROM shd WHERE len(sh) > 0
 )
 """
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    d = d.withColumn("w", F.split("text", " "))
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = NUM_PERMS,
+) -> DataFrame:
+    """(id, sigs: array<string>[num_perms]) for every doc with >=1 shingle.
+
+    Per-row map only — scale-safe. Docs without shingles (< 3 words) are
+    dropped here by design; see the module comment on the mega-bucket."""
+    d = docs.withColumn("w", F.expr(_WORDS_SPARK.format(col=text_col)))
     d = d.withColumn("sh", F.expr(_SHINGLES_SPARK))
-    return d.select(
+    return d.filter(F.expr("size(sh) > 0")).select(
+        F.col(id_col), F.expr(_sigs_spark(num_perms)).alias("sigs")
+    )
+
+
+def minhash_band_keys(
+    sig: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Explode a signature into (doc_id, bi, band) — band = the concatenated
+    rows of band bi. The LSH shuffle key."""
+    return sig.select(
         "doc_id",
-        F.expr(_sig_spark(0)).alias("sig0"),
-        F.expr(_sig_spark(1)).alias("sig1"),
-        F.expr(_sig_spark(2)).alias("sig2"),
-        F.expr(_sig_spark(3)).alias("sig3"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"concat_ws('#', slice(sigs, b * {rows_per_band} + 1,"
+                f" {rows_per_band})))"
+            )
+        ).alias("bi", "band"),
     )
 
 
-@register("dedup_minhash_sig", _MINHASH_SQL_BASE + "SELECT * FROM sig")
-def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_sigs(spark, sf_dir)
-
-
-@register(
-    "dedup_minhash_pairs",
-    _MINHASH_SQL_BASE
-    + """
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b
-  ON a.doc_id < b.doc_id
- AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
-   OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
-""",
-)
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: shuffle on the band key (scales as a hash join on band
-    buckets — never an all-pairs comparison)."""
-    sig = _minhash_sigs(spark, sf_dir)
-    b0 = sig.select(
-        "doc_id", F.concat_ws("#", "sig0", "sig1").alias("band"), F.lit(0).alias("bi")
-    )
-    b1 = sig.select(
-        "doc_id", F.concat_ws("#", "sig2", "sig3").alias("band"), F.lit(1).alias("bi")
-    )
-    bands = b0.unionByName(b1)
-    a = bands.alias("a")
-    b = bands.alias("b")
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = NUM_PERMS,
+    bands: int = BANDS,
+) -> DataFrame:
+    """LSH banding self-join: shuffle on (bi, band) — a hash join on band
+    buckets, never an all-pairs comparison."""
+    sig = minhash_signatures(docs, text_col, id_col, num_perms)
+    b = minhash_band_keys(sig, bands, num_perms // bands)
+    a_, b_ = b.alias("a"), b.alias("b")
     return (
-        a.join(
-            b,
+        a_.join(
+            b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -125,6 +156,33 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "dedup_minhash_sig",
+    _minhash_sql_base(NUM_PERMS) + "SELECT doc_id, sigs FROM sig",
+)
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_pairs",
+    _minhash_sql_base(NUM_PERMS)
+    + f"""
+, bands AS (
+  SELECT doc_id, CAST(b AS INT) AS bi,
+    array_to_string(sigs[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND}
+      + {ROWS_PER_BAND}], '#') AS band
+  FROM sig, generate_series(0, {BANDS - 1}) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id
+""",
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(t(spark, sf_dir, "documents"))
 
 
 # --- SimHash (16-bit, md5-derived bit planes) -------------------------------------
@@ -332,6 +390,61 @@ def q_sim_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@register(
+    "sim_ann_multiprobe",
+    f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), p AS (
+  SELECT vec_id AS probe_id, bucket, embedding AS probe
+  FROM b WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT p.probe_id, c.vec_id, c.label,
+    CAST(round({_DOT_SQL}
+      / ({_NORM_SQL.format(col='embedding')} * {_NORM_SQL.format(col='probe')}),
+      6) AS DOUBLE) AS cosine
+  FROM b c JOIN p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, label, cosine FROM (
+  SELECT probe_id, vec_id, label, cosine,
+    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN — the actual training-data shape: a probe TABLE, not one
+    vector. Bucket equi-join (probes broadcast while small; at larger probe
+    counts the same plan shuffles both sides on `bucket`) then per-probe
+    window top-k. The candidate table is never compared all-pairs: each
+    candidate row meets only the probes sharing its LSH bucket, and the
+    ranking shuffle is keyed by probe_id — both scale-safe."""
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", F.expr(_BUCKET_SPARK))
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("bucket").alias("pbucket"),
+        F.col("embedding").alias("probe"),
+    )
+    cos = F.expr(
+        f"round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"
+        f" * {_NORM_SPARK.format(col='probe')}), 6)"
+    ).cast("double")
+    scored = (
+        e.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("probe_id", "vec_id", "label", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
     )
 
 
