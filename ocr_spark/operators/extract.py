@@ -48,64 +48,91 @@ DEFAULT_NUM_PARTS = 64  # resume/lineage granularity (part_id space)
 DEFAULT_SALT_N = 16  # salt fan-out for hot hosts when repartitioning
 
 
-def _parse_arrow_batches(
-    batches: Iterator[pa.RecordBatch],
-) -> Iterator[pa.RecordBatch]:
-    """mapInArrow worker: html bytes → block structs, one Arrow batch a time.
+def _make_arrow_parser(input_counter=None):
+    """Build the mapInArrow worker fn; ``input_counter`` (optional) is a
+    dict-valued Spark accumulator incremented with {part_id: n_docs} at the
+    parse boundary — an input-side document count that is independent of the
+    output read-back, so lineage can record input_rows separately from
+    output_rows. (Accumulator caveat: a retried task may re-add its batch
+    counts — acceptable for metrics, never used for correctness.)"""
+
+    def _parse_arrow_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        from ocr_spark.html_blocks import parse_batch_columnar
+
+        block_type = block_pa_type()
+        bbox_type = block_type.field("bbox").type
+        for batch in batches:
+            if input_counter is not None:
+                import pyarrow.compute as pc
+
+                vc = pc.value_counts(batch.column("part_id"))
+                input_counter.add(
+                    {
+                        item["values"].as_py(): item["counts"].as_py()
+                        for item in vc
+                    }
+                )
+            yield _parse_one_batch(batch, block_type, bbox_type)
+
+    return _parse_arrow_batches
+
+
+def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
+    """html bytes → block structs for one Arrow batch.
 
     Runs on executors; imports resolved via --py-files/driver-shipped package.
     Output arrays are built columnar (flat primitive columns → StructArray →
     ListArray) — pa.array over list-of-dicts walks Python objects per value
     and measured ~2x slower for the whole stage.
     """
+    import pyarrow.compute as pc
+
     from ocr_spark.html_blocks import parse_batch_columnar
 
-    block_type = block_pa_type()
-    bbox_type = block_type.field("bbox").type
-    for batch in batches:
-        htmls = batch.column("html").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        kinds, offsets, cols, bbox_null = parse_batch_columnar(htmls, langs)
-        import pyarrow.compute as pc
+    htmls = batch.column("html").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    kinds, offsets, cols, bbox_null = parse_batch_columnar(htmls, langs)
 
-        bytes_in = pc.coalesce(
-            pc.cast(pc.binary_length(batch.column("html")), pa.int64()),
-            pa.scalar(0, type=pa.int64()),
-        )
-        bbox_arr = pa.StructArray.from_arrays(
-            [
-                pa.array(cols[f], type=pa.float64())
-                for f in ("x0", "y0", "x1", "y1")
-            ],
-            fields=list(bbox_type),
-            mask=pa.array(bbox_null, type=pa.bool_()),
-        )
-        field_arrays = [
-            pa.array(cols[f.name], type=f.type)
-            for f in block_type
-            if f.name != "bbox"
-        ] + [bbox_arr]
-        struct_arr = pa.StructArray.from_arrays(
-            field_arrays, fields=list(block_type)
-        )
-        blocks_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), struct_arr
-        )
-        yield pa.RecordBatch.from_arrays(
-            [
-                batch.column("url"),
-                batch.column("warc_ts"),
-                batch.column("lang"),
-                batch.column("part_id"),
-                bytes_in,
-                pa.array(kinds, type=pa.string()),
-                blocks_arr,
-            ],
-            names=[
-                "url", "warc_ts", "lang", "part_id", "bytes_in", "kind",
-                "blocks",
-            ],
-        )
+    bytes_in = pc.coalesce(
+        pc.cast(pc.binary_length(batch.column("html")), pa.int64()),
+        pa.scalar(0, type=pa.int64()),
+    )
+    bbox_arr = pa.StructArray.from_arrays(
+        [
+            pa.array(cols[f], type=pa.float64())
+            for f in ("x0", "y0", "x1", "y1")
+        ],
+        fields=list(bbox_type),
+        mask=pa.array(bbox_null, type=pa.bool_()),
+    )
+    field_arrays = [
+        pa.array(cols[f.name], type=f.type)
+        for f in block_type
+        if f.name != "bbox"
+    ] + [bbox_arr]
+    struct_arr = pa.StructArray.from_arrays(
+        field_arrays, fields=list(block_type)
+    )
+    blocks_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), struct_arr
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("url"),
+            batch.column("warc_ts"),
+            batch.column("lang"),
+            batch.column("part_id"),
+            bytes_in,
+            pa.array(kinds, type=pa.string()),
+            blocks_arr,
+        ],
+        names=[
+            "url", "warc_ts", "lang", "part_id", "bytes_in", "kind",
+            "blocks",
+        ],
+    )
 
 
 def with_part_id(df: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
@@ -135,12 +162,16 @@ def salted(df: DataFrame, partitions: int, salt_n: int = DEFAULT_SALT_N) -> Data
     )
 
 
-def parse_pages(df: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
+def parse_pages(
+    df: DataFrame,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    input_counter=None,
+) -> DataFrame:
     """SURVEY §2 op 11 (+60): pages → (url, warc_ts, lang, part_id, kind, blocks)."""
     if "part_id" not in df.columns:
         df = with_part_id(df, num_parts)
     narrow = df.select("url", "warc_ts", "lang", "part_id", "html")
-    return narrow.mapInArrow(_parse_arrow_batches, PARSED_DDL)
+    return narrow.mapInArrow(_make_arrow_parser(input_counter), PARSED_DDL)
 
 
 def classify_expr(block: Column) -> Column:
@@ -249,6 +280,7 @@ def extract_pages(
     num_parts: int = DEFAULT_NUM_PARTS,
     repartition: int | None = None,
     stats: bool = False,
+    input_counter=None,
 ) -> DataFrame:
     """Full fused extraction: pages → extracted (SURVEY §3.2).
 
@@ -257,7 +289,10 @@ def extract_pages(
     the default (None) keeps the plan shuffle-free. ``stats=True`` adds a
     per-row ``bytes_in`` column for lineage accounting.
     """
-    df = with_part_id(df, num_parts)
+    if "part_id" not in df.columns:
+        df = with_part_id(df, num_parts)
     if repartition:
         df = salted(df, repartition)
-    return assemble(label_blocks(parse_pages(df, num_parts)), stats=stats)
+    return assemble(
+        label_blocks(parse_pages(df, num_parts, input_counter)), stats=stats
+    )

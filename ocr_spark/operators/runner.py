@@ -7,6 +7,7 @@ Layout of an output table directory::
     <out_dir>/data/part_id=<N>/*.parquet     -- extracted rows (op 4)
     <out_dir>/_manifest/part-<N>.json        -- commit record, atomic rename (op 6)
     <out_dir>/_lineage/*.parquet             -- lineage rows (op 5, LINEAGE_SCHEMA)
+    <out_dir>/_staged/pages/part_id=<N>/...  -- staged input (multi-batch runs)
 
 Crash-safety contract:
 
@@ -22,9 +23,29 @@ Crash-safety contract:
 part_id = pmod(xxhash64(url), num_parts) is independent of cluster size and
 task layout, so a manifest written at N executors resumes correctly at 4N.
 
-At 100 TB scale: lineage stats are aggregated from a column-pruned read-back
-of the just-written parquet (reads only part_id/bytes_in/n_blocks footers +
-columns), never from a second scan of the raw input.
+Single-scan guarantee (the 100 TB property): the raw input is scanned AT MOST
+ONCE per run, regardless of batch count. part_id is a *derived* column
+(pmod(xxhash64(url))), so a per-batch ``where(part_id IN batch)`` on the raw
+input can never push down — with B batches that was B full input reads
+(4x read amplification at the round-1 defaults, 400 TB of re-read at the
+design point). Now:
+
+- a single-batch run filters nothing and streams the input straight through;
+- a multi-batch run first STAGES the input once — one pass computing part_id
+  and writing ``_staged/pages`` partitioned by part_id (a salted exchange
+  bounds files-per-part and splits hot hosts) — and every batch then reads
+  the staged layout where part_id is a real partition column, so the batch
+  filter is pure directory pruning (PartitionFilters in the scan, verified
+  in tests/test_runner_scan.py by deleting the raw input after staging);
+- a resumed run whose staging completed re-reads NO raw input at all.
+
+This mirrors the Iceberg design (input table partitioned by bucket(url)), in
+which case staging is unnecessary; see SURVEY §4 "partition pruning".
+
+Lineage: ``input_rows`` is counted at the parse boundary by a per-part
+accumulator inside the mapInArrow stage (independent of the output), and
+``output_rows``/``bytes_in`` come from a column-pruned read-back of the
+just-written parquet — never from a second scan of the raw input.
 """
 
 from __future__ import annotations
@@ -33,18 +54,33 @@ import datetime as dt
 import json
 import os
 import pathlib
+import shutil
 import time
 from collections.abc import Callable, Sequence
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.extract import (
     DEFAULT_NUM_PARTS,
     extract_pages,
+    salted,
     with_part_id,
 )
 from ocr_spark.schemas import LINEAGE_SCHEMA, PAGES_SCHEMA
+
+
+class _PartCountParam(AccumulatorParam):
+    """Accumulator merging {part_id: n_docs} dicts from parse tasks."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
 
 
 class Manifest:
@@ -103,6 +139,39 @@ def _chunks(seq: Sequence[int], size: int) -> list[list[int]]:
     return [list(seq[i : i + size]) for i in range(0, len(seq), size)]
 
 
+def stage_input(
+    spark: SparkSession,
+    pages: DataFrame,
+    out: pathlib.Path,
+    num_parts: int,
+    stage_partitions: int | None = None,
+) -> DataFrame:
+    """One-pass staging of the raw input, partitioned by part_id.
+
+    After this, part_id is a REAL partition column of ``_staged/pages``, so
+    per-batch part_id filters prune directories instead of re-scanning the
+    raw input. The salted exchange bounds files-per-part (≤ salt_n) and
+    splits hot hosts across tasks. ``text`` (crawl-provided WET text, unused
+    by extraction) is pruned here — at the design point that alone cuts the
+    staged bytes meaningfully. Idempotent: a completed staging (marker file)
+    is reused by resumed runs, which then re-read no raw input at all.
+    """
+    staged = out / "_staged"
+    marker = staged / "_STAGING_COMPLETE"
+    pages_dir = str(staged / "pages")
+    if not marker.exists():
+        stg = with_part_id(pages, num_parts).select(
+            "url", "warc_ts", "html", "lang", "part_id"
+        )
+        stg = salted(stg, stage_partitions or num_parts)
+        stg.write.mode("overwrite").partitionBy("part_id").parquet(pages_dir)
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        tmp = marker.with_suffix(".tmp")
+        tmp.write_text("ok")
+        os.replace(tmp, marker)  # staging committed atomically
+    return spark.read.parquet(pages_dir)
+
+
 def run_extract(
     spark: SparkSession,
     pages: DataFrame,
@@ -112,12 +181,16 @@ def run_extract(
     parts_per_batch: int = 16,
     repartition: int | None = None,
     after_batch: Callable[[list[int]], None] | None = None,
+    stage_partitions: int | None = None,
+    keep_staged: bool = False,
 ) -> dict:
     """Run (or resume) the extraction job over ``pages`` into ``out_dir``.
 
     Returns ``{"run_id", "parts_done_before", "parts_done_now", "batches"}``.
     ``after_batch`` is a test hook called after each batch commit (used by the
-    kill/resume tests to abort mid-run).
+    kill/resume tests to abort mid-run). The input must be immutable for the
+    lifetime of one ``out_dir`` (standard for crawl snapshots); staged data
+    is removed once every partition has committed unless ``keep_staged``.
     """
     out = pathlib.Path(out_dir)
     data_dir = str(out / "data")
@@ -127,19 +200,44 @@ def run_extract(
     done_before = sorted(manifest.completed_parts())
     todo = [p for p in range(num_parts) if p not in set(done_before)]
 
-    pages = with_part_id(pages, num_parts)
+    batches = _chunks(todo, parts_per_batch)
+    multi_batch = len(batches) > 1
+    if multi_batch:
+        # single-scan path: stage once, then every batch filter prunes
+        try:
+            pages = stage_input(spark, pages, out, num_parts, stage_partitions)
+        except Exception:
+            # staging died: record failed rows for every todo part (none are
+            # committed; the rerun re-stages and redoes them all)
+            ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            failed = [
+                (part, run_id, 0, 0, 0, ts, ts, "failed", 0.0)
+                for part in todo
+            ]
+            spark.createDataFrame(
+                failed, schema=LINEAGE_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(lineage_dir)
+            raise
+    else:
+        pages = with_part_id(pages, num_parts)
 
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        batches = _chunks(todo, parts_per_batch)
         for batch in batches:
             started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             t0 = time.perf_counter()
+            input_counts = spark.sparkContext.accumulator({}, _PartCountParam())
             try:
-                sub = pages.where(F.col("part_id").isin(batch))
+                if multi_batch or len(todo) < num_parts:
+                    # partition pruning on staged data; on the raw input this
+                    # only happens for a resumed single-batch run
+                    sub = pages.where(F.col("part_id").isin(batch))
+                else:
+                    sub = pages  # full run, single batch: no filter at all
                 ex = extract_pages(sub, num_parts=num_parts,
-                                   repartition=repartition, stats=True)
+                                   repartition=repartition, stats=True,
+                                   input_counter=input_counts)
                 # cluster output by part_id before the partitioned write:
                 # without it every task writes a file into every part dir
                 # (tasks x parts small files — measured 7x slower and 32x
@@ -178,14 +276,16 @@ def run_extract(
                 .collect()
             )
             stats = {r["part_id"]: r for r in stats_rows}
+            in_counts = dict(input_counts.value)
             lineage_rows = []
             for part in batch:
                 r = stats.get(part)
                 n_rows = int(r["rows"]) if r is not None else 0
                 n_bytes = int(r["bytes_in"]) if r is not None else 0
+                n_in = int(in_counts.get(part, 0))
                 lineage_rows.append(
                     (
-                        part, run_id, n_rows, n_rows, n_bytes, started,
+                        part, run_id, n_in, n_rows, n_bytes, started,
                         finished, "ok",
                         round(n_rows / elapsed, 3) if elapsed > 0 else 0.0,
                     )
@@ -209,6 +309,10 @@ def run_extract(
                 after_batch(batch)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    if multi_batch and not keep_staged:
+        if len(manifest.completed_parts()) == num_parts:
+            shutil.rmtree(out / "_staged", ignore_errors=True)
 
     return {
         "run_id": run_id,
