@@ -135,16 +135,28 @@ def main() -> None:
             "docs_per_sec": round(BENCH_DOCS / extract_sec, 1),
             "cpus": int(cpus),
         }
-        # surface the last measured N->4N executor scaling efficiency
-        # (scripts/bench_scaling.py writes BENCH/BASELINE.md)
-        bench_md = pathlib.Path(__file__).resolve().parent / "BENCH" / "BASELINE.md"
-        if bench_md.is_file():
-            m = re.search(
-                r"scaling efficiency = [\d.,]+ / \(4 × [\d.,]+\) = ([\d.]+)",
-                bench_md.read_text(),
+        # surface the last measured N->4N executor scaling efficiency from
+        # the append-only history (scripts/bench_scaling.py): the LATEST
+        # run's best-cycle and median — never a retained best-ever
+        hist = pathlib.Path(__file__).resolve().parent / "BENCH" / "history.jsonl"
+        if hist.is_file():
+            lines = [ln for ln in hist.read_text().splitlines() if ln.strip()]
+            if lines:
+                last = json.loads(lines[-1])
+                result["scaling_efficiency"] = last["best_cycle_efficiency"]
+                result["scaling_efficiency_median"] = last["median_efficiency"]
+                result["scaling_measured_ts"] = last["ts"]
+        else:
+            bench_md = (
+                pathlib.Path(__file__).resolve().parent / "BENCH" / "BASELINE.md"
             )
-            if m:
-                result["scaling_efficiency"] = float(m.group(1))
+            if bench_md.is_file():
+                m = re.search(
+                    r"scaling efficiency = [\d.,]+ / \(4 × [\d.,]+\) = ([\d.]+)",
+                    bench_md.read_text(),
+                )
+                if m:
+                    result["scaling_efficiency"] = float(m.group(1))
         print(json.dumps(result))
     finally:
         spark.stop()

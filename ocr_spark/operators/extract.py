@@ -185,30 +185,59 @@ def classify_expr(block: Column) -> Column:
     )
 
 
-# SQL fragment for the smoothing pass (op 14) over a labels array `labs`:
-# nearest preceding / following edge label via array slices (JVM-side).
+# Smoothing pass (op 14) over a labels array `labs`: each non-edge block
+# inherits 'content' iff its nearest preceding OR following edge label
+# ('good'/'bad') is 'good'. Equivalently, BETWEEN two consecutive edges every
+# non-edge block gets the same verdict — so instead of a per-element
+# nearest-edge lookup (the round-1 slice+filter+reverse was O(n²) interpreted
+# lambda evals per document; a MAX_BLOCKS link-farm page cost 2000² HOF evals
+# and could drag a whole stage), the output is assembled SEGMENT-WISE:
+# extract the edge positions/labels (one O(n) pass each), then emit
+# [gap-fill, edge, gap-fill, edge, ..., tail-fill] via array_repeat + flatten
+# — O(#edges) lambda evaluations and O(n) output construction. (An
+# aggregate() running-state scan was tried first and measured far SLOWER
+# than even the quadratic form: per-step array append inside aggregate
+# re-copies the accumulator array through the interpreted-projection path.)
+#
+# Boundary semantics (same as round 1): before the first edge the preceding
+# label is NULL, after the last the following is NULL; three-valued OR makes
+# NULL = 'good' count as false, ELSE = 'boilerplate'. No edges -> all
+# 'boilerplate'. PDF payloads keep every block.
 _SMOOTH_SQL = """
 CASE WHEN kind = 'pdf' THEN transform(labs, l -> 'content')
-ELSE transform(labs, (l, i) -> CASE
-  WHEN l = 'good' THEN 'content'
-  WHEN l = 'bad' THEN 'boilerplate'
-  WHEN try_element_at(
-         reverse(filter(slice(labs, 1, i), x -> x IN ('good','bad'))), 1
-       ) = 'good'
-    OR try_element_at(
-         filter(slice(labs, i + 2, size(labs) - i - 1),
-                x -> x IN ('good','bad')), 1
-       ) = 'good'
-  THEN 'content' ELSE 'boilerplate' END)
+WHEN size(_eidx) = 0 THEN transform(labs, l -> 'boilerplate')
+ELSE concat(
+  flatten(transform(sequence(0, size(_eidx) - 1), j ->
+    concat(
+      array_repeat(
+        IF(IF(j = 0, CAST(NULL AS STRING), element_at(_elab, j)) = 'good'
+           OR element_at(_elab, j + 1) = 'good',
+           'content', 'boilerplate'),
+        element_at(_eidx, j + 1) - IF(j = 0, 0, element_at(_eidx, j) + 1)),
+      array(IF(element_at(_elab, j + 1) = 'good', 'content', 'boilerplate'))
+    ))),
+  array_repeat(
+    IF(element_at(_elab, size(_elab)) = 'good', 'content', 'boilerplate'),
+    size(labs) - 1 - element_at(_eidx, size(_eidx))))
 END
 """
+
+_EDGE_IDX_SQL = (
+    "filter(transform(labs, (l, i) -> IF(l IN ('good', 'bad'), i, -1)),"
+    " x -> x >= 0)"
+)
+_EDGE_LAB_SQL = "filter(labs, l -> l IN ('good', 'bad'))"
 
 
 def label_blocks(parsed: DataFrame) -> DataFrame:
     """Ops 13+14 fused: adds `labels: array<string>` aligned with `blocks`."""
-    return parsed.withColumn(
-        "labs", F.transform("blocks", classify_expr)
-    ).withColumn("labels", F.expr(_SMOOTH_SQL)).drop("labs")
+    return (
+        parsed.withColumn("labs", F.transform("blocks", classify_expr))
+        .withColumn("_eidx", F.expr(_EDGE_IDX_SQL))
+        .withColumn("_elab", F.expr(_EDGE_LAB_SQL))
+        .withColumn("labels", F.expr(_SMOOTH_SQL))
+        .drop("labs", "_eidx", "_elab")
+    )
 
 
 def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:

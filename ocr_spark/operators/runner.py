@@ -111,9 +111,13 @@ class Manifest:
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Op 1: read a pages table. Iceberg runtime jar absent in this sandbox
-    (SURVEY.md §0) — parquet with the manifest layer above stands in; with
-    the jar present this becomes ``spark.read.format("iceberg").load``."""
+    """Op 1: read a pages table — an ``iceberg:<catalog.db.tbl>`` location
+    when the runtime jar is present (ocr_spark.tables), else parquet with
+    the manifest layer above standing in (this sandbox: no jar)."""
+    from ocr_spark.tables import ICEBERG_PREFIX, read_table
+
+    if path.startswith(ICEBERG_PREFIX):
+        return read_table(spark, path)
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 

@@ -210,42 +210,54 @@ def q_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_tumbling_counts", None)  # streaming: rows-only driver check
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 op 52 as a driver-visible query: availableNow drain of the
-    events table through the streaming tumbling-window aggregation; result
-    equals the batch window() agg (asserted in tests/test_streaming.py for
-    the pages pipeline — here the driver sees the streaming path run)."""
+    """SURVEY §2 op 52 as a driver-visible query, via the scalable pattern:
+    incremental rollup through ``foreachBatch``. Each micro-batch appends its
+    PARTIAL per-window counts to a batch-scoped parquet location (no
+    unbounded streaming state, no complete-mode/memory-sink driver
+    materialization), and one batch aggregation compacts the partials —
+    equal to the batch ``window()`` agg no matter how the availableNow drain
+    split micro-batches. Equality with the batch agg is asserted in
+    tests/test_streaming.py for the pages pipeline."""
     import os
     import shutil
     import tempfile
-    import uuid
 
     from pyspark.sql import functions as F2
 
-    name = "stream_tumbling_" + uuid.uuid4().hex[:8]
     # the file stream source requires a DIRECTORY of files
-    src_dir = tempfile.mkdtemp(prefix="ocr-spark-stream-q-")
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-q-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
-    src = (
-        spark.readStream.schema(
-            t(spark, sf_dir, "events").schema
-        ).parquet(src_dir)
-    )
-    q = (
-        src.groupBy(F2.window("ts", "1 hour").alias("win"))
-        .agg(F2.count(F2.lit(1)).alias("n"))
-        .select(
-            F2.col("win.start").alias("win_start"),
-            F2.col("win.end").alias("win_end"),
-            "n",
+    out_dir = os.path.join(work, "partials")
+
+    def commit(bdf: DataFrame, bid: int) -> None:
+        (
+            bdf.groupBy(F2.window("ts", "1 hour").alias("win"))
+            .agg(F2.count(F2.lit(1)).alias("n_part"))
+            .select(
+                F2.col("win.start").alias("win_start"),
+                F2.col("win.end").alias("win_end"),
+                "n_part",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={bid}"))
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
+
+    q = (
+        spark.readStream.schema(t(spark, sf_dir, "events").schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("win_start", "win_end")
+        .agg(F2.sum("n_part").alias("n"))
+    )
 
 
 # --- B. projection / filter / derivation ------------------------------------

@@ -148,6 +148,13 @@ GROUP BY e1.user_id
 """,
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join WITH an equi-key: the user_id equality lets Catalyst
+    plan a hash/sort-merge join on user_id and evaluate the ts range as a
+    cheap residual — never a BroadcastNestedLoopJoin. This is the shape to
+    prefer whenever any equi-key exists. For the PURE non-equi case (no
+    shared key) Spark's only native plan is BNLJ: O(|A|x|B|) comparisons
+    plus a full broadcast of one side — unusable at web scale. The scale
+    answer is the bucketized decomposition in q_join_range_bucket below."""
     e = t(spark, sf_dir, "events")
     e1 = e.filter(F.col("event_type") == "error").alias("e1")
     e2 = e.alias("e2")
@@ -160,6 +167,49 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, cond)
         .groupBy(F.col("e1.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+@register(
+    "join_range_bucket",
+    """
+SELECT e1.event_id, count(*) AS n_follow
+FROM events e1 JOIN events e2
+  ON e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+WHERE e1.event_type = 'error'
+GROUP BY e1.event_id
+""",
+)
+def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi interval join (NO shared key — contrast q_join_range),
+    decomposed so it never becomes a BroadcastNestedLoopJoin.
+
+    Bucketize time at the interval width (10 min): any qualifying (e1, e2)
+    pair with e2.ts in (e1.ts, e1.ts + 10 min] has floor(e2.ts / 600) in
+    {floor(e1.ts / 600), floor(e1.ts / 600) + 1}. Expanding each probe row
+    to those two candidate buckets and equi-joining on the bucket key gives
+    an ordinary shuffled hash/sort-merge join with a residual range filter:
+    2x duplication of the (filtered, small) probe side instead of |A| x |B|
+    comparisons and a whole-side broadcast. The oracle runs the
+    straightforward non-equi form, proving the decomposition exact.
+    tests/test_plans.py asserts the plan contains no NestedLoop."""
+    e = t(spark, sf_dir, "events")
+    bkt = F.floor(F.unix_timestamp("ts") / 600)
+    e1 = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e1_id"),
+        F.col("ts").alias("ts1"),
+        bkt.alias("bkt1"),
+    )
+    e1x = e1.withColumn(
+        "bkt", F.explode(F.array(F.col("bkt1"), F.col("bkt1") + 1))
+    ).drop("bkt1")
+    e2 = e.select(F.col("ts").alias("ts2"), bkt.alias("bkt"))
+    joined = e1x.join(e2, "bkt").filter(
+        (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTE"))
+    )
+    return joined.groupBy(F.col("e1_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_follow")
     )
 
 

@@ -6,13 +6,15 @@ DataFrame: ``mapInArrow`` and the per-document array HOFs are stateless
 row-transforms, so the only streaming-specific pieces are the source, the
 watermark/dedup state, the windowed aggregations, and the idempotent sink.
 
-Sink exactly-once contract (op 56): ``foreachBatch`` + the same manifest
-layer as the batch runner, keyed by (run_id, micro-batch id). Structured
+Sink exactly-once contract (op 56): ``foreachBatch`` writing each micro-batch
+to its own ``batch_id=<N>`` location (overwrite, so replays replace rather
+than append) + a manifest record committed after the write. Structured
 Streaming replays a failed micro-batch with the SAME batch_id after restart
-from the checkpoint; the commit record makes the replay a no-op, so the
-output table sees each micro-batch exactly once even though the stream is
-at-least-once. Tests run with ``trigger(availableNow=True)`` (deterministic
-drain of everything present, then stop).
+from the checkpoint; the commit record short-circuits fully-committed
+replays and the batch-scoped overwrite absorbs the write-then-crash window,
+so the output table sees each micro-batch exactly once even though the
+stream is at-least-once. Tests run with ``trigger(availableNow=True)``
+(deterministic drain of everything present, then stop).
 
 At cluster scale the parquet file source scales by listing + split planning
 exactly like a batch scan; state (dedup, session windows) is per-key in the
@@ -111,10 +113,24 @@ def crawl_sessions(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
 # --- op 56: idempotent sink ---------------------------------------------------
 
 class _BatchCommitter:
-    """foreachBatch function: append extracted rows + commit batch manifest.
+    """foreachBatch function: write each micro-batch to its own
+    ``data/batch_id=<N>`` location, then commit the batch manifest record.
 
-    Idempotent under micro-batch replay: a batch_id already present in the
-    manifest directory is skipped entirely.
+    Exactly-once under at-least-once micro-batch replay, in BOTH crash
+    windows:
+
+    - crash after the manifest commit → the replayed batch_id returns early;
+    - crash between the data write and the manifest commit → the replay
+      re-writes the same batch-scoped directory with ``mode("overwrite")``,
+      replacing the earlier attempt's files instead of appending duplicates.
+      (A blind append into a shared directory — the round-1 version — turns
+      exactly this window into duplicated rows.)
+
+    Single evaluation: the batch plan (mapInArrow parse included) executes
+    once, for the write; the manifest row count comes from a column-pruned
+    read-back of the just-written files, never a second ``count()`` of the
+    plan. The batch_id=N layout doubles as a partition column when reading
+    ``out/data``, which downstream consumers can prune on.
     """
 
     def __init__(self, out_dir: str, run_id: str) -> None:
@@ -136,9 +152,12 @@ class _BatchCommitter:
         rec_path = self._record(batch_id)
         if rec_path.exists():
             return  # replayed micro-batch: already committed
-        n = batch_df.count()
-        if n > 0:
-            batch_df.write.mode("append").parquet(str(self.out / "data"))
+        batch_dir = self.out / "data" / f"batch_id={batch_id}"
+        batch_df.write.mode("overwrite").parquet(str(batch_dir))
+        try:
+            n = batch_df.sparkSession.read.parquet(str(batch_dir)).count()
+        except Exception:
+            n = 0  # empty micro-batch: no part files were produced
         rec_path.parent.mkdir(parents=True, exist_ok=True)
         tmp = rec_path.with_suffix(".json.tmp")
         tmp.write_text(

@@ -1,0 +1,89 @@
+"""Table-format layer: real Iceberg when the runtime jar is on the
+classpath, partitioned-parquet + JSON manifest (ocr_spark.operators.runner)
+otherwise (SURVEY.md §0 sandbox note, §2 ops 1/4).
+
+Locations are strings: ``iceberg:<catalog>.<db>.<table>`` selects the
+Iceberg path (``spark.read.format("iceberg")`` / ``df.writeTo(...)``);
+anything else is a parquet directory handled by the fallback. The fallback
+is the only path exercisable in this sandbox (``/opt/spark/jars`` has no
+iceberg-spark-runtime — verified; ``iceberg_available`` returns False), so
+the Iceberg branch is covered by a unit test that skips cleanly when the
+runtime is absent and runs for real the moment the jar appears.
+
+At the design point the pages table is an Iceberg table partitioned by
+``bucket(N, url)``; part_id == the bucket transform, so the runner's
+per-batch part filter prunes natively and the staging pass in
+runner.stage_input becomes unnecessary (see its docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_PREFIX = "iceberg:"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(
+    spark: SparkSession, location: str, schema=None
+) -> DataFrame:
+    """Op 1: load a table from an ``iceberg:`` location or a parquet path."""
+    if location.startswith(ICEBERG_PREFIX):
+        return spark.read.format("iceberg").load(
+            location[len(ICEBERG_PREFIX):]
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(location)
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+) -> None:
+    """Op 4: write to an ``iceberg:`` table or a parquet directory.
+
+    Modes: ``append``; ``overwrite_partitions`` (Iceberg
+    ``overwritePartitions()`` / parquet dynamic partition overwrite — the
+    idempotent per-partition commit the runner relies on); ``create``
+    (``createOrReplace()`` / full overwrite).
+    """
+    if location.startswith(ICEBERG_PREFIX):
+        writer = df.writeTo(location[len(ICEBERG_PREFIX):])
+        if mode == "append":
+            writer.append()
+        elif mode == "overwrite_partitions":
+            writer.overwritePartitions()
+        elif mode == "create":
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return
+    if mode == "create":
+        pw = df.write.mode("overwrite")
+    elif mode in ("append", "overwrite_partitions"):
+        # overwrite_partitions relies on the session's dynamic
+        # partitionOverwriteMode, which the runner sets around its batches
+        pw = df.write.mode("append" if mode == "append" else "overwrite")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if partition_by:
+        pw = pw.partitionBy(*partition_by)
+    pw.parquet(location)

@@ -91,6 +91,20 @@ def test_ann_search_broadcasts_probe(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_range_joins_avoid_nested_loop(spark):
+    """join_range rides its equi-key; join_range_bucket decomposes the pure
+    non-equi interval join into a bucket equi-join — neither may plan a
+    BroadcastNestedLoopJoin (the O(|A|x|B|) + whole-side-broadcast shape)."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    for name in ("join_range", "join_range_bucket"):
+        plan = _plan(q[name](spark, "/root/testdata/sf0.001"))
+        assert "NestedLoop" not in plan, f"{name} planned a nested-loop join"
+        assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                         plan), name
+
+
 def test_agg_partial_final(spark):
     """agg_basic shows map-side partial aggregation before the exchange."""
     import __spark_entry__ as em

@@ -65,6 +65,47 @@ def test_foreachbatch_replay_is_idempotent(spark, fixture_df, tmp_path):
     assert rec["rows"] == 5
 
 
+def test_crash_between_write_and_commit_does_not_duplicate(spark, fixture_df,
+                                                           tmp_path):
+    """The write-then-crash window: data written, manifest record lost. The
+    replayed batch must REPLACE the orphaned files (batch-scoped overwrite),
+    not append a second copy."""
+    from ocr_spark.streaming.incremental import _BatchCommitter
+
+    out = str(tmp_path / "out")
+    committer = _BatchCommitter(out, run_id="r1")
+    small = fixture_df.limit(5).select("url", "lang")
+    committer(small, 3)
+    # simulate the crash: the data landed but the commit record vanished
+    committer._record(3).unlink()
+    committer(small, 3)  # replay of the same micro-batch
+    assert spark.read.parquet(f"{out}/data").count() == 5
+    assert committer.committed() == [3]
+
+
+def test_committer_evaluates_batch_once(spark, tmp_path):
+    """The micro-batch plan must execute exactly once per commit (the write);
+    the manifest row count comes from read-back, not a second evaluation."""
+    import pyarrow as pa
+
+    from ocr_spark.streaming.incremental import _BatchCommitter
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for b in batches:
+            acc.add(b.num_rows)
+            yield b
+
+    df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+    instrumented = df.mapInArrow(counting, "id long, s string")
+    committer = _BatchCommitter(str(tmp_path / "out"), run_id="r1")
+    committer(instrumented, 0)
+    assert acc.value == 100  # not 200: plan ran once
+    rec = json.loads(committer._record(0).read_text())
+    assert rec["rows"] == 100
+
+
 def test_tumbling_counts_match_batch(spark, fixture_df, pages_dir):
     """Op 52: streaming tumbling counts (complete mode) == batch window agg."""
     from ocr_spark.streaming.incremental import (
