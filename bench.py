@@ -37,9 +37,13 @@ HEADLINE = [
     "win_rownum_dedup",     # F: window dedup
     "span_offsets",         # F: running-sum frames
     "topk",                 # G: TakeOrderedAndProject
-    "dedup_minhash_pairs",  # training-data: MinHash LSH band join
+    "dedup_minhash_pairs",  # training-data: MinHash LSH band join (16 perms)
     "dedup_exact",          # training-data: exact hash dedup
+    "dedup_embcos",         # training-data: embedding-cosine near-dup pairs
     "sim_cosine_topk",      # training-data: brute-force ANN baseline
+    "sim_ann_multiprobe",   # training-data: probe-table ANN, per-probe top-k
+    "sim_ann_ivf",          # training-data: IVF coarse-quantizer ANN
+    "join_range_bucket",    # D: bucketized non-equi interval join (no BNLJ)
     "text_quality",         # training-data: quality scoring
     "text_fingerprint",     # training-data: doc fingerprints
 ]
@@ -102,6 +106,31 @@ def main() -> None:
         pages.unpersist()
         timings["extract_synthetic_pages"] = round(extract_sec, 3)
 
+        # adversarial shape: MAX_BLOCKS-sized link-farm pages. Guards the
+        # smoothing stage's O(n) rewrite — the round-1 per-element scan was
+        # O(MAX_BLOCKS^2) per doc and dragged exactly this corpus.
+        from pyspark.sql import functions as F
+
+        from ocr_spark.schemas import PAGES_SCHEMA
+
+        big_html = (
+            "<p>xx</p><p>the of it is and to in that for on as with at by"
+            " from up about</p>" * 1000
+        ).encode()
+        big = spark.createDataFrame(
+            [(f"https://big.example.com/{i}", None, big_html, None, "en")
+             for i in range(256)],
+            PAGES_SCHEMA,
+        ).repartition(int(cpus))
+        big.cache().count()
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            _materialize(extract_pages(big))
+            best = min(best, time.perf_counter() - start)
+        big.unpersist()
+        timings["extract_maxblocks_256"] = round(best, 3)
+
         # production-shape end-to-end: parquet in -> extraction -> partitioned
         # zstd parquet out + lineage + manifest commits (the full runner)
         import shutil
@@ -113,21 +142,22 @@ def main() -> None:
         try:
             src = f"{e2e_dir}/pages"
             bench_pages(spark, 20000).repartition(int(cpus)).write.parquet(src)
-            start = time.perf_counter()
-            run_extract(
-                spark, spark.read.parquet(src), f"{e2e_dir}/out",
-                run_id="bench", num_parts=64, parts_per_batch=64,
-            )
-            timings["extract_e2e_runner_20k"] = round(
-                time.perf_counter() - start, 3
-            )
+            best = float("inf")
+            for attempt in range(2):  # best-of-2, like every other entry
+                start = time.perf_counter()
+                run_extract(
+                    spark, spark.read.parquet(src), f"{e2e_dir}/out{attempt}",
+                    run_id="bench", num_parts=64, parts_per_batch=64,
+                )
+                best = min(best, time.perf_counter() - start)
+            timings["extract_e2e_runner_20k"] = round(best, 3)
         finally:
             shutil.rmtree(e2e_dir, ignore_errors=True)
 
         total = round(sum(timings.values()), 3)
         result = {
-            "metric": "headline query wall time (13 registry queries "
-            f"+ extraction of {BENCH_DOCS} synthetic pages)",
+            "metric": f"headline query wall time ({len(HEADLINE)} registry "
+            f"queries + extraction of {BENCH_DOCS} synthetic pages)",
             "value": total,
             "unit": "sec",
             "queries": timings,

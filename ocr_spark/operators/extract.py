@@ -243,9 +243,21 @@ def label_blocks(parsed: DataFrame) -> DataFrame:
 def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
     """Ops 15+17: span offsets + byte-identical assembly, all JVM-side.
 
+    Span start offsets are a prefix sum of content-block strides
+    (text_len + separator). An aggregate() building the spans array by
+    appending per element re-copies the growing accumulator array through
+    the interpreted projection every step — O(n²) work that made a
+    MAX_BLOCKS (2000-block) page cost ~35 ms in this stage alone. The
+    prefix sum is instead computed with ceil(log2(MAX_BLOCKS)) Hillis-Steele
+    doubling passes (p[i] += p[i - 2^k]), each one O(n) element_at lookups,
+    then the spans array is a single zip_with over (content, prefix).
+
     ``stats=True`` keeps the per-row ``bytes_in`` column (input payload size)
     for the lineage aggregation in :mod:`ocr_spark.operators.runner`.
     """
+    import math
+
+    sep_len = len(spec.SEP)
     content = F.transform(
         F.filter(
             F.arrays_zip("blocks", "labels"),
@@ -254,22 +266,37 @@ def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
         lambda z: z["blocks"],
     )
     df = labeled.withColumn("content", content)
-    zero = F.struct(
-        F.lit(0).cast("long").alias("pos"),
-        F.expr(f"CAST(array() AS {SPANS_DDL})").alias("spans"),
+    # per-block stride; the IF(size=0, ...) guards Spark's descending
+    # sequence(1, 0) under ANSI mode (same pitfall as the shingle expr)
+    df = df.withColumn(
+        "_st",
+        F.expr(
+            f"transform(content, b -> CAST(b.text_len + {sep_len} AS BIGINT))"
+        ),
     )
-
-    def step(acc: Column, b: Column) -> Column:
-        span = F.struct(
-            b["block_id"].alias("block_id"),
-            acc["pos"].alias("start"),
-            (acc["pos"] + b["text_len"]).cast("long").alias("end"),
-            F.lit("content").alias("label"),
+    col = "_st"
+    for k in range(max(1, math.ceil(math.log2(spec.MAX_BLOCKS)))):
+        shift = 1 << k
+        nxt = f"_p{k}"
+        df = df.withColumn(
+            nxt,
+            F.expr(
+                f"IF(size({col}) = 0, {col},"
+                f" transform(sequence(1, size({col})),"
+                f" i -> element_at({col}, i)"
+                f" + IF(i > {shift}, element_at({col}, i - {shift}), 0L)))"
+            ),
         )
-        return F.struct(
-            (acc["pos"] + b["text_len"] + F.lit(len(spec.SEP))).cast("long").alias("pos"),
-            F.concat(acc["spans"], F.array(span)).alias("spans"),
-        )
+        col = nxt
+    # inclusive prefix P[i] = sum of strides 1..i;
+    # start_i = P[i] - stride_i, end_i = start_i + text_len = P[i] - sep
+    spans = F.expr(
+        f"""zip_with(content, {col}, (b, p) -> named_struct(
+  'block_id', b.block_id,
+  'start', p - CAST(b.text_len + {sep_len} AS BIGINT),
+  'end', p - {sep_len}L,
+  'label', 'content'))"""
+    )
 
     # two-step projection: text is materialized once and the sha reuses the
     # column (CollapseProject keeps multi-referenced non-cheap aliases
@@ -283,7 +310,7 @@ def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
         F.array_join(
             F.transform("content", lambda b: b["text"]), spec.SEP
         ).alias("extracted_text"),
-        F.aggregate("content", zero, step, lambda acc: acc["spans"]).alias("spans"),
+        spans.alias("spans"),
         F.size("blocks").alias("n_blocks"),
         F.size("content").alias("n_content_blocks"),
         "part_id",

@@ -8,6 +8,8 @@ engine-specific hash functions in checked paths.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,10 +33,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash signatures + LSH candidate pairs ------------------------------------
-# Shingles: word 3-grams. Signature_i = min over shingles of md5('s<i>|'||sh).
-# The min of a uniform hash is a valid MinHash; md5 hex strings order-compare
-# identically in both engines. Standard banding: NUM_PERMS perms split into
-# BANDS bands of ROWS_PER_BAND rows; candidate pair iff any full band matches.
+# Shingles: word 3-grams. Signature_i = min over shingles of a Broder-style
+# linear permutation hash (see the block comment below) — identical integer
+# arithmetic in both engines, so the signatures are value-checked against
+# the oracle. Standard banding: NUM_PERMS perms split into BANDS bands of
+# ROWS_PER_BAND rows; candidate pair iff any full band matches.
 #
 # Skew safety (the 100 TB property): a doc with < 3 words has NO shingles and
 # therefore no meaningful MinHash — at web scale that segment (near-empty /
@@ -69,29 +72,73 @@ _WORDS_SPARK = "filter(split({col}, ' '), x -> x != '')"
 _WORDS_SQL = "list_filter(string_split(text, ' '), x -> x != '')"
 
 
+# Permutations are Broder-style linear hashes over ONE md5 per shingle:
+# h(s) = first 7 hex digits of md5(s) as an integer (28 bits), then
+# sig_i = min over shingles of (a_i * h(s) + b_i) mod P with P prime and
+# deterministic md5-derived (a_i, b_i). The round-1 form computed num_perms
+# separate md5('s<i>|'||s) per shingle — 16x the hashing for the same
+# statistical machinery; the linear form is one hash + num_perms
+# multiply-add-mods. Bounds: a_i < P < 2^29, h < 2^28 → a*h+b < 2^57, no
+# bigint overflow in either engine (Spark ANSI would error, not wrap).
+
+_MH_PRIME = 536_870_909  # largest prime < 2^29
+
+
+def _mh_const(tag: str, i: int) -> int:
+    return int(_hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:7], 16)
+
+
+def _mh_ab(num_perms: int) -> tuple[list[int], list[int]]:
+    a = [_mh_const("a", i) % (_MH_PRIME - 1) + 1 for i in range(num_perms)]
+    b = [_mh_const("b", i) % _MH_PRIME for i in range(num_perms)]
+    return a, b
+
+
+# shingle -> 28-bit integer hash, both dialects (md5 hex is lowercase in both)
+_SHASH_SPARK = "CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)"
+_SHASH_SQL = (
+    "list_aggregate(list_transform(generate_series(1, 7),"
+    " k -> CAST(strpos('0123456789abcdef', substr(md5(s), k, 1)) - 1"
+    " AS BIGINT) * (1 << (4 * (7 - k)))), 'sum')"
+)
+
+
+# The signature array is generated with one EXPLICIT slot per permutation
+# (scalar a_i/b_i literals baked in), not a loop indexing literal arrays:
+# element_at(array(<16 literals>), i) inside a lambda re-materializes the
+# literal array per element evaluation in both engines — measured ~20s at
+# sf0.1 vs ~1s for the expanded form (the same hoisting lesson as the
+# stopword arrays in queries.py).
 def _sigs_spark(num_perms: int) -> str:
-    # one array expr for the whole signature; i is 0-based perm index
-    return (
-        f"transform(sequence(0, {num_perms - 1}), i -> array_min("
-        "transform(sh, s -> md5(concat('s', CAST(i AS STRING), '|', s)))))"
+    a, b = _mh_ab(num_perms)
+    slots = ", ".join(
+        f"array_min(transform(hv, v -> pmod({ai}L * v + {bi}L,"
+        f" {_MH_PRIME}L)))"
+        for ai, bi in zip(a, b)
     )
+    return f"array({slots})"
 
 
 def _sigs_sql(num_perms: int) -> str:
-    return (
-        f"list_transform(generate_series(0, {num_perms - 1}), i -> "
-        "list_aggregate(list_transform(sh, s -> md5('s' || i || '|' || s)),"
-        " 'min'))"
+    a, b = _mh_ab(num_perms)
+    slots = ", ".join(
+        f"list_aggregate(list_transform(hv, v -> ({ai} * v + {bi})"
+        f" % {_MH_PRIME}), 'min')"
+        for ai, bi in zip(a, b)
     )
+    return f"[{slots}]"
 
 
 def _minhash_sql_base(num_perms: int) -> str:
     return f"""
 WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
 shd AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM w),
-sig AS (
-  SELECT doc_id, {_sigs_sql(num_perms)} AS sigs
+hvd AS (
+  SELECT doc_id, list_transform(sh, s -> {_SHASH_SQL}) AS hv
   FROM shd WHERE len(sh) > 0
+),
+sig AS (
+  SELECT doc_id, {_sigs_sql(num_perms)} AS sigs FROM hvd
 )
 """
 
@@ -102,15 +149,22 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perms: int = NUM_PERMS,
 ) -> DataFrame:
-    """(id, sigs: array<string>[num_perms]) for every doc with >=1 shingle.
+    """(id, sigs: array<bigint>[num_perms]) for every doc with >=1 shingle.
 
     Per-row map only — scale-safe. Docs without shingles (< 3 words) are
     dropped here by design; see the module comment on the mega-bucket."""
-    d = docs.withColumn("w", F.expr(_WORDS_SPARK.format(col=text_col)))
-    d = d.withColumn("sh", F.expr(_SHINGLES_SPARK))
-    return d.filter(F.expr("size(sh) > 0")).select(
-        F.col(id_col), F.expr(_sigs_spark(num_perms)).alias("sigs")
+    # the shingle-existence filter is expressed on the WORDS (>= 3 nonempty
+    # tokens <=> >= 1 shingle) and applied before any derivation: a filter
+    # on size(sh) pushes below the projection and forces the whole
+    # words->shingles chain to be computed twice per row (measured ~4x the
+    # cost of the derivations themselves at sf0.1)
+    d = docs.filter(
+        F.expr(f"size({_WORDS_SPARK.format(col=text_col)}) >= 3")
     )
+    d = d.withColumn("w", F.expr(_WORDS_SPARK.format(col=text_col)))
+    d = d.withColumn("sh", F.expr(_SHINGLES_SPARK))
+    d = d.withColumn("hv", F.expr(f"transform(sh, s -> {_SHASH_SPARK})"))
+    return d.select(F.col(id_col), F.expr(_sigs_spark(num_perms)).alias("sigs"))
 
 
 def minhash_band_keys(
@@ -125,8 +179,8 @@ def minhash_band_keys(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"concat_ws('#', slice(sigs, b * {rows_per_band} + 1,"
-                f" {rows_per_band})))"
+                f"concat_ws('#', transform(slice(sigs, b * {rows_per_band}"
+                f" + 1, {rows_per_band}), x -> CAST(x AS STRING))))"
             )
         ).alias("bi", "band"),
     )
@@ -301,55 +355,59 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Random-hyperplane LSH: plane j's component for dim d is +1/-1 from
-# md5("p<j>_<d>") — deterministic, identical in both engines, so even the
-# ANN bucket assignment is value-checked.
+# md5("p<j>_<d>") — deterministic CONSTANTS, so the whole sign matrix is
+# precomputed here (same md5, hashlib side) and embedded as a literal. The
+# round-1 expression re-evaluated 8 planes x 64 dims of md5() per ROW — 512
+# interpreted hash calls per vector — which dominated every bucket-using
+# query (bucket values are bit-identical to the old form; the oracle checks
+# that).
 
-_PLANE_BIT_SPARK = (
-    "IF(aggregate(transform(sequence(1, size(embedding)), d ->"
-    " CAST(element_at(embedding, d) AS DOUBLE) *"
-    f" IF(substring(md5(concat('p', j, '_', d)), 1, 1) IN {_HI}, 1.0D, -1.0D)),"
-    " CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0D, shiftleft(1, j - 1), 0)"
+_DIM = 64  # driver embeddings dimension (verified across all SFs)
+_N_PLANES = 8
+
+
+def _plane_sign(j: int, d: int) -> float:
+    h = _hashlib.md5(f"p{j}_{d}".encode()).hexdigest()[0]
+    return 1.0 if h in "89abcdef" else -1.0
+
+
+_PLANES = [
+    [_plane_sign(j, d) for d in range(1, _DIM + 1)]
+    for j in range(1, _N_PLANES + 1)
+]
+_PLANES_SPARK = "array(" + ", ".join(
+    "array(" + ", ".join(f"{v}D" for v in row) + ")" for row in _PLANES
+) + ")"
+_PLANES_SQL = "[" + ", ".join(
+    "[" + ", ".join(str(v) for v in row) + "]" for row in _PLANES
+) + "]"
+
+_BUCKET_SPARK = (
+    f"CAST(aggregate(transform(sequence(1, {_N_PLANES}), j -> IF("
+    f"aggregate(zip_with(embedding, element_at({_PLANES_SPARK}, j),"
+    " (x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE),"
+    " (s, v) -> s + v) > 0D, shiftleft(1, j - 1), 0)),"
+    " 0, (s, v) -> s + v) AS INT)"
 )
-_PLANE_BIT_SQL = (
-    "CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)),"
-    " d -> CAST(embedding[d] AS DOUBLE) * (CASE WHEN"
-    f" substr(md5('p' || j || '_' || d), 1, 1) IN {_HI}"
-    " THEN 1.0 ELSE -1.0 END)), 'sum') > 0"
-    " THEN (1 << (j - 1)) ELSE 0 END"
+_BUCKET_SQL = (
+    f"CAST(list_aggregate(list_transform(generate_series(1, {_N_PLANES}),"
+    " j -> CASE WHEN list_aggregate(list_transform("
+    " generate_series(1, len(embedding)),"
+    f" d -> CAST(embedding[d] AS DOUBLE) * ({_PLANES_SQL})[j][d]), 'sum') > 0"
+    " THEN (1 << (j - 1)) ELSE 0 END), 'sum') AS INT)"
 )
 
 
 @register(
     "sim_ann_lsh",
-    f"""
-SELECT vec_id,
-  CAST(list_aggregate(list_transform(generate_series(1, 8),
-    j -> {_PLANE_BIT_SQL}), 'sum') AS INT) AS bucket
-FROM embeddings
-""",
+    f"SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings",
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit random-hyperplane LSH bucket per vector (the ANN scale path:
     search only within the probe's bucket; a shuffle on `bucket` replaces
     the all-pairs scan)."""
     e = t(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        F.expr(
-            "CAST(aggregate(transform(sequence(1, 8), j -> "
-            f"{_PLANE_BIT_SPARK}), 0, (s, v) -> s + v) AS INT)"
-        ).alias("bucket"),
-    )
-
-
-_BUCKET_SPARK = (
-    "CAST(aggregate(transform(sequence(1, 8), j -> "
-    f"{_PLANE_BIT_SPARK}), 0, (s, v) -> s + v) AS INT)"
-)
-_BUCKET_SQL = (
-    "CAST(list_aggregate(list_transform(generate_series(1, 8),"
-    f" j -> {_PLANE_BIT_SQL}), 'sum') AS INT)"
-)
+    return e.select("vec_id", F.expr(_BUCKET_SPARK).alias("bucket"))
 
 
 @register(
@@ -390,6 +448,58 @@ def q_sim_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@register(
+    "dedup_embcos",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), c AS (
+  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         a.embedding AS embedding, bb.embedding AS probe
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+), s AS (
+  SELECT vec_a, vec_b,
+    CAST(round({_DOT_SQL}
+      / ({_NORM_SQL.format(col='embedding')} * {_NORM_SQL.format(col='probe')}),
+      6) AS DOUBLE) AS cosine
+  FROM c
+)
+SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.3
+""",
+)
+def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (the fifth dedup family from the brief):
+    candidate pairs are generated by the SAME random-hyperplane LSH buckets
+    as the ANN path — a self-equi-join on `bucket`, never an all-pairs scan
+    (mirrors minhash_candidate_pairs' banding; at scale the shuffle key is
+    the bucket id and a vector only meets its bucket-mates) — then exact
+    cosine prunes to pairs above the threshold."""
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", F.expr(_BUCKET_SPARK))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("embedding"),
+        F.col("bucket").alias("bkt_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("probe"),
+        F.col("bucket").alias("bkt_b"),
+    )
+    cos = F.expr(
+        f"round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"
+        f" * {_NORM_SPARK.format(col='probe')}), 6)"
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("bkt_a") == F.col("bkt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
     )
 
 
@@ -445,6 +555,131 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .drop("rn")
+    )
+
+
+# IVF (inverted-file) ANN skeleton: a deterministic coarse quantizer (K seed
+# centroids), per-vector assignment to its nearest centroid (the inverted
+# list), probe search restricted to the nprobe nearest lists. The argmin
+# key is a scalar composite — round(L2 * 1e6) * K + cent_id — so both
+# engines pick the same list (quantized distance, cent_id tie-break) with
+# plain min()/arg_min (DuckDB 1.0 has no struct-keyed arg_min).
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+_L2_SQL = (
+    "list_aggregate(list_transform(generate_series(1, len({v})),"
+    " d -> (CAST({v}[d] AS DOUBLE) - CAST({c}[d] AS DOUBLE))"
+    " * (CAST({v}[d] AS DOUBLE) - CAST({c}[d] AS DOUBLE))), 'sum')"
+)
+_L2_SPARK = (
+    "aggregate(zip_with({v}, {c}, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0.0 AS DOUBLE), (s, z) -> s + z)"
+)
+_IVF_KEY_SQL = (
+    f"CAST(round(({{d}}) * 1000000, 0) AS BIGINT) * {_IVF_K} + {{cid}}"
+)
+_IVF_KEY_SPARK = (
+    f"CAST(round(({{d}}) * 1000000, 0) AS BIGINT) * {_IVF_K} + {{cid}}"
+)
+
+
+_IVF_DOT = _DOT_SQL.replace("embedding", "a.embedding").replace(
+    "probe", "p.probe"
+)
+_IVF_NE = _NORM_SQL.format(col="a.embedding")
+_IVF_NP = _NORM_SQL.format(col="p.probe")
+
+
+@register(
+    "sim_ann_ivf",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_IVF_K}
+), assign AS (
+  SELECT e.vec_id, e.label, e.embedding,
+    CAST(min({_IVF_KEY_SQL.format(
+        d=_L2_SQL.format(v='e.embedding', c='c.cvec'), cid='c.cent_id')})
+      % {_IVF_K} AS BIGINT) AS list_id
+  FROM embeddings e CROSS JOIN cent c
+  GROUP BY e.vec_id, e.label, e.embedding
+), probe_lists AS (
+  SELECT c.cent_id AS plist
+  FROM cent c CROSS JOIN (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
+  ORDER BY {_IVF_KEY_SQL.format(
+      d=_L2_SQL.format(v='p.pv', c='c.cvec'), cid='c.cent_id')}
+  LIMIT {_IVF_NPROBE}
+)
+SELECT a.vec_id, a.label,
+  CAST(round({_IVF_DOT}
+    / ({_IVF_NE} * {_IVF_NP}), 6) AS DOUBLE) AS cosine
+FROM assign a
+JOIN probe_lists pl ON a.list_id = pl.plist
+CROSS JOIN (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0) p
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+""",
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: K-seed coarse quantizer → inverted lists → probe the nprobe
+    nearest lists → exact cosine top-k inside them. At scale: the centroid
+    table is tiny and broadcast (assignment is a per-row map over the
+    vectors, one pass); the inverted-list restriction replaces the full scan
+    with ~nprobe/K of the data, shuffled only by the final top-k
+    (TakeOrderedAndProject — no global sort)."""
+    e = t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    key = F.expr(
+        _IVF_KEY_SPARK.format(
+            d=_L2_SPARK.format(v="embedding", c="cvec"), cid="cent_id"
+        )
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("_k", key)
+        .groupBy("vec_id", "label", "embedding")
+        .agg(F.min("_k").alias("_mk"))
+        .select(
+            "vec_id", "label", "embedding",
+            (F.col("_mk") % _IVF_K).cast("bigint").alias("list_id"),
+        )
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pv")
+    )
+    probe_lists = (
+        cent.crossJoin(F.broadcast(probe))
+        .select(
+            "cent_id",
+            F.expr(
+                _IVF_KEY_SPARK.format(
+                    d=_L2_SPARK.format(v="pv", c="cvec"), cid="cent_id"
+                )
+            ).alias("_k"),
+        )
+        .orderBy("_k")
+        .limit(_IVF_NPROBE)
+        .select(F.col("cent_id").alias("plist"))
+    )
+    pv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    cos = F.expr(
+        f"round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"
+        f" * {_NORM_SPARK.format(col='probe')}), 6)"
+    ).cast("double")
+    return (
+        assign.join(F.broadcast(probe_lists), F.col("list_id") == F.col("plist"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(pv))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
     )
 
 

@@ -53,7 +53,7 @@ def main() -> None:
         "No `Exchange` anywhere: part_id derivation, the single `MapInArrow` "
         "parse hop, and the classify/smooth/assemble array expressions are "
         "all narrow — throughput scales with input splits, which is what the "
-        "measured 0.93 efficiency at N→4N (BENCH/BASELINE.md) reflects. "
+        "N→4N executor measurements in BENCH/BASELINE.md reflect. "
         "Exactly one JVM→Python boundary; everything downstream is JVM-side "
         "Project nodes.",
         tree_of(extract_pages(fixtures)),
@@ -118,6 +118,50 @@ def main() -> None:
         "embeddings already live. TakeOrderedAndProject caps the result "
         "without a global sort.",
         tree_of(q["sim_ann_search"](spark, sf)),
+    ))
+
+    sections.append((
+        "join_range_bucket (pure non-equi interval join, decomposed)",
+        "No NestedLoop node: the time-bucket key turns the pure range join "
+        "into a shuffled equi-join with a residual filter — 2x duplication "
+        "of the filtered probe side instead of |A|x|B| comparisons.",
+        tree_of(q["join_range_bucket"](spark, sf)),
+    ))
+
+    sections.append((
+        "dedup_minhash_pairs (LSH band self-join, 16 perms / 4 bands)",
+        "The self-join shuffles on the (band index, band key) pair — a hash "
+        "join over band buckets, never an all-pairs comparison; docs without "
+        "shingles are filtered out before banding so the near-empty-page "
+        "population cannot form a mega-bucket.",
+        tree_of(q["dedup_minhash_pairs"](spark, sf)),
+    ))
+
+    sections.append((
+        "sim_ann_multiprobe (probe-table batch ANN)",
+        "Probe table broadcast onto the bucket equi-join; per-probe ranking "
+        "shuffles on probe_id only (window top-k), the embedding table is "
+        "never exchanged for the join itself.",
+        tree_of(q["sim_ann_multiprobe"](spark, sf)),
+    ))
+
+    from ocr_spark.operators.runner import stage_input
+
+    staged_dir = pathlib.Path(tempfile.mkdtemp(prefix="plan-audit-staged-"))
+    staged = stage_input(spark, spark.read.parquet(pages_pq), staged_dir, 8)
+    batch_read = staged.where(F.col("part_id").isin([0, 1]))
+    full = plan_of(batch_read)
+    scan_detail = next(
+        (p for p in full.split("\n\n") if "PartitionFilters" in p), full
+    )
+    sections.append((
+        "Batch runner: staged input, per-batch partition pruning",
+        "After the one-pass staging write, part_id is a physical partition "
+        "column: the per-batch filter appears as PartitionFilters on the "
+        "scan (directory pruning), so a multi-batch run reads the raw input "
+        "exactly once — tests/test_runner_scan.py proves it by deleting the "
+        "raw input after the first batch.",
+        scan_detail,
     ))
 
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
