@@ -162,6 +162,98 @@ def test_session_windows_match_batch(spark, fixture_df, pages_dir):
     assert got == want
 
 
+def test_compact_stream_output(spark, fixture_df, tmp_path):
+    """Small-file compaction of the batch_id=N sink layout: same rows, far
+    fewer directories, replay records still honored, repeatable."""
+    from ocr_spark.streaming.incremental import (
+        _BatchCommitter, compact_stream_output,
+    )
+
+    out = str(tmp_path / "out")
+    committer = _BatchCommitter(out, run_id="r1")
+    small = fixture_df.select("url", "lang")
+    for bid in range(4):
+        committer(small.filter(fixture_df.url.substr(-1, 1) == str(bid)), bid)
+    n_before = spark.read.parquet(f"{out}/data").count()
+    assert n_before > 0
+
+    res = compact_stream_output(spark, out, partitions=2)
+    assert res["compacted_batches"] == 4
+    data = tmp_path / "out" / "data"
+    assert [p.name for p in data.glob("batch_id=*")] == ["batch_id=-1"]
+    assert spark.read.parquet(str(data)).count() == n_before
+
+    # a replayed pre-compaction micro-batch is still short-circuited
+    committer(small, 2)
+    assert spark.read.parquet(str(data)).count() == n_before
+
+    # a NEW batch after compaction, then a second compaction folds it in
+    committer(small.limit(3), 9)
+    res2 = compact_stream_output(spark, out, partitions=2)
+    assert res2["compacted_batches"] == 1
+    assert spark.read.parquet(str(data)).count() == n_before + 3
+    assert compact_stream_output(spark, out)["compacted_batches"] == 0
+
+
+def test_stateful_host_counts_survive_restart(spark, fixture_df, tmp_path):
+    """applyInPandasWithState: per-host running totals accumulate across
+    micro-batches AND across a restart from the checkpoint (the state store
+    carries the counter), and the final totals equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.incremental import host_running_counts
+    from ocr_spark.schemas import PAGES_SCHEMA
+
+    d = tmp_path / "state_in"
+    d.mkdir()
+    sink = str(tmp_path / "state_out")
+    ckpt = str(tmp_path / "state_ckpt")
+
+    half = fixture_df.limit(40)
+    rest = fixture_df.subtract(half)
+
+    def commit(bdf, bid):
+        # emission log: one row per (host, batch) — append is the right
+        # semantic for a monitor feed; a file sink can't take update mode
+        bdf.write.mode("append").parquet(sink)
+
+    def run():
+        src = spark.readStream.schema(PAGES_SCHEMA).parquet(str(d / "*"))
+        _drain(
+            host_running_counts(src)
+            .writeStream.foreachBatch(commit)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+
+    half.coalesce(1).write.parquet(str(d / "f1"))
+    run()
+    rest.coalesce(1).write.parquet(str(d / "f2"))
+    run()  # restart: state restored from the checkpoint
+
+    out = spark.read.parquet(sink)
+    # the LAST emitted total per host must equal the batch ground truth
+    finals = {
+        r.host: r.n_docs_total
+        for r in out.orderBy("n_docs_total").collect()
+    }
+    want = {
+        r.host: r.n
+        for r in fixture_df.groupBy(
+            F.parse_url("url", F.lit("HOST")).alias("host")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert finals == want
+    # batch deltas per host sum to the same totals (no double counting)
+    sums = {
+        r.host: r.s
+        for r in out.groupBy("host").agg(
+            F.sum("n_docs_batch").alias("s")
+        ).collect()
+    }
+    assert sums == want
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Op 51: once the watermark has passed a window and its state was
     evicted (the guaranteed part of watermark semantics), a late row for
