@@ -16,8 +16,12 @@ explode→window→groupBy formulation of ops 12–17 lives in
 ``ocr_spark.operators.exploded`` and is property-tested to produce identical
 bytes; this fused form is the production path.)
 
-Per-document classification/smoothing is O(n_blocks²) in the worst case via
-array slices, bounded by spec.MAX_BLOCKS; typical pages have < 100 blocks.
+Per-document work is near-linear in n_blocks: classification is one
+transform, smoothing is segment-wise (O(#edges) lambda evals + O(n) output
+construction), and span offsets use log-doubling prefix sums — the round-1
+O(n_blocks²) slice-scan forms were rewritten after a MAX_BLOCKS link-farm
+corpus measured them dominating the stage (see bench.py
+extract_maxblocks_256).
 """
 
 from __future__ import annotations

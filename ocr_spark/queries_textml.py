@@ -193,8 +193,16 @@ def minhash_candidate_pairs(
     num_perms: int = NUM_PERMS,
     bands: int = BANDS,
 ) -> DataFrame:
-    """LSH banding self-join: shuffle on (bi, band) — a hash join on band
-    buckets, never an all-pairs comparison."""
+    """LSH banding self-join: shuffle on the (bi, band) key — a hash join
+    over band buckets, never an all-pairs comparison. The two join sides are
+    identical subplans, so Spark's ReuseExchange computes the signature
+    pipeline and its shuffle ONCE (a bucket-groupBy + combinatorial-explode
+    formulation was measured ~1.7x slower for exactly that reason).
+
+    Caveat at scale: the OUTPUT is inherently quadratic in the size of a
+    true duplicate cluster (1M identical docs = 5·10^11 pairs) — that is a
+    property of "emit all candidate pairs", not of the plan. For the dedup
+    DECISION use :func:`minhash_group_reps`, whose output is linear."""
     sig = minhash_signatures(docs, text_col, id_col, num_perms)
     b = minhash_band_keys(sig, bands, num_perms // bands)
     a_, b_ = b.alias("a"), b.alias("b")
@@ -209,6 +217,31 @@ def minhash_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def minhash_group_reps(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = NUM_PERMS,
+    bands: int = BANDS,
+) -> DataFrame:
+    """The scale-safe dedup DECISION: each doc mapped to a cluster
+    representative (the minimum doc_id over every bucket the doc shares) —
+    one star-pattern pass, so the output is LINEAR in the corpus no matter
+    how large a duplicate cluster is, unlike the all-pairs listing. Docs
+    whose rep equals themselves are the keepers. (A single pass
+    under-merges chains A~B~C where A,C never share a bucket; iterate
+    rep-of-rep to a fixpoint for full connected components — each iteration
+    is the same two linear shuffles.)"""
+    sig = minhash_signatures(docs, text_col, id_col, num_perms)
+    b = minhash_band_keys(sig, bands, num_perms // bands)
+    bmin = b.groupBy("bi", "band").agg(F.min("doc_id").alias("bmin"))
+    return (
+        b.join(bmin, ["bi", "band"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("rep"))
     )
 
 
@@ -237,6 +270,27 @@ FROM bands a JOIN bands b
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_groups",
+    _minhash_sql_base(NUM_PERMS)
+    + f"""
+, bands AS (
+  SELECT doc_id, CAST(b AS INT) AS bi,
+    array_to_string(sigs[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND}
+      + {ROWS_PER_BAND}], '#') AS band
+  FROM sig, generate_series(0, {BANDS - 1}) AS t(b)
+), bm AS (
+  SELECT bi, band, min(doc_id) AS bmin FROM bands GROUP BY bi, band
+)
+SELECT b.doc_id, min(bm.bmin) AS rep
+FROM bands b JOIN bm ON b.bi = bm.bi AND b.band = bm.band
+GROUP BY b.doc_id
+""",
+)
+def q_dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_group_reps(t(spark, sf_dir, "documents"))
 
 
 # --- SimHash (16-bit, md5-derived bit planes) -------------------------------------
