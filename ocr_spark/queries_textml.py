@@ -781,7 +781,10 @@ FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hit counts are materialized as columns first (one filter scan per
     # language), then the argmax CASE compares plain int columns — the
-    # naive inline form re-runs each filter scan per pairwise comparison
+    # naive inline form re-runs each filter scan per pairwise comparison.
+    # (A token -> language-bitmask map was tried and did NOT help: Spark map
+    # literals are array-backed, so element_at is a linear scan over all
+    # ~500 keys — the same work as the 5 per-language array scans.)
     d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
     for lg in _LANGS:
         d = d.withColumn(f"h_{lg}", F.expr(_hits_spark(lg)))
