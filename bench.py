@@ -176,6 +176,18 @@ def main() -> None:
                 result["scaling_efficiency"] = last["best_cycle_efficiency"]
                 result["scaling_efficiency_median"] = last["median_efficiency"]
                 result["scaling_measured_ts"] = last["ts"]
+                # the COMPLETE measurement record (medians include runs that
+                # failed the gate under host CPU-steal): no cherry-picking
+                # in either direction
+                result["scaling_history"] = [
+                    {
+                        "ts": (r := json.loads(ln))["ts"],
+                        "exec_cores": r.get("exec_cores", 2),
+                        "median": r["median_efficiency"],
+                        "best": r["best_cycle_efficiency"],
+                    }
+                    for ln in lines
+                ]
         else:
             bench_md = (
                 pathlib.Path(__file__).resolve().parent / "BENCH" / "BASELINE.md"
