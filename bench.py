@@ -179,14 +179,23 @@ def main() -> None:
                 # the COMPLETE measurement record (medians include runs that
                 # failed the gate under host CPU-steal): no cherry-picking
                 # in either direction
+                # best = best PAIRED cycle (max of the per-cycle ratios):
+                # early runs recorded a cross-window pairing under
+                # best_cycle_efficiency, so recompute uniformly
                 result["scaling_history"] = [
                     {
                         "ts": (r := json.loads(ln))["ts"],
                         "exec_cores": r.get("exec_cores", 2),
                         "median": r["median_efficiency"],
-                        "best": r["best_cycle_efficiency"],
+                        "best": max(
+                            r.get("cycle_efficiencies",
+                                  [r["best_cycle_efficiency"]])
+                        ),
                     }
                     for ln in lines
+                ]
+                result["scaling_efficiency"] = result["scaling_history"][-1][
+                    "best"
                 ]
         else:
             bench_md = (

@@ -110,8 +110,6 @@ def main() -> None:
             st_single = _steal_jiffies() - st0
             s = _parse(out)
             s["steal_jiffies"] = st_single
-            if single is None or s["docs_per_sec"] > single["docs_per_sec"]:
-                single = s
 
             st0 = _steal_jiffies()
             procs = [
@@ -131,12 +129,14 @@ def main() -> None:
             st_four = _steal_jiffies() - st0
             steal_log.append({"single": st_single, "four": st_four})
             cycle_rate4 = sum(sh["docs_per_sec"] for sh in cycle_shards)
-            cycle_effs.append(
-                round(cycle_rate4 / (N_EXECS * s["docs_per_sec"]), 3)
-            )
-            if shards is None or sum(
-                s["docs_per_sec"] for s in cycle_shards
-            ) > sum(s["docs_per_sec"] for s in shards):
+            cycle_eff = round(cycle_rate4 / (N_EXECS * s["docs_per_sec"]), 3)
+            cycle_effs.append(cycle_eff)
+            # headline = the best PAIRED cycle: both sides of the ratio from
+            # the same measurement window. (Picking best single and best
+            # four independently across cycles mixes contention windows and
+            # can report a ratio no actual cycle measured.)
+            if shards is None or cycle_eff >= max(cycle_effs):
+                single = s
                 shards = cycle_shards
                 for sh in cycle_shards:
                     sh["steal_jiffies"] = st_four
