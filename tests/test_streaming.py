@@ -179,6 +179,8 @@ def test_compact_stream_output(spark, fixture_df, tmp_path):
 
     res = compact_stream_output(spark, out, partitions=2)
     assert res["compacted_batches"] == 4
+    assert res["rows"] == n_before  # the compacted slice, not the whole dir
+    assert res["rows_total"] == n_before
     data = tmp_path / "out" / "data"
     assert [p.name for p in data.glob("batch_id=*")] == ["batch_id=-1"]
     assert spark.read.parquet(str(data)).count() == n_before
@@ -191,8 +193,69 @@ def test_compact_stream_output(spark, fixture_df, tmp_path):
     committer(small.limit(3), 9)
     res2 = compact_stream_output(spark, out, partitions=2)
     assert res2["compacted_batches"] == 1
+    assert res2["rows"] == 3  # only the freshly folded slice
+    assert res2["rows_total"] == n_before + 3
     assert spark.read.parquet(str(data)).count() == n_before + 3
     assert compact_stream_output(spark, out)["compacted_batches"] == 0
+
+
+def test_compact_crash_windows(spark, fixture_df, tmp_path):
+    """Every interruption point of the compaction protocol either rolls
+    back (incomplete stage) or rolls forward (complete stage), with no row
+    loss and no double-fold on rerun."""
+    import os
+    import shutil
+
+    from ocr_spark.streaming.incremental import (
+        _BatchCommitter, _COMPACT_META, _COMPACT_NEXT, _COMPACT_OLD,
+        compact_stream_output,
+    )
+
+    out = str(tmp_path / "out")
+    data = tmp_path / "out" / "data"
+    committer = _BatchCommitter(out, run_id="r1")
+    small = fixture_df.select("url", "lang")
+    for bid in range(3):
+        committer(small.filter(fixture_df.url.substr(-1, 1) == str(bid)), bid)
+    n = spark.read.parquet(str(data)).count()
+    assert n > 0
+
+    # window 1: crash mid-stage-write (next exists, NO meta) -> rolled back,
+    # original batch dirs untouched, rerun compacts normally
+    nxt = tmp_path / "out" / _COMPACT_NEXT
+    nxt.mkdir()
+    (nxt / "part-00000.parquet").write_bytes(b"torn write")
+    res = compact_stream_output(spark, out, partitions=2)
+    assert res["compacted_batches"] == 3 and res["rows_total"] == n
+    assert spark.read.parquet(str(data)).count() == n
+
+    # window 2: crash AFTER commit rename but BEFORE batch-dir cleanup —
+    # simulate by re-creating a covered batch dir; a plain rerun must drop
+    # it (it is listed in the committed generation's meta), never re-fold it
+    committer(small.limit(5), 7)  # new batch, folded by a second compaction
+    res2 = compact_stream_output(spark, out, partitions=2)
+    assert res2["rows_total"] == n + 5
+    committer(small.limit(5), 7)  # "leftover" dir for an already-covered id
+    res3 = compact_stream_output(spark, out, partitions=2)
+    assert res3["compacted_batches"] == 0  # recovery removed it pre-fold
+    assert spark.read.parquet(str(data)).count() == n + 5
+
+    # window 3: crash between target->old and next->target (target absent,
+    # old + complete next present) -> recovery installs next, drops old
+    target = data / "batch_id=-1"
+    committer(small.limit(2), 11)
+    batch_dir = data / "batch_id=11"
+    merged = spark.read.parquet(str(target)).unionByName(
+        spark.read.parquet(str(batch_dir))
+    )
+    merged.write.mode("overwrite").parquet(str(nxt))
+    (nxt / _COMPACT_META).write_text('{"covered": [11], "rows": 2}')
+    os.rename(target, tmp_path / "out" / _COMPACT_OLD)
+    res4 = compact_stream_output(spark, out, partitions=2)
+    assert res4["compacted_batches"] == 0  # nothing left after roll-forward
+    assert not (tmp_path / "out" / _COMPACT_OLD).exists()
+    assert not batch_dir.exists()
+    assert spark.read.parquet(str(data)).count() == n + 7
 
 
 def test_stateful_host_counts_survive_restart(spark, fixture_df, tmp_path):
