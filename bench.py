@@ -143,13 +143,21 @@ def main() -> None:
             src = f"{e2e_dir}/pages"
             bench_pages(spark, 20000).repartition(int(cpus)).write.parquet(src)
             best = float("inf")
+            e2e_stages: dict[str, float] = {}
             for attempt in range(2):  # best-of-2, like every other entry
                 start = time.perf_counter()
-                run_extract(
+                res = run_extract(
                     spark, spark.read.parquet(src), f"{e2e_dir}/out{attempt}",
                     run_id="bench", num_parts=64, parts_per_batch=64,
                 )
-                best = min(best, time.perf_counter() - start)
+                took = time.perf_counter() - start
+                if took < best:
+                    best = took
+                    # per-phase wall seconds of the BEST attempt, so a
+                    # contended driver window is distinguishable from a real
+                    # regression in one phase (round-2 lesson: the 4x e2e
+                    # delta was entirely the lineage write path)
+                    e2e_stages = res["stage_sec"]
             timings["extract_e2e_runner_20k"] = round(best, 3)
         finally:
             shutil.rmtree(e2e_dir, ignore_errors=True)
@@ -164,6 +172,7 @@ def main() -> None:
             "sf": sf,
             "docs_per_sec": round(BENCH_DOCS / extract_sec, 1),
             "cpus": int(cpus),
+            "e2e_stage_sec": e2e_stages,
         }
         # surface the last measured N->4N executor scaling efficiency from
         # the append-only history (scripts/bench_scaling.py): the LATEST
@@ -197,6 +206,12 @@ def main() -> None:
                 result["scaling_efficiency"] = result["scaling_history"][-1][
                     "best"
                 ]
+                # the LATEST run's per-cycle efficiencies + host steal
+                # jiffies per phase, so a regression is attributable from
+                # this JSON alone (a low cycle with high steal = contention,
+                # low cycle with low steal = a real scaling problem)
+                result["scaling_cycles"] = last.get("cycle_efficiencies")
+                result["steal_per_phase"] = last.get("steal_per_cycle")
         else:
             bench_md = (
                 pathlib.Path(__file__).resolve().parent / "BENCH" / "BASELINE.md"

@@ -54,11 +54,15 @@ DEFAULT_SALT_N = 16  # salt fan-out for hot hosts when repartitioning
 
 def _make_arrow_parser(input_counter=None):
     """Build the mapInArrow worker fn; ``input_counter`` (optional) is a
-    dict-valued Spark accumulator incremented with {part_id: n_docs} at the
-    parse boundary — an input-side document count that is independent of the
-    output read-back, so lineage can record input_rows separately from
-    output_rows. (Accumulator caveat: a retried task may re-add its batch
-    counts — acceptable for metrics, never used for correctness.)"""
+    dict-valued Spark accumulator incremented at the parse boundary with
+    ``{(stage_id, partition_id, attempt): {part_id: n_docs}}`` — an
+    input-side document count that is independent of the output read-back,
+    so lineage can record input_rows separately from output_rows.
+    Contributions are keyed by task attempt so the driver can keep exactly
+    ONE attempt per (stage, partition): a retried or speculative duplicate
+    task re-scans the same deterministic split, so dropping all but one
+    attempt makes the count exact on a real cluster (the round-2 version
+    summed raw contributions and could over-count under retries)."""
 
     def _parse_arrow_batches(
         batches: Iterator[pa.RecordBatch],
@@ -67,6 +71,16 @@ def _make_arrow_parser(input_counter=None):
 
         block_type = block_pa_type()
         bbox_type = block_type.field("bbox").type
+        task_key = None
+        if input_counter is not None:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            task_key = (
+                (tc.stageId(), tc.partitionId(), tc.attemptNumber())
+                if tc is not None
+                else (0, 0, 0)
+            )
         for batch in batches:
             if input_counter is not None:
                 import pyarrow.compute as pc
@@ -74,8 +88,10 @@ def _make_arrow_parser(input_counter=None):
                 vc = pc.value_counts(batch.column("part_id"))
                 input_counter.add(
                     {
-                        item["values"].as_py(): item["counts"].as_py()
-                        for item in vc
+                        task_key: {
+                            item["values"].as_py(): item["counts"].as_py()
+                            for item in vc
+                        }
                     }
                 )
             yield _parse_one_batch(batch, block_type, bbox_type)

@@ -51,6 +51,7 @@ just-written parquet — never from a second scan of the raw input.
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
 import json
 import os
 import pathlib
@@ -72,15 +73,37 @@ from ocr_spark.schemas import LINEAGE_SCHEMA, PAGES_SCHEMA
 
 
 class _PartCountParam(AccumulatorParam):
-    """Accumulator merging {part_id: n_docs} dicts from parse tasks."""
+    """Accumulator merging ``{(stage, partition, attempt): {part_id: n}}``
+    contributions from parse tasks. Batches of the SAME task attempt sum;
+    distinct attempts stay separate so the driver can dedup retries."""
 
     def zero(self, value):
         return {}
 
     def addInPlace(self, a, b):
-        for k, v in b.items():
-            a[k] = a.get(k, 0) + v
+        for key, counts in b.items():
+            inner = a.setdefault(key, {})
+            for part, n in counts.items():
+                inner[part] = inner.get(part, 0) + n
         return a
+
+
+def _dedup_input_counts(acc_value: dict) -> dict[int, int]:
+    """Collapse attempt-tagged contributions to exact per-part input counts:
+    keep ONE attempt per (stage, partition) — a retried/speculative task
+    re-reads the same deterministic split, so any single completed attempt
+    carries the true counts (the lowest attempt number is chosen for
+    determinism) — then sum across partitions."""
+    chosen: dict[tuple[int, int], tuple[int, dict]] = {}
+    for (stage, part_idx, attempt), counts in acc_value.items():
+        cur = chosen.get((stage, part_idx))
+        if cur is None or attempt < cur[0]:
+            chosen[(stage, part_idx)] = (attempt, counts)
+    out: dict[int, int] = {}
+    for _, counts in chosen.values():
+        for part, n in counts.items():
+            out[part] = out.get(part, 0) + n
+    return out
 
 
 class Manifest:
@@ -143,6 +166,22 @@ def _chunks(seq: Sequence[int], size: int) -> list[list[int]]:
     return [list(seq[i : i + size]) for i in range(0, len(seq), size)]
 
 
+def _write_lineage(spark: SparkSession, rows: list[tuple], lineage_dir: str) -> None:
+    """Append lineage rows as one parquet file.
+
+    Goes through a pandas frame on purpose: ``createDataFrame(list)`` plans
+    a pickled-RDD scan whose write needs a Python-worker round trip
+    (measured 4.5-6.5 s for 64 rows on this host — it dominated the e2e
+    runner and was the round-2 bench regression), while the Arrow/pandas
+    path is a JVM-side LocalRelation and the same write is ~0.2 s."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=[f.name for f in LINEAGE_SCHEMA.fields])
+    spark.createDataFrame(pdf, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(lineage_dir)
+
+
 def stage_input(
     spark: SparkSession,
     pages: DataFrame,
@@ -163,7 +202,37 @@ def stage_input(
     staged = out / "_staged"
     marker = staged / "_STAGING_COMPLETE"
     pages_dir = str(staged / "pages")
-    if not marker.exists():
+    # fingerprint = the input's file listing (metadata-only); empty for
+    # non-file inputs, in which case only num_parts is validated
+    in_files = sorted(pages.inputFiles())
+    fp = (
+        hashlib.sha256("\n".join(in_files).encode()).hexdigest()
+        if in_files
+        else None
+    )
+    if marker.exists():
+        # a resumed run MUST be resuming the same job: a different
+        # num_parts silently remaps every part_id and a different input
+        # violates the immutable-input contract — both corrupt the resume,
+        # so they raise instead of reusing or silently re-staging
+        try:
+            rec = json.loads(marker.read_text())
+        except ValueError:
+            rec = {}  # legacy "ok" marker (pre-validation): accept as-is
+        if rec:
+            if rec.get("num_parts") != num_parts:
+                raise ValueError(
+                    f"staged layout at {staged} was built with num_parts="
+                    f"{rec.get('num_parts')}, run requested {num_parts}; "
+                    "use a fresh out_dir (part_ids are not comparable)"
+                )
+            if fp and rec.get("fingerprint") and rec["fingerprint"] != fp:
+                raise ValueError(
+                    f"input fingerprint changed since staging at {staged} "
+                    "(the input must be immutable for the lifetime of one "
+                    "out_dir); use a fresh out_dir"
+                )
+    else:
         stg = with_part_id(pages, num_parts).select(
             "url", "warc_ts", "html", "lang", "part_id"
         )
@@ -171,7 +240,15 @@ def stage_input(
         stg.write.mode("overwrite").partitionBy("part_id").parquet(pages_dir)
         marker.parent.mkdir(parents=True, exist_ok=True)
         tmp = marker.with_suffix(".tmp")
-        tmp.write_text("ok")
+        tmp.write_text(
+            json.dumps(
+                {
+                    "num_parts": num_parts,
+                    "fingerprint": fp,
+                    "n_input_files": len(in_files),
+                }
+            )
+        )
         os.replace(tmp, marker)  # staging committed atomically
     return spark.read.parquet(pages_dir)
 
@@ -187,25 +264,43 @@ def run_extract(
     after_batch: Callable[[list[int]], None] | None = None,
     stage_partitions: int | None = None,
     keep_staged: bool = False,
+    data_location: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job over ``pages`` into ``out_dir``.
 
-    Returns ``{"run_id", "parts_done_before", "parts_done_now", "batches"}``.
+    ``data_location`` overrides where the extracted DATA rows go (default
+    ``<out_dir>/data``): pass an ``iceberg:<catalog.db.tbl>`` location to
+    write/read-back through the Iceberg runtime (ocr_spark.tables) while
+    manifests/lineage stay in ``out_dir`` — the layout the design point
+    uses the day a runtime jar is present.
+
+    Returns ``{"run_id", "parts_done_before", "parts_done_now", "batches",
+    "stage_sec"}`` — ``stage_sec`` holds wall seconds summed over batches for
+    each phase (``stage`` / ``parse_write`` / ``readback`` / ``lineage`` /
+    ``manifest``), so a bench regression is attributable to one phase
+    instead of showing up only as an opaque end-to-end delta.
     ``after_batch`` is a test hook called after each batch commit (used by the
     kill/resume tests to abort mid-run). The input must be immutable for the
     lifetime of one ``out_dir`` (standard for crawl snapshots); staged data
     is removed once every partition has committed unless ``keep_staged``.
     """
+    from ocr_spark.tables import read_table, write_table
+
     out = pathlib.Path(out_dir)
-    data_dir = str(out / "data")
+    data_dir = data_location or str(out / "data")
     lineage_dir = str(out / "_lineage")
     manifest = Manifest(out)
 
     done_before = sorted(manifest.completed_parts())
     todo = [p for p in range(num_parts) if p not in set(done_before)]
 
+    stage_sec = {
+        "stage": 0.0, "parse_write": 0.0, "readback": 0.0,
+        "lineage": 0.0, "manifest": 0.0,
+    }
     batches = _chunks(todo, parts_per_batch)
     multi_batch = len(batches) > 1
+    _ts = time.perf_counter()
     if multi_batch:
         # single-scan path: stage once, then every batch filter prunes
         try:
@@ -218,12 +313,11 @@ def run_extract(
                 (part, run_id, 0, 0, 0, ts, ts, "failed", 0.0)
                 for part in todo
             ]
-            spark.createDataFrame(
-                failed, schema=LINEAGE_SCHEMA
-            ).coalesce(1).write.mode("append").parquet(lineage_dir)
+            _write_lineage(spark, failed, lineage_dir)
             raise
     else:
         pages = with_part_id(pages, num_parts)
+    stage_sec["stage"] = round(time.perf_counter() - _ts, 3)
 
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -247,12 +341,16 @@ def run_extract(
                 # (tasks x parts small files — measured 7x slower and 32x
                 # the file count). The shuffle moves extracted text, a
                 # fraction of the input bytes.
-                # dynamic overwrite: replaces exactly the part_id=N dirs in
-                # this batch — idempotent re-run after a crash, no
+                # dynamic overwrite (Iceberg overwritePartitions when the
+                # location is iceberg:): replaces exactly the part_id=N
+                # dirs in this batch — idempotent re-run after a crash, no
                 # duplicate rows
-                ex.repartition(len(batch), "part_id").write.mode(
-                    "overwrite"
-                ).partitionBy("part_id").parquet(data_dir)
+                write_table(
+                    ex.repartition(len(batch), "part_id"),
+                    data_dir,
+                    mode="overwrite_partitions",
+                    partition_by=("part_id",),
+                )
             except Exception:
                 # record the failure in the metrics table, then surface it;
                 # the partitions stay uncommitted so a rerun redoes them
@@ -261,16 +359,16 @@ def run_extract(
                     (part, run_id, 0, 0, 0, started, ts, "failed", 0.0)
                     for part in batch
                 ]
-                spark.createDataFrame(
-                    failed, schema=LINEAGE_SCHEMA
-                ).coalesce(1).write.mode("append").parquet(lineage_dir)
+                _write_lineage(spark, failed, lineage_dir)
                 raise
             elapsed = time.perf_counter() - t0
+            stage_sec["parse_write"] += elapsed
             finished = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
+            _ts = time.perf_counter()
             # column-pruned read-back of the freshly written batch
             stats_rows = (
-                spark.read.parquet(data_dir)
+                read_table(spark, data_dir)
                 .where(F.col("part_id").isin(batch))
                 .groupBy("part_id")
                 .agg(
@@ -279,8 +377,10 @@ def run_extract(
                 )
                 .collect()
             )
+            stage_sec["readback"] += time.perf_counter() - _ts
+            _ts = time.perf_counter()
             stats = {r["part_id"]: r for r in stats_rows}
-            in_counts = dict(input_counts.value)
+            in_counts = _dedup_input_counts(input_counts.value)
             lineage_rows = []
             for part in batch:
                 r = stats.get(part)
@@ -294,9 +394,9 @@ def run_extract(
                         round(n_rows / elapsed, 3) if elapsed > 0 else 0.0,
                     )
                 )
-            spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA).coalesce(
-                1
-            ).write.mode("append").parquet(lineage_dir)
+            _write_lineage(spark, lineage_rows, lineage_dir)
+            stage_sec["lineage"] += time.perf_counter() - _ts
+            _ts = time.perf_counter()
             # manifest commit LAST: a crash before this point leaves the
             # partition uncommitted and the next run redoes it idempotently
             for part, row in zip(batch, lineage_rows):
@@ -309,6 +409,7 @@ def run_extract(
                         "committed_ts": finished.isoformat(),
                     }
                 )
+            stage_sec["manifest"] += time.perf_counter() - _ts
             if after_batch is not None:
                 after_batch(batch)
     finally:
@@ -323,4 +424,5 @@ def run_extract(
         "parts_done_before": done_before,
         "parts_done_now": todo,
         "batches": len(_chunks(todo, parts_per_batch)),
+        "stage_sec": {k: round(v, 3) for k, v in stage_sec.items()},
     }

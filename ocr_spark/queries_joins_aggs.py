@@ -253,7 +253,9 @@ GROUP BY g.thr
 )
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    grid = spark.createDataFrame([(100,), (300,), (600,)], "thr int")
+    # a SQL VALUES literal is a JVM-side LocalRelation; createDataFrame(list)
+    # would plan a pickled-RDD scan needing a Python worker round trip
+    grid = spark.sql("SELECT explode(array(100, 300, 600)) AS thr")
     return (
         d.crossJoin(F.broadcast(grid))
         .filter(F.col("n_chars") > F.col("thr"))

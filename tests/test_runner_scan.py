@@ -116,3 +116,58 @@ def test_resume_reuses_staging_without_raw_input(spark, tmp_path):
     assert res["parts_done_before"] == done
     got = sorted(r.text_sha256 for r in read_extracted(spark, str(out)).collect())
     assert got == expected
+
+
+def test_staging_marker_validates_num_parts_and_input(spark, tmp_path):
+    """A resumed run with a different num_parts (part_ids remapped) or a
+    changed input (immutability contract) must refuse the stale staged
+    layout instead of silently reusing it (ADVICE r2)."""
+    from ocr_spark.operators.runner import Manifest, run_extract
+
+    src = tmp_path / "pages"
+    out = tmp_path / "out"
+    pages = _write_pages(spark, src)
+
+    class _Kill(Exception):
+        pass
+
+    def killer(batch):
+        raise _Kill()
+
+    with pytest.raises(_Kill):
+        run_extract(spark, pages, str(out), run_id="r1", num_parts=N_PARTS,
+                    parts_per_batch=2, after_batch=killer)
+    assert len(Manifest(out).completed_parts()) == 2
+
+    # same staged layout, different num_parts -> hard error
+    with pytest.raises(ValueError, match="num_parts"):
+        run_extract(spark, pages, str(out), run_id="r2",
+                    num_parts=N_PARTS * 2, parts_per_batch=2)
+
+    # same num_parts, different input files -> hard error
+    src2 = tmp_path / "pages2"
+    other = _write_pages(spark, src2, n=120)
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_extract(spark, other, str(out), run_id="r3", num_parts=N_PARTS,
+                    parts_per_batch=2)
+
+    # the honest resume still works
+    res = run_extract(spark, pages, str(out), run_id="r4", num_parts=N_PARTS,
+                      parts_per_batch=2)
+    assert len(res["parts_done_now"]) == N_PARTS - 2
+
+
+def test_input_counts_dedup_attempts():
+    """Attempt-tagged accumulator contributions: one attempt kept per
+    (stage, partition), so retried/speculative duplicates never inflate
+    lineage input_rows (ADVICE r2)."""
+    from ocr_spark.operators.runner import _dedup_input_counts
+
+    acc = {
+        (5, 0, 0): {1: 10, 2: 3},   # original attempt
+        (5, 0, 1): {1: 10, 2: 3},   # speculative duplicate: must be dropped
+        (5, 1, 0): {1: 4},
+        (6, 0, 0): {3: 7},          # a different stage counts separately
+    }
+    assert _dedup_input_counts(acc) == {1: 14, 2: 3, 3: 7}
+    assert _dedup_input_counts({}) == {}
