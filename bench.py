@@ -89,6 +89,39 @@ def main() -> None:
                 best = min(best, time.perf_counter() - start)
             timings[name] = round(best, 3)
 
+        # production-width MinHash: the 64-perm/16-band default
+        # (queries_textml.PROD_NUM_PERMS — see the banding math there) timed
+        # against the 16-perm oracle width already in HEADLINE, so the
+        # cost-per-width of the production setting is on record
+        from ocr_spark.queries_textml import (
+            PROD_BANDS,
+            PROD_NUM_PERMS,
+            minhash_candidate_pairs,
+            minhash_group_reps,
+        )
+
+        docs = t(spark, sf_dir, "documents")
+        for nm, make in [
+            (
+                "dedup_minhash_pairs_64p16b",
+                lambda: minhash_candidate_pairs(
+                    docs, num_perms=PROD_NUM_PERMS, bands=PROD_BANDS
+                ),
+            ),
+            (
+                "dedup_minhash_groups_64p16b",
+                lambda: minhash_group_reps(
+                    docs, num_perms=PROD_NUM_PERMS, bands=PROD_BANDS
+                ),
+            ),
+        ]:
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                _materialize(make())
+                best = min(best, time.perf_counter() - start)
+            timings[nm] = round(best, 3)
+
         # flagship throughput: synthetic pages table, seed-fixed, docs/sec
         from ocr_spark.gen import bench_pages
         from ocr_spark.operators.extract import extract_pages

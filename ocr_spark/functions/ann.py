@@ -1,0 +1,302 @@
+"""ANN index building blocks: parameterized hyperplane LSH (plane count,
+multiple tables, Hamming-1 multi-probe) and IVF with TRAINED centroids
+(seeded init + one Lloyd iteration, computed in Spark), plus the recall@k
+harness that grades every index setting against the brute-force oracle.
+
+These generalize the fixed 8-plane/first-K-centroid skeletons that back the
+registry queries in ocr_spark.queries_textml (those stay pinned to their
+DuckDB oracles); this module is the MATURITY path: the knobs a production
+deployment turns at 10^12 vectors, with recall measured rather than
+asserted. scripts/ann_recall.py reports recall@10 + candidate-set cost for
+each setting; tests/test_ann.py pins the orderings that must hold
+(multi-probe > single-probe, 2 tables > 1, trained IVF >= seeded IVF).
+
+Scale shape of every search here: candidate generation is an equi-join on
+a bucket/list key (broadcast while the probe side is small, shuffle on the
+key at scale), scoring touches candidates only, ranking is a per-probe
+window top-k keyed by probe_id. Nothing is ever all-pairs; the only
+all-pairs plan in the repo is brute_force_topk, which exists to BE the
+recall oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries_fns import _DOT_SPARK, _NORM_SPARK
+
+DIM = 64  # embeddings table dimension (all SFs)
+
+_COS_EXPR = (
+    f"CAST(round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"
+    f" * {_NORM_SPARK.format(col='probe')}), 6) AS DOUBLE)"
+)
+
+
+# --- hyperplane LSH, parameterized -------------------------------------------
+
+def _sign(tag: str, j: int, d: int) -> float:
+    """Deterministic ±1 for plane j, dim d of table `tag` — md5-derived
+    constants, so the whole sign matrix is precomputable and embedded as
+    literals (never per-row hashing). tag "p" reproduces the registry
+    queries' 8-plane table bit-for-bit."""
+    h = hashlib.md5(f"{tag}{j}_{d}".encode()).hexdigest()[0]
+    return 1.0 if h in "89abcdef" else -1.0
+
+
+def table_tag(i: int) -> str:
+    """Plane-family tag for LSH table i; table 0 is the registry family."""
+    return "p" if i == 0 else f"p{i}t"
+
+
+def bucket_expr(
+    n_planes: int, dim: int = DIM, tag: str = "p", col: str = "embedding"
+) -> str:
+    """Spark SQL expr: the n_planes-bit bucket of `col` under table `tag`.
+
+    One explicit term per plane, each with its own literal sign array
+    consumed directly by zip_with — a literal passed as a function argument
+    is materialized once, unlike element_at(literal, j) inside a lambda
+    (the measured re-materialization trap)."""
+    terms = []
+    for j in range(1, n_planes + 1):
+        plane = ", ".join(f"{_sign(tag, j, d)}D" for d in range(1, dim + 1))
+        terms.append(
+            f"IF(aggregate(zip_with({col}, array({plane}),"
+            " (x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE),"
+            f" (s, v) -> s + v) > 0D, {1 << (j - 1)}, 0)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def multiprobe_expr(n_planes: int, bucket_col: str = "bucket") -> str:
+    """Spark SQL expr: array of the probe's own bucket plus its n_planes
+    Hamming-distance-1 neighbors (one plane flipped each)."""
+    return (
+        f"transform(sequence(0, {n_planes}), j -> IF(j = 0, {bucket_col},"
+        f" CAST({bucket_col} ^ shiftleft(1, j - 1) AS INT)))"
+    )
+
+
+def lsh_candidates(
+    e: DataFrame,
+    probes: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Distinct (probe_id, vec_id) candidate pairs under the given index
+    setting: per table, an equi-join of candidate buckets against probe
+    buckets (optionally expanded to Hamming-1 neighbors); tables unioned
+    then deduped. Each table's join is bucket-keyed — broadcast here,
+    shuffle-on-bucket at scale — never all-pairs."""
+    parts = []
+    for i in range(n_tables):
+        be = bucket_expr(n_planes, tag=table_tag(i))
+        cand = e.select("vec_id", F.expr(be).alias("bucket"))
+        # bucket computed BEFORE the multiprobe explode: substituting the
+        # whole bucket expr into the transform lambda would re-materialize
+        # its literal plane arrays per element (the measured trap)
+        p = probes.select(
+            "probe_id",
+            F.expr(be.replace("embedding", "probe")).alias("bucket"),
+        )
+        if multiprobe:
+            p = p.select(
+                "probe_id",
+                F.explode(F.expr(multiprobe_expr(n_planes))).alias("bucket"),
+            )
+        parts.append(
+            cand.join(F.broadcast(p), "bucket").select("probe_id", "vec_id")
+        )
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    return out.where(F.col("vec_id") != F.col("probe_id")).distinct()
+
+
+def score_topk(
+    e: DataFrame, probes: DataFrame, candidates: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine over the candidate pairs, per-probe top-k.
+    (probe_id, vec_id, cosine) — ranking shuffle keyed by probe_id."""
+    scored = (
+        candidates.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(probes.select("probe_id", "probe")), "probe_id"
+        )
+        .select("probe_id", "vec_id", F.expr(_COS_EXPR).alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lsh_topk(
+    e: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    multiprobe: bool = False,
+) -> DataFrame:
+    return score_topk(
+        e, probes, lsh_candidates(e, probes, n_planes, n_tables, multiprobe), k
+    )
+
+
+def brute_force_topk(e: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
+    """The ground truth: exact cosine against EVERY vector (probes
+    broadcast), per-probe top-k. All-pairs on purpose — it is the oracle
+    the approximate settings are graded against, run at bench scale only."""
+    scored = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(probes.select("probe_id", "probe")))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", F.expr(_COS_EXPR).alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# --- IVF with trained centroids ----------------------------------------------
+
+_L2 = (
+    "aggregate(zip_with({v}, {c}, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0.0 AS DOUBLE), (s, z) -> s + z)"
+)
+
+
+def ivf_seed_centroids(e: DataFrame, k: int = 8) -> DataFrame:
+    """The untrained baseline: the first k vectors as centroids
+    (cent_id, cvec) — what the registry sim_ann_ivf skeleton uses."""
+    return e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+    )
+
+
+def ivf_train_centroids(
+    e: DataFrame, k: int = 8, sample_mod: int = 5
+) -> DataFrame:
+    """Seeded-init + ONE Lloyd iteration, all in Spark: assign a
+    deterministic sample (vec_id % sample_mod == 0 — at 10^12 vectors this
+    is the standard train-on-a-sample move; training never scans the full
+    table) to its nearest seed centroid, then per-list per-dim mean.
+
+    Plan shape: seeds broadcast into a per-row argmin (min_by over the
+    k-way crossJoin), then ONE shuffle keyed by (list_id, dim) for the
+    means and a (list_id) regroup to re-assemble the arrays — both keyed
+    by tiny-cardinality keys (k and k*dim groups). A seed that attracts no
+    sample keeps its own vector (left-join fallback) so k never shrinks."""
+    seeds = ivf_seed_centroids(e, k)
+    sample = e.where(F.col("vec_id") % sample_mod == 0)
+    assigned = (
+        sample.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "_l2", F.expr(_L2.format(v="embedding", c="cvec"))
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(cent_id, struct(_l2, cent_id))").alias("list_id"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    trained = (
+        assigned.select(
+            "list_id", F.posexplode("embedding").alias("d", "v")
+        )
+        .groupBy("list_id", "d")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("list_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, m))),"
+                " s -> CAST(s.m AS FLOAT))"
+            ).alias("tvec")
+        )
+    )
+    return (
+        seeds.join(
+            trained, seeds.cent_id == trained.list_id, "left"
+        )
+        .select(
+            "cent_id",
+            F.coalesce(F.col("tvec"), F.col("cvec")).alias("cvec"),
+        )
+    )
+
+
+def ivf_candidates(
+    e: DataFrame, cent: DataFrame, probes: DataFrame, nprobe: int = 2
+) -> DataFrame:
+    """(probe_id, vec_id) candidates under IVF: broadcast-argmin assignment
+    of every vector to its list (one per-row map), per-probe nprobe nearest
+    lists, candidates = members of those lists (~nprobe/k of the data per
+    probe)."""
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("_l2", F.expr(_L2.format(v="embedding", c="cvec")))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(cent_id, struct(_l2, cent_id))").alias("list_id"),
+        )
+    )
+    pw = Window.partitionBy("probe_id").orderBy("_l2", "cent_id")
+    probe_lists = (
+        probes.crossJoin(F.broadcast(cent))
+        .withColumn("_l2", F.expr(_L2.format(v="probe", c="cvec")))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select("probe_id", F.col("cent_id").alias("list_id"))
+    )
+    return (
+        assign.join(F.broadcast(probe_lists), "list_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+
+
+def ivf_topk(
+    e: DataFrame,
+    cent: DataFrame,
+    probes: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF search over an arbitrary centroid table: candidate lists then
+    exact cosine top-k inside them."""
+    return score_topk(e, probes, ivf_candidates(e, cent, probes, nprobe), k)
+
+
+# --- recall harness ----------------------------------------------------------
+
+def default_probes(e: DataFrame, mod: int = 20) -> DataFrame:
+    """Deterministic probe table: every mod-th vector (probe_id, probe)."""
+    return e.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe"),
+    )
+
+
+def recall_at_k(approx: DataFrame, truth: DataFrame, k: int = 10) -> float:
+    """Mean over probes of |approx top-k ∩ true top-k| / k."""
+    n_probes = truth.select("probe_id").distinct().count()
+    hits = approx.join(truth, ["probe_id", "vec_id"], "leftsemi").count()
+    return round(hits / (n_probes * k), 4) if n_probes else 0.0

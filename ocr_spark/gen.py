@@ -169,6 +169,41 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
         ("unknown-lang",
          ("<p>" + _salad(rng, "en", 40, 0.5) + "</p>").encode(), "xx"),
         ("null-lang", ("<p>" + _salad(rng, "en", 40, 0.5) + "</p>").encode(), None),
+        # Word-export HTML: namespaced tag names (o:p, w:sdt, a:b) are
+        # outside [a-zA-Z0-9-], where html.parser takes the full run as the
+        # tag name — the fast tokenizer must bail identically (round-2 fix,
+        # now pinned as goldens, not just unit tests)
+        ("word-export-namespaced",
+         ("<html><body><p class=MsoNormal>" + _salad(rng, "en", 40, 0.5)
+          + "<o:p></o:p></p><w:sdt><w:sdtcontent><p>"
+          + _salad(rng, "en", 35, 0.5) + "</p></w:sdtcontent></w:sdt>"
+          "<o:p>the word run of it</o:p></body></html>").encode(),
+         "en"),
+        ("word-export-namespaced-links",
+         ("<body><a:b href='x'>ns pseudo link</a:b><p>"
+          + _salad(rng, "en", 40, 0.5)
+          + '</p><a href="/real">a real link</a>'
+          "<div.cls>dot class soup</div></body>").encode(),
+         "en"),
+        # CDATA closer variants: markup inside script bodies plus closers
+        # with trailing attrs/whitespace/slash (`</script x>`, `</style\t>`,
+        # `</script/>`) — the html.parser set_cdata_mode shapes the fast
+        # path must reproduce exactly (round-2 fix, same promotion)
+        # valid closer variants first (trailing space, tab-before->, space
+        # after </): all close per html.parser's endtagfind; the LAST one
+        # (</script x> — attrs in the closer) does NOT close in CPython
+        # 3.11, so everything after it is swallowed as unterminated CDATA —
+        # "never reached" must not appear in the extracted text
+        ("cdata-closer-variants",
+         (b"<body><script>var s = '</p>' + '</scr';</script ><p>"
+          + _salad(rng, "en", 40, 0.5).encode()
+          + b"</p><style>p{color:red}</style\t><p>"
+          + _salad(rng, "en", 30, 0.5).encode()
+          + b"</p><script>q()</ script><p>"
+          + _salad(rng, "en", 25, 0.5).encode()
+          + b"</p><script>swallowed()</script x>"
+          b"<p>never reached content tail</p></body>"),
+         "en"),
     ]
     return cases
 

@@ -51,6 +51,22 @@ NUM_PERMS = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_PERMS // BANDS
 
+# Production default: 64 perms / 16 bands (still 4 rows per band). Banding
+# math (P[candidate] = 1 - (1 - s^r)^b): both widths put the S-curve
+# threshold (1/b)^(1/r) at a near-dup-ish Jaccard, but the MISS rate at the
+# s=0.8 operating point differs decisively — 16/4 misses 1-(1-0.8^4)^4 ≈
+# 12.4% of true 0.8-dups, 64/16 misses (1-0.8^4)^16 ≈ 0.022%. The false-
+# positive side stays cheap: at s=0.3, P ≈ 0.12 (64/16) vs 0.032 (16/4) —
+# candidates are verified exactly (dedup_jaccard) anyway, so the extra
+# verify work is the price of 560x fewer missed dups. Signature cost is
+# linear in width (one shingle hash + num_perms multiply-add-mods per
+# shingle); bench.py records the measured 16-vs-64 cost on this host as
+# dedup_minhash_{pairs,groups}_64p16b. The registry queries keep 16/4 so
+# the sf0.01 DuckDB oracle compare stays cheap; both widths run through
+# the same parameterized pipeline.
+PROD_NUM_PERMS = 64
+PROD_BANDS = 16
+
 # NB: guarded with IF, not greatest(size-2, 0): Spark's sequence(1, 0) is a
 # DESCENDING [1, 0] (not empty), which under ANSI mode turns a < 3-word doc
 # into an element_at out-of-bounds error
@@ -141,6 +157,20 @@ sig AS (
   SELECT doc_id, {_sigs_sql(num_perms)} AS sigs FROM hvd
 )
 """
+
+
+def _bands_sql(
+    bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> str:
+    """DuckDB CTE continuing ``_minhash_sql_base``: one (doc_id, bi, band)
+    row per signature band — the oracle mirror of minhash_band_keys."""
+    return f"""
+, bands AS (
+  SELECT doc_id, CAST(b AS INT) AS bi,
+    array_to_string(sigs[b * {rows_per_band} + 1 : b * {rows_per_band}
+      + {rows_per_band}], '#') AS band
+  FROM sig, generate_series(0, {bands - 1}) AS t(b)
+)"""
 
 
 def minhash_signatures(
@@ -267,13 +297,8 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_pairs",
     _minhash_sql_base(NUM_PERMS)
-    + f"""
-, bands AS (
-  SELECT doc_id, CAST(b AS INT) AS bi,
-    array_to_string(sigs[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND}
-      + {ROWS_PER_BAND}], '#') AS band
-  FROM sig, generate_series(0, {BANDS - 1}) AS t(b)
-)
+    + _bands_sql()
+    + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id
@@ -286,13 +311,9 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_groups",
     _minhash_sql_base(NUM_PERMS)
-    + f"""
-, bands AS (
-  SELECT doc_id, CAST(b AS INT) AS bi,
-    array_to_string(sigs[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND}
-      + {ROWS_PER_BAND}], '#') AS band
-  FROM sig, generate_series(0, {BANDS - 1}) AS t(b)
-), bm AS (
+    + _bands_sql()
+    + """
+, bm AS (
   SELECT bi, band, min(doc_id) AS bmin FROM bands GROUP BY bi, band
 )
 SELECT b.doc_id, min(bm.bmin) AS rep
@@ -340,43 +361,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard",
-    """
-WITH d AS (
-  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS ws
-  FROM documents
+    _minhash_sql_base(NUM_PERMS)
+    + _bands_sql()
+    + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id
+), d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
   CAST(round(
-    len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1000000.0
-    / (len(a.ws) + len(b.ws)
-       - len(list_filter(a.ws, x -> list_contains(b.ws, x)))),
+    len(list_filter(da.ws, x -> list_contains(db.ws, x))) * 1000000.0
+    / (len(da.ws) + len(db.ws)
+       - len(list_filter(da.ws, x -> list_contains(db.ws, x)))),
     0) AS BIGINT) AS jaccard_ppm
-FROM d a JOIN d b
-  ON a.lang = b.lang AND a.source = b.source
- AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
+FROM cand c
+JOIN d da ON da.doc_id = c.doc_a
+JOIN d db ON db.doc_id = c.doc_b
 """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source",
-        F.array_distinct(F.split("text", " ")).alias("ws"),
+    """Exact word-set Jaccard, VERIFY stage of the standard LSH near-dup
+    pipeline: candidates come from the MinHash band buckets (the same
+    bucketed equi-join as dedup_minhash_pairs — linear-ish, never
+    all-pairs), then each candidate pair is scored exactly. This replaces
+    the round-1/2 doc_id-window candidate device, which existed only to
+    make the oracle cheap and said nothing about real similarity locality.
+
+    Scale shape: band self-join shuffles on the band key; the two
+    score-side joins are hash joins on doc_id, moving only candidate rows
+    plus each doc's distinct-word set — all linear in corpus + candidate
+    count."""
+    docs = t(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    d = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
     a = d.alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.doc_id") - F.col("a.doc_id") <= 20),
-        )
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter * 1000000.0 / union, 0).cast("bigint").alias("jaccard_ppm"),
+            "doc_a",
+            "doc_b",
+            F.round(inter * 1000000.0 / union, 0)
+            .cast("bigint")
+            .alias("jaccard_ppm"),
         )
     )
 
@@ -574,14 +609,16 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT vec_id, label, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
 ), p AS (
-  SELECT vec_id AS probe_id, bucket, embedding AS probe
+  SELECT vec_id AS probe_id, embedding AS probe,
+    unnest([bucket] || list_transform(generate_series(1, {_N_PLANES}),
+      j -> xor(bucket, CAST(1 << (j - 1) AS INT)))) AS pbucket
   FROM b WHERE vec_id % 100 = 0
 ), scored AS (
   SELECT p.probe_id, c.vec_id, c.label,
     CAST(round({_DOT_SQL}
       / ({_NORM_SQL.format(col='embedding')} * {_NORM_SQL.format(col='probe')}),
       6) AS DOUBLE) AS cosine
-  FROM b c JOIN p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id
+  FROM b c JOIN p ON c.bucket = p.pbucket AND c.vec_id <> p.probe_id
 )
 SELECT probe_id, vec_id, label, cosine FROM (
   SELECT probe_id, vec_id, label, cosine,
@@ -592,16 +629,27 @@ SELECT probe_id, vec_id, label, cosine FROM (
 )
 def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN — the actual training-data shape: a probe TABLE, not one
-    vector. Bucket equi-join (probes broadcast while small; at larger probe
-    counts the same plan shuffles both sides on `bucket`) then per-probe
-    window top-k. The candidate table is never compared all-pairs: each
-    candidate row meets only the probes sharing its LSH bucket, and the
-    ranking shuffle is keyed by probe_id — both scale-safe."""
+    vector. TRUE multi-probe: each probe is exploded into its own bucket
+    plus the {_N_PLANES} Hamming-distance-1 neighbor buckets (one
+    hyperplane flipped), so near-misses on a single plane still surface —
+    the standard recall lever for hyperplane LSH. The candidate side stays
+    an equi-join on `bucket` (probes broadcast while small; at larger
+    probe counts the same plan shuffles both sides on `bucket`), then
+    per-probe window top-k. Probe fan-out is 1 + n_planes rows per probe —
+    a constant factor on the SMALL side only; each candidate still meets a
+    probe at most once (the probed buckets are distinct), so no dedup
+    stage is needed. Never all-pairs; the ranking shuffle is keyed by
+    probe_id — all scale-safe."""
     e = t(spark, sf_dir, "embeddings").withColumn("bucket", F.expr(_BUCKET_SPARK))
     probes = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("bucket").alias("pbucket"),
         F.col("embedding").alias("probe"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_N_PLANES}), j -> IF(j = 0,"
+                " bucket, CAST(bucket ^ shiftleft(1, j - 1) AS INT)))"
+            )
+        ).alias("pbucket"),
     )
     cos = F.expr(
         f"round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"

@@ -229,12 +229,15 @@ capacity).
 {shard_rows}
 | **4 executors total** | {n_docs} | — | **{rate4}** |
 
-**scaling efficiency = {rate4} / (4 × {rate1}) = {eff:.3f}** (best cycle) —
-gate ≥ 0.8: **{'PASS' if eff >= 0.8 else 'FAIL'}**
+**scaling efficiency = {rate4} / (4 × {rate1}) = {eff:.3f}** (best cycle)
 
-Per-cycle efficiencies this run: {cycle_effs} → **median {median_eff}**
-(the script exits non-zero if the median misses the 0.8 gate, so a pass can
-never hinge on one lucky window). Full append-only run history with
+Per-cycle efficiencies this run: {cycle_effs} → **median {median_eff}**.
+Gate ≥ 0.8 — the SAME predicate as the JSON `passes_0.8_gate` and the exit
+code: requires best cycle AND median (best {eff:.3f}: {'ok' if eff >= 0.8
+else 'MISS'}; median {median_eff}: {'ok' if median_eff >= 0.8 else 'MISS'})
+→ **{'PASS' if (eff >= 0.8 and median_eff >= 0.8) else 'FAIL'}**. The
+script exits non-zero on FAIL, so a pass can never hinge on one lucky
+window. Full append-only run history with
 timestamps: `BENCH/history.jsonl` (this file always reflects the LATEST
 run, never a retained best-ever).
 
@@ -261,11 +264,12 @@ indefinitely.
 Reproduce: `python scripts/bench_scaling.py {n_docs} {runs}`
 """
     )
-    if median_eff < 0.8:
+    if not (eff >= 0.8 and median_eff >= 0.8):
+        # same predicate as passes_0.8_gate and the markdown verdict
         print(
             json.dumps(
-                {"error": "median scaling efficiency below 0.8 gate",
-                 "median": median_eff, "cycles": cycle_effs}
+                {"error": "scaling efficiency below 0.8 gate",
+                 "best": eff, "median": median_eff, "cycles": cycle_effs}
             )
         )
         sys.exit(1)

@@ -138,11 +138,24 @@ def main() -> None:
     ))
 
     sections.append((
-        "sim_ann_multiprobe (probe-table batch ANN)",
-        "Probe table broadcast onto the bucket equi-join; per-probe ranking "
-        "shuffles on probe_id only (window top-k), the embedding table is "
+        "sim_ann_multiprobe (probe-table batch ANN, Hamming-1 multi-probe)",
+        "Each probe is exploded into its bucket plus the 8 one-plane-flip "
+        "neighbor buckets (Generate on the SMALL side, before the "
+        "broadcast); candidates still meet the join as a bucket equi-join, "
+        "each candidate matching a probe at most once. Per-probe ranking "
+        "shuffles on probe_id only (window top-k); the embedding table is "
         "never exchanged for the join itself.",
         tree_of(q["sim_ann_multiprobe"](spark, sf)),
+    ))
+
+    sections.append((
+        "dedup_jaccard (MinHash-band candidates, exact verify)",
+        "The LSH-candidates -> exact-verify pipeline: candidate pairs come "
+        "from the same banded self-join as dedup_minhash_pairs (bucketed, "
+        "never all-pairs), then two hash joins on doc_id fetch the word "
+        "sets and score exact Jaccard — only candidate rows are ever "
+        "scored.",
+        tree_of(q["dedup_jaccard"](spark, sf)),
     ))
 
     from ocr_spark.operators.runner import stage_input

@@ -1,0 +1,113 @@
+"""ANN maturity invariants (ocr_spark/functions/ann.py): the orderings
+that justify each index knob, measured against the brute-force oracle on
+the deterministic sf0.01 embeddings — recall is a fixed number here, so
+these are exact assertions, not flaky thresholds."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+from ocr_spark.functions import ann
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+@pytest.fixture(scope="module")
+def probes(spark, emb):
+    p = ann.default_probes(emb, 20).cache()
+    p.count()
+    return p
+
+
+@pytest.fixture(scope="module")
+def truth(emb, probes):
+    t = ann.brute_force_topk(emb, probes, 10).cache()
+    t.count()
+    return t
+
+
+def _recall(emb, probes, truth, **kw) -> float:
+    return ann.recall_at_k(ann.lsh_topk(emb, probes, 10, **kw), truth, 10)
+
+
+def test_multiprobe_beats_single_probe(emb, probes, truth):
+    # absolute recall is data-dependent (the synthetic embeddings are
+    # near-isotropic, the hardest case for hyperplane LSH); the ORDERING
+    # is the invariant — Hamming-1 expansion must strictly add recall here
+    single = _recall(emb, probes, truth, n_planes=8, multiprobe=False)
+    multi = _recall(emb, probes, truth, n_planes=8, multiprobe=True)
+    assert multi > single
+
+
+def test_second_table_buys_recall(emb, probes, truth):
+    one = _recall(emb, probes, truth, n_planes=8, n_tables=1)
+    two = _recall(emb, probes, truth, n_planes=8, n_tables=2)
+    assert two > one
+
+
+def test_wider_planes_cut_candidates(emb, probes):
+    """More planes = finer buckets = smaller candidate sets (the cost side
+    of the recall trade)."""
+    c8 = ann.lsh_candidates(emb, probes, n_planes=8).count()
+    c16 = ann.lsh_candidates(emb, probes, n_planes=16).count()
+    assert c16 < c8
+
+
+def test_registry_bucket_family_reproduced(spark, emb):
+    """ann.bucket_expr(8, tag='p') must equal the registry query's bucket
+    values bit-for-bit — same md5-derived plane family."""
+    from ocr_spark.queries_textml import _BUCKET_SPARK
+    from pyspark.sql import functions as F
+
+    mismatch = (
+        emb.select(
+            F.expr(_BUCKET_SPARK).alias("a"),
+            F.expr(ann.bucket_expr(8, tag="p")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_trained_centroids_beat_seeded(emb, probes, truth):
+    seeded = ann.ivf_seed_centroids(emb, 8).cache()
+    trained = ann.ivf_train_centroids(emb, 8).cache()
+    r_seed = ann.recall_at_k(
+        ann.ivf_topk(emb, seeded, probes, nprobe=2), truth, 10
+    )
+    r_train = ann.recall_at_k(
+        ann.ivf_topk(emb, trained, probes, nprobe=2), truth, 10
+    )
+    assert r_train >= r_seed
+
+
+def test_ivf_nprobe_monotone(emb, probes, truth):
+    """Probing more lists can only add candidates → recall is monotone in
+    nprobe, and nprobe=k is the exhaustive scan (recall 1.0)."""
+    trained = ann.ivf_train_centroids(emb, 8).cache()
+    rs = [
+        ann.recall_at_k(
+            ann.ivf_topk(emb, trained, probes, nprobe=np), truth, 10
+        )
+        for np in (1, 2, 8)
+    ]
+    assert rs[0] <= rs[1] <= rs[2]
+    assert rs[2] == 1.0
+
+
+def test_trained_centroids_shape(emb):
+    """k centroids always come back (empty-list fallback keeps the seed),
+    each dim-64, and training moved at least one centroid off its seed."""
+    seeded = {r.cent_id: r.cvec for r in ann.ivf_seed_centroids(emb, 8).collect()}
+    trained = {r.cent_id: r.cvec for r in ann.ivf_train_centroids(emb, 8).collect()}
+    assert sorted(trained) == sorted(seeded) == list(range(8))
+    assert all(len(v) == ann.DIM for v in trained.values())
+    assert any(trained[c] != seeded[c] for c in trained)
