@@ -29,6 +29,14 @@ TRICKY = [
     b"<script>var a = 1 < 2;</script><p>the data of it stays</p>",
     b"<script>'</p>'</script><p>the data of it</p>",   # cdata containing markup
     b"<script x>unclosed",
+    # closer variants: space/tab/lead-space forms DO close per html.parser's
+    # endtagfind; `</script x>` / `</script/>` do NOT (3.11 swallows the
+    # rest as unterminated CDATA) — fast and slow paths must agree on both
+    b"<script>a()</script ><p>the data of it</p>",
+    b"<style>p{}</style\t><p>the data of it</p>",
+    b"<script>b()</ script><p>the data of it</p>",
+    b"<script>c()</script x><p>never seen</p>",
+    b"<script>d()</script/><p>never seen</p>",
     b"<style>p{color:red}</style><p>the data of it</p>",
     b"<SCRIPT>UP</SCRIPT><P>the upper case of it</P>",
     b"<script></scriptx></script><p>x</p>",
@@ -94,7 +102,11 @@ _CHUNK = st.sampled_from(
      "&amp;", "&", "<", ">", "</", "<>", "< q>", "'", '"', "=", "/>",
      "the of it is", "xyzzy 123", " ", "<img src=x/>", "<p a='>'>",
      "</p x>", "<FOO>", "</foo>", "\x00", "é", "中文",
-     "<p:x>", "</p:x>", "<o:p>", "<div.cls>", "<P=>"]
+     "<p:x>", "</p:x>", "<o:p>", "<div.cls>", "<P=>",
+     # CDATA closer variants: valid (space/tab/after-slash forms) and the
+     # attr-bearing one that 3.11 treats as NOT closing (swallow mode)
+     "</script >", "</ script>", "</style\t>", "</script x>", "</script/>",
+     "<w:sdt>", "</w:sdt>"]
 )
 
 

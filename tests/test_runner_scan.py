@@ -157,6 +157,41 @@ def test_staging_marker_validates_num_parts_and_input(spark, tmp_path):
     assert len(res["parts_done_now"]) == N_PARTS - 2
 
 
+def test_data_location_override(spark, tmp_path):
+    """run_extract(data_location=...) sends the DATA rows through the table
+    layer to a separate location (iceberg: the day a jar appears) while
+    manifests/lineage stay under out_dir; resume still works."""
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.operators.runner import Manifest, run_extract
+
+    src = tmp_path / "pages"
+    out = tmp_path / "out"
+    data = tmp_path / "elsewhere" / "extracted"
+    pages = _write_pages(spark, src)
+    expected = sorted(
+        r.text_sha256 for r in extract_pages(pages, num_parts=N_PARTS).collect()
+    )
+
+    res = run_extract(spark, pages, str(out), run_id="loc1",
+                      num_parts=N_PARTS, parts_per_batch=3,
+                      data_location=str(data))
+    assert len(res["parts_done_now"]) == N_PARTS
+    assert sorted(Manifest(out).completed_parts()) == list(range(N_PARTS))
+    assert not (out / "data").exists()  # nothing written to the default spot
+    got = sorted(
+        r.text_sha256 for r in spark.read.parquet(str(data)).collect()
+    )
+    assert got == expected
+    # lineage/manifest live under out_dir as before
+    assert (out / "_lineage").exists()
+
+    # a rerun over the same out_dir is a no-op resume
+    res2 = run_extract(spark, pages, str(out), run_id="loc2",
+                       num_parts=N_PARTS, parts_per_batch=3,
+                       data_location=str(data))
+    assert res2["parts_done_now"] == []
+
+
 def test_input_counts_dedup_attempts():
     """Attempt-tagged accumulator contributions: one attempt kept per
     (stage, partition), so retried/speculative duplicates never inflate
