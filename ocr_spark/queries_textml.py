@@ -325,6 +325,32 @@ def q_dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_group_reps(t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_minhash_prod",
+    _minhash_sql_base(PROD_NUM_PERMS)
+    + _bands_sql(PROD_BANDS, PROD_NUM_PERMS // PROD_BANDS)
+    + """
+, bm AS (
+  SELECT bi, band, min(doc_id) AS bmin FROM bands GROUP BY bi, band
+)
+SELECT b.doc_id, min(bm.bmin) AS rep
+FROM bands b JOIN bm ON b.bi = bm.bi AND b.band = bm.band
+GROUP BY b.doc_id
+""",
+)
+def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision at the PRODUCTION MinHash width (64 perms / 16
+    bands — see the PROD_NUM_PERMS banding math above): driver-graded
+    evidence that the parameterized signature/banding pipeline is correct
+    at the width a real near-dup pass uses, not only at the 16-perm oracle
+    width. Same linear-output star-pass plan as dedup_minhash_groups."""
+    return minhash_group_reps(
+        t(spark, sf_dir, "documents"),
+        num_perms=PROD_NUM_PERMS,
+        bands=PROD_BANDS,
+    )
+
+
 # --- SimHash (16-bit, md5-derived bit planes) -------------------------------------
 
 _HI = "('8','9','a','b','c','d','e','f')"
@@ -498,6 +524,27 @@ _BUCKET_SQL = (
 )
 
 
+def _bucket_sql_tag(tag: str, n_planes: int = _N_PLANES) -> str:
+    """DuckDB bucket expr for an arbitrary plane family `tag` — the oracle
+    mirror of functions.ann.bucket_expr (tag 'p' reproduces _BUCKET_SQL's
+    values bit-for-bit; other tags are the extra LSH tables)."""
+    from ocr_spark.functions.ann import _sign
+
+    planes = "[" + ", ".join(
+        "[" + ", ".join(
+            str(_sign(tag, j, d)) for d in range(1, _DIM + 1)
+        ) + "]"
+        for j in range(1, n_planes + 1)
+    ) + "]"
+    return (
+        f"CAST(list_aggregate(list_transform(generate_series(1, {n_planes}),"
+        " j -> CASE WHEN list_aggregate(list_transform("
+        " generate_series(1, len(embedding)),"
+        f" d -> CAST(embedding[d] AS DOUBLE) * ({planes})[j][d]), 'sum') > 0"
+        " THEN (1 << (j - 1)) ELSE 0 END), 'sum') AS INT)"
+    )
+
+
 @register(
     "sim_ann_lsh",
     f"SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings",
@@ -669,6 +716,37 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "sim_ann_2table",
+    f"""
+WITH b0 AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+p0 AS (SELECT vec_id AS probe_id, bucket FROM b0 WHERE vec_id % 100 = 0),
+b1 AS (SELECT vec_id, {_bucket_sql_tag('p1t')} AS bucket FROM embeddings),
+p1 AS (SELECT vec_id AS probe_id, bucket FROM b1 WHERE vec_id % 100 = 0)
+SELECT DISTINCT probe_id, vec_id FROM (
+  SELECT p0.probe_id, c.vec_id FROM b0 c JOIN p0 ON c.bucket = p0.bucket
+  UNION ALL
+  SELECT p1.probe_id, c.vec_id FROM b1 c JOIN p1 ON c.bucket = p1.bucket
+) u
+WHERE vec_id <> probe_id
+""",
+)
+def q_sim_ann_2table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH candidate generation (functions/ann.py's recall
+    lever, driver-graded): the union of bucket equi-joins under two
+    independent md5-derived plane families, deduped — every table is the
+    same scale-safe bucket-keyed join, and adding tables multiplies the
+    small probe side only. Recall effect measured in BENCH/ANN.md."""
+    from ocr_spark.functions.ann import lsh_candidates
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe"),
+    )
+    return lsh_candidates(e, probes, n_planes=8, n_tables=2)
 
 
 # IVF (inverted-file) ANN skeleton: a deterministic coarse quantizer (K seed
