@@ -5,13 +5,16 @@ Usage (the launch mode the north_rule mandates)::
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
         scripts/extract_job.py <pages_location> <out_dir> <run_id> \\
-        [num_parts] [parts_per_batch]
+        [num_parts] [parts_per_batch] [data_location]
 
 ``pages_location`` is a parquet directory or an ``iceberg:<catalog.db.tbl>``
-location (ocr_spark.tables). The job is idempotent per (out_dir): a killed
-run resumes at partition granularity from the checkpoint manifest, and a
-completed multi-batch run has read the raw input exactly once (staging —
-see ocr_spark.operators.runner). Prints one JSON line with run stats and
+location (ocr_spark.tables); ``data_location`` (optional) sends the
+extracted DATA rows somewhere other than ``<out_dir>/data`` — e.g. an
+``iceberg:`` table — while manifests/lineage stay in out_dir. The job is
+idempotent per (out_dir): a killed run resumes at partition granularity
+from the checkpoint manifest, and a completed multi-batch run has read the
+raw input exactly once (staging — see ocr_spark.operators.runner). Prints
+one JSON line with run stats (incl. per-phase stage_sec timings) and
 per-partition lineage totals.
 """
 
@@ -33,6 +36,7 @@ def main() -> None:
     pages_loc, out_dir, run_id = sys.argv[1:4]
     num_parts = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     parts_per_batch = int(sys.argv[5]) if len(sys.argv) > 5 else num_parts
+    data_location = sys.argv[6] if len(sys.argv) > 6 else None
 
     from pyspark.sql import functions as F
 
@@ -51,6 +55,7 @@ def main() -> None:
             run_id=run_id,
             num_parts=num_parts,
             parts_per_batch=parts_per_batch,
+            data_location=data_location,
         )
         lin = (
             read_lineage(spark, out_dir)
