@@ -46,6 +46,8 @@ HEADLINE = [
     "join_range_bucket",    # D: bucketized non-equi interval join (no BNLJ)
     "text_quality",         # training-data: quality scoring
     "text_fingerprint",     # training-data: doc fingerprints
+    "pipe_repetition",      # corpus prep: Gopher repetition signals (2 explode branches)
+    "pipe_contamination",   # corpus prep: 3-gram eval-overlap screen (broadcast)
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

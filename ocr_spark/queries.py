@@ -505,14 +505,18 @@ _PRIORITY_R03 = [
 
 # Green (hash or rows-only-by-design) in CORRECTNESS_r02.json — registered
 # LAST so a 50-entry cap lands on them before anything needing a fresh row.
+# extract_wrapped (the flagship) and scan_counts lead this tail so the
+# flagship keeps a fresh driver row every round even as new queries push
+# the window.
 _R02_DRIVER_GRADED = [
+    "extract_wrapped", "scan_counts",
     "join_range_bucket", "udtf_blocks", "dedup_exact", "dedup_minhash_pairs",
     "dedup_minhash_groups", "dedup_simhash", "dedup_jaccard", "dedup_embcos",
     "sim_cosine_topk", "sim_ann_lsh", "sim_ann_search", "sim_ann_multiprobe",
     "sim_ann_ivf", "text_langid", "text_quality", "text_tokens",
     "text_fingerprint", "mm_decode_stub", "gen_pages", "scan_pages",
-    "stream_tumbling_counts", "agg_approx_distinct", "extract_wrapped",
-    "scan_counts", "project_prune", "filter_pred", "derive_host",
+    "stream_tumbling_counts", "agg_approx_distinct",
+    "project_prune", "filter_pred", "derive_host",
     "derive_hashes", "explode_blocks", "classify_blocks", "smooth_labels",
     "span_offsets", "stopword_density", "join_broadcast", "join_shuffle",
     "join_salted", "join_anti", "join_semi", "join_range", "join_asof",
@@ -526,6 +530,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_joins_aggs  # noqa: F401
     from ocr_spark import queries_fns  # noqa: F401
     from ocr_spark import queries_textml  # noqa: F401
+    from ocr_spark import queries_pipeline  # noqa: F401
 
     prio = [k for k in _PRIORITY_R03 if k in QUERIES]
     tail = set(_R02_DRIVER_GRADED)

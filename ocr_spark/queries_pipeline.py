@@ -1,0 +1,364 @@
+"""Corpus-preparation pipeline operators a large-scale training-data run
+needs beyond extraction + dedup + ANN: URL canonicalization, repetition
+quality signals (Gopher-style), benchmark-contamination detection,
+deterministic stratified sampling, token-budget sequence packing, and PII
+scrubbing.
+
+Same contract as every other registry module: each query is a declarative
+DataFrame plan with an exactly-equivalent DuckDB oracle (value-hash checked
+by the driver and by tests/test_oracle.py). All randomness is md5-derived so
+both engines compute identical bits; no Python UDFs anywhere.
+
+Scale notes live on each query's docstring; plan shapes are pinned in
+tests/test_plans.py and documented in PLANS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+from ocr_spark.queries_textml import _SHINGLES_SPARK, _SHINGLES_SQL, _WORDS_SPARK
+
+# DuckDB word splitter (same semantics as _WORDS_SPARK: drop empty tokens)
+_WORDS_SQL_COL = "list_filter(string_split({col}, ' '), x -> x != '')"
+
+
+# --- URL canonicalization + dedup -------------------------------------------------
+# Web crawls see the same page under dozens of URL spellings: case-varied
+# hosts, tracking params (utm_*, session ids), fragments, trailing slashes.
+# Canonicalize first, then the dedup is a plain hash groupBy on the canonical
+# key — identical shuffle shape to dedup_exact, no skew beyond true dup
+# clusters. URLs are synthesized deterministically from documents columns
+# (same device as derive_host) because the driver tables carry no URL column.
+
+@register(
+    "pipe_url_canon",
+    """
+WITH u AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM/d/'
+      || CAST(doc_id % 100 AS VARCHAR)
+      || '/?utm_source=feed&session=' || CAST(doc_id AS VARCHAR)
+      || '#frag' AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(lower(regexp_replace(url, '[?#].*$', '')), '/$', ''),
+      '^https://www\\.', 'https://') AS canon_url
+  FROM u
+)
+SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keeper
+FROM c GROUP BY canon_url
+""",
+)
+def q_pipe_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize (strip query/fragment, trailing slash, www., lowercase)
+    then group by the canonical URL. Map-side expressions + one hash
+    aggregate: the exact plan of dedup_exact, so the 100 TB story is the
+    same — partial aggregation before the exchange, shuffle keyed on the
+    canonical URL."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM/d/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("/?utm_source=feed&session="),
+        F.col("doc_id").cast("string"), F.lit("#frag"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(url, r"[?#].*$", "")), r"/$", ""
+        ),
+        r"^https://www\.", "https://",
+    )
+    return d.select(canon.alias("canon_url"), "doc_id").groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+
+
+# --- Gopher-style repetition / diversity signals -----------------------------------
+# The classic filter for machine-generated or boilerplate text: how much of
+# the document is its single most frequent word (unigram repetition), its
+# most frequent word bigram, and how lexically diverse it is. Two explode →
+# count branches joined back on doc_id.
+
+@register(
+    "pipe_repetition",
+    """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents
+), uc AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+), uni AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_words,
+    CAST(count(*) AS BIGINT) AS n_distinct,
+    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+  FROM uc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(1, greatest(len(w2) - 1, 0)),
+                   i -> w2[i] || ' ' || w2[i + 1])) AS b
+  FROM (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x != '') AS w2
+        FROM documents)
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), bi AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+    AS top_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT uni.doc_id, n_words, n_distinct, top_word_frac,
+  CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_frac,
+  coalesce(bi.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+""",
+)
+def q_pipe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals (top-unigram fraction, top-bigram
+    fraction, distinct-word ratio). Both branches shuffle on (doc_id, gram)
+    with map-side partial counts, then re-aggregate on doc_id — at 100 TB
+    the gram key is high-cardinality and skew-free (a single doc's grams
+    land in one partition only for the final doc_id agg, bounded by doc
+    length). Fractions are single IEEE divisions of exact integer
+    aggregates, so the doubles are bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.expr(_WORDS_SPARK.format(col="text"))).alias("w")
+    )
+    uc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    uni = uc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_word_frac"
+        ),
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w2, 1, greatest(size(w2) - 1, 0)),"
+                " slice(w2, 2, greatest(size(w2) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))".replace(
+                    "w2", _WORDS_SPARK.format(col="text")
+                )
+            )
+        ).alias("b"),
+    )
+    bc = bigrams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    bi = bc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_bigram_frac"
+        )
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct", "top_word_frac",
+            (F.col("n_distinct").cast("double") / F.col("n_words").cast("double"))
+            .alias("distinct_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+# --- benchmark contamination check -------------------------------------------------
+# Before training, every corpus must be screened against the eval suites:
+# any document sharing word n-grams with a benchmark is contaminated. The
+# eval set here is carved deterministically out of documents (doc_id % 50 =
+# 0 — benchmark suites are kilobytes against a corpus of terabytes, which is
+# exactly why the broadcast below is the right plan at 100 TB).
+
+@register(
+    "pipe_contamination",
+    f"""
+WITH evw AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents WHERE doc_id % 50 = 0
+), ev AS (
+  SELECT DISTINCT md5(sh) AS h
+  FROM (SELECT unnest({_SHINGLES_SQL}) AS sh FROM evw)
+), trw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents WHERE doc_id % 50 <> 0
+), tr AS (
+  SELECT doc_id, md5(sh) AS h
+  FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM trw)
+)
+SELECT tr.doc_id, count(DISTINCT tr.h) AS n_hit_ngrams
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+""",
+)
+def q_pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram overlap between the training split and a (small) eval
+    split. The eval n-gram set is explicitly broadcast: the train side — the
+    100 TB side — is never shuffled for the join; the only exchange is the
+    final doc_id aggregate over the (rare) hits. Shingle hashing reuses the
+    MinHash module's md5 shingle exprs, so both engines hash identical
+    grams."""
+    d = t(spark, sf_dir, "documents")
+    words = F.expr(_WORDS_SPARK.format(col="text"))
+    ev = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(words.alias("w"))
+        .select(F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+    )
+    tr = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", words.alias("w"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("h"))
+    )
+    hits = tr.join(F.broadcast(ev), "h")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("h").alias("n_hit_ngrams")
+    )
+
+
+# --- deterministic stratified sampling ---------------------------------------------
+# Corpus mixing wants per-language (per-source, per-quality-bucket...)
+# sampling rates. Random sampling is irreproducible across engines and
+# retries; hashing the key gives an exact, engine-independent, resumable
+# sample: keep iff the first md5 hex digit falls under the stratum's
+# threshold ('8' → 8/16 = 50 %, '4' → 4/16 = 25 %).
+
+@register(
+    "pipe_sample_stratified",
+    """
+SELECT doc_id, lang, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+  CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+""",
+)
+def q_pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold stratified sampling: 50 % of en docs, 25 % of the
+    rest, decided by md5(doc_id) so the sample is identical on every engine,
+    every retry, every cluster size. Map-only — no shuffle, no state; at
+    100 TB this is a pure scan + filter whose selectivity is exactly the
+    configured mix."""
+    d = t(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thresh = F.when(F.col("lang") == "en", F.lit("8")).otherwise(F.lit("4"))
+    return d.filter(digit < thresh).select("doc_id", "lang", "source")
+
+
+# --- token-budget sequence packing -------------------------------------------------
+# Training consumes fixed-length sequences; documents get greedily packed
+# into ~BUDGET-token bins. Packing is per-source (per-shard in production):
+# a global order would serialize the whole corpus through one partition,
+# while per-shard packing is what data loaders actually do.
+
+_PACK_BUDGET = 2048
+
+@register(
+    "pipe_pack_sequences",
+    f"""
+WITH d AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS tok_before
+  FROM d
+)
+SELECT source, CAST(tok_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  min(doc_id) AS first_doc
+FROM c GROUP BY source, CAST(tok_before // {_PACK_BUDGET} AS BIGINT)
+""",
+)
+def q_pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token packing: running token count per source (window), bin =
+    tokens-before // budget, then per-bin stats. The window partitions by
+    source, so parallelism = number of shards (at 100 TB you pack within
+    input shards, never a global ORDER BY — a total order would funnel the
+    corpus through one task). Integer arithmetic end-to-end: exact parity."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.expr(_WORDS_SPARK.format(col="text"))).cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn(
+        "tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    seq = (F.col("tok_before") / F.lit(_PACK_BUDGET)).cast("bigint")
+    return (
+        c.select("source", seq.alias("seq_id"), "n_tokens", "doc_id")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# --- PII scrubbing ------------------------------------------------------------------
+# Web text must be scrubbed of emails / IPs before training. The driver's
+# synthetic text contains none, so deterministic PII is injected first (same
+# synthesize-then-operate device as derive_host / pipe_url_canon); the md5
+# of the scrubbed text proves both engines performed identical replacements.
+# Patterns stay inside the Java-regex ∩ RE2 common subset (char classes,
+# bounded repeats — no backrefs/lookarounds).
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+@register(
+    "pipe_scrub_pii",
+    f"""
+WITH x AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com or 10.0.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS dirty
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(dirty, '{_EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(dirty, '{_IP_RE}')) AS INT) AS n_ips,
+  md5(regexp_replace(
+    regexp_replace(dirty, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{_IP_RE}', '<IP>', 'g')) AS scrub_md5
+FROM x
+""",
+)
+def q_pipe_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, IPv4) with per-doc redaction counts and
+    an md5 over the scrubbed text. Map-only JVM regex — no shuffle, no
+    Python; at 100 TB this fuses into the scan's codegen stage."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 now"),
+    )
+    x = d.select("doc_id", dirty.alias("dirty"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("dirty"), _EMAIL_RE, "<EMAIL>"),
+        _IP_RE, "<IP>",
+    )
+    return x.select(
+        "doc_id",
+        F.regexp_count(F.col("dirty"), F.lit(_EMAIL_RE)).cast("int")
+        .alias("n_emails"),
+        F.regexp_count(F.col("dirty"), F.lit(_IP_RE)).cast("int")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )

@@ -126,3 +126,44 @@ def test_classify_stays_jvm_side(spark, fixture_df):
     # eval nodes of any kind downstream of the parse
     tail = plan.split("MapInArrow", 1)[1]
     assert "EvalPython" not in tail and "MapInPandas" not in tail
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """pipe_contamination: the (small) eval n-gram set is broadcast; the
+    train side — the 100 TB side — reaches the join without an Exchange."""
+    import __spark_entry__ as em
+
+    plan = _plan(
+        em.queries()["pipe_contamination"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly three shuffles: eval-dedup, the count_distinct's
+    # (doc_id, h) de-dup phase, and the final doc_id agg — all AFTER the
+    # broadcast join has shrunk the stream to the (rare) hits; never the
+    # raw train n-gram stream pre-join
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3
+
+
+def test_pack_sequences_partitions_by_source(spark):
+    """pipe_pack_sequences: the running-sum window partitions by source —
+    a global (empty-partition) window would funnel the corpus through one
+    task at scale."""
+    import __spark_entry__ as em
+
+    plan = _plan(
+        em.queries()["pipe_pack_sequences"](spark, "/root/testdata/sf0.001")
+    )
+    assert re.search(r"Arguments:.*\[source", plan) or "hashpartitioning(source" in plan, plan
+    # no SinglePartition exchange feeding the window
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pipeline_scan_and_scrub_stay_jvm_side(spark):
+    """Sampling + scrubbing are map-only JVM plans: no Exchange, no Python."""
+    import __spark_entry__ as em
+
+    for name in ("pipe_sample_stratified", "pipe_scrub_pii"):
+        plan = _plan(em.queries()[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
