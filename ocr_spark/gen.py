@@ -305,3 +305,156 @@ def bench_pages(spark: SparkSession, n: int, n_hosts: int = 200) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         lang.alias("lang"),
     )
+
+
+# A fixed stopword-rich benchmark sentence: every eval-split page carries it,
+# so train pages that also carry it are deterministically contaminated.
+CORPUS_QUOTE = (
+    "which of the following is the best answer to this exam question here"
+)
+
+
+def corpus_pages(spark: SparkSession, n: int, n_hosts: int = 50) -> DataFrame:
+    """Diversity-controlled synthetic crawl for the corpus-preparation
+    funnel (scripts/corpus_job.py) — pure column expressions, seeded.
+
+    Unlike ``bench_pages`` (whose repeated boilerplate sentence makes the
+    whole table one giant near-dup cluster — correct input for a throughput
+    bench, degenerate for a dedup demo), each page's body is a unique
+    hash-derived word sequence with every second word a stopword OF THE
+    PAGE'S OWN LANGUAGE (SPEC §2 scores stopword density against the
+    page's ``lang`` list, so de/es/fr pages need de/es/fr stopwords to
+    classify "good"; density 1/2 keeps quote-carrying non-English pages
+    above the 0.30 threshold). Both the language and the body derive from
+    the SOURCE doc id ``s``, so a dup pair always shares its language and
+    survives extraction together. Cross-page 3-gram overlap is ~zero
+    (every 3-gram contains a (s,k)-unique hex word) except for the
+    structures injected deliberately:
+
+    - ~3% exact duplicates: page i renders page i-1's base words verbatim
+      (caught by the funnel's exact-dedup stage);
+    - ~3% near duplicates: page i-1's words with ~every 16th word replaced
+      (3-gram Jaccard ~0.7 — above the 64-perm/16-band LSH knee, caught by
+      the MinHash stage);
+    - ~3% repetitive pages (stopwords alternating with ONE repeated word —
+      still extract as content, then trip FLAG_REPETITIVE) and ~3%
+      too-short pages (caught by the quality stage);
+    - the CORPUS_QUOTE sentence on EVERY eval-split page (the job's
+      doc_id % 50 == 0 split, precomputed here with the same
+      xxhash64(url, warc_ts) the job derives) and on ~4% of train pages —
+      the train carriers are deterministically caught by the
+      contamination screen.
+
+    Literal-array lookups inside the word lambda re-materialize per element
+    (the known expr trap) — acceptable here: this is a fixture/demo
+    generator, not a bench hot path.
+    """
+    df = spark.range(n).withColumnRenamed("id", "i")
+    a = F.abs(F.xxhash64(F.col("i"), F.lit(7)))
+    kind = a % 33  # 0 exact-dup, 1 near-dup, 2 repetitive, 3 short
+    src = F.when(
+        ((kind == 0) | (kind == 1)) & (F.col("i") > 0), F.col("i") - 1
+    ).otherwise(F.col("i"))
+    df = (
+        df.withColumn("kind", kind)
+        .withColumn("s", src)
+        # language index 0-7 (0-4 en, 5 de, 6 es, 7 fr), derived from the
+        # SOURCE doc so dup pairs share it
+        .withColumn(
+            "li", F.pmod(F.abs(F.xxhash64(F.col("s"), F.lit(13))), F.lit(8))
+        )
+    )
+
+    # 16 stopwords per language, all members of the frozen SPEC lists
+    # (ocr_spark/spec.py STOPWORDS) so the classifier counts them
+    _stop16 = {
+        "en": "the of and to in is that with for on as this was it by from",
+        "de": "der die das und ist in zu den von mit sich des auf für"
+              " nicht ein",
+        "es": "de la que el en y a los del se las por un para con no",
+        "fr": "de la le et les des en un du une que est pour qui dans a",
+    }
+    _arr = {
+        k: "array(" + ",".join(f"'{w}'" for w in v.split()) + ")"
+        for k, v in _stop16.items()
+    }
+    stops = (
+        f"CASE WHEN li = 5 THEN {_arr['de']}"
+        f" WHEN li = 6 THEN {_arr['es']}"
+        f" WHEN li = 7 THEN {_arr['fr']}"
+        f" ELSE {_arr['en']} END"
+    )
+    # word k of source doc s: lang-matched stopword on every 2nd slot, else
+    # a unique 5-or-7 char hex word derived from (s, k)
+    word = (
+        f"IF(pmod(k, 2) = 0,"
+        f" element_at({stops},"
+        f" CAST(pmod(abs(xxhash64(s, k, 3)), 16) + 1 AS INT)),"
+        f" substr(md5(concat(CAST(s AS STRING), '_', CAST(k AS STRING))),"
+        f" 1, 4 + CAST(pmod(k, 4) AS INT)))"
+    )
+    n_words = "60 + pmod(abs(xxhash64(s, CAST(11 AS BIGINT))), 140)"
+    base_words = (
+        f"transform(sequence(1, {n_words}), k -> {word})"
+    )
+    # near-dup: same sequence with ~every 16th slot (k%16==9 — odd, so
+    # always a content-word slot) replaced by a word unique to THIS page
+    perturbed = (
+        f"transform(sequence(1, {n_words}), k ->"
+        f" IF(pmod(k, 16) = 9,"
+        f" substr(md5(concat(CAST(i AS STRING), '_p_',"
+        f" CAST(k AS STRING))), 1, 5), {word}))"
+    )
+    # repetitive: stopwords alternating with ONE page-unique word — dense
+    # enough to extract as content, top-word fraction ~1/2 > the 1/3 gate
+    repetitive = (
+        f"transform(sequence(1, 44), k -> IF(pmod(k, 2) = 0,"
+        f" element_at({stops},"
+        f" CAST(pmod(abs(xxhash64(s, k, 3)), 16) + 1 AS INT)),"
+        f" substr(md5(CAST(i AS STRING)), 1, 5)))"
+    )
+    body = (
+        F.when(F.col("kind") == 2, F.expr(
+            f"concat_ws(' ', {repetitive})"))
+        .when(F.col("kind") == 3, F.expr(
+            f"concat_ws(' ', slice({base_words}, 1, 8))"))
+        .when(F.col("kind") == 1, F.expr(f"concat_ws(' ', {perturbed})"))
+        .otherwise(F.expr(f"concat_ws(' ', {base_words})"))
+    )
+
+    host = a % n_hosts
+    url = F.concat(
+        F.lit("https://c"), host.cast("string"),
+        F.lit(".example.com/d/"), F.col("i").cast("string"),
+    )
+    warc_ts = F.lit(_BASE_TS) + F.make_interval(
+        secs=(a % 86400).cast("double")
+    )
+    # the job keys docs by xxhash64(url, warc_ts); precompute its eval
+    # split so every eval page carries the quote
+    is_eval = F.pmod(F.xxhash64(url, warc_ts), F.lit(50)) == 0
+    carrier = is_eval | (a % 25 == 3)
+    text = F.when(
+        carrier, F.concat(body, F.lit(" " + CORPUS_QUOTE))
+    ).otherwise(body)
+
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("en"),
+                F.lit("en"), F.lit("de"), F.lit("es"), F.lit("fr")),
+        (F.col("li") + 1).cast("int"),
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"
+              '<nav><a href="/a">one link</a> <a href="/b">two link</a>'
+              "</nav><p>"),
+        text,
+        F.lit('</p><footer><a href="/tos">terms</a></footer>'
+              "</body></html>"),
+    )
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        lang.alias("lang"),
+    )

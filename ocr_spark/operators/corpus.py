@@ -1,0 +1,311 @@
+"""Integrated corpus-preparation funnel: the stage chain a training-data
+run applies AFTER extraction — quality filter, exact dedup, near dedup,
+benchmark-contamination screen, stratified sampling — as composable
+DataFrame functions plus a one-plan funnel report.
+
+Every stage is a declarative plan over the previous stage's survivors, so
+the whole funnel is one lazy DAG; `scripts/corpus_job.py` persists the two
+recomputation points (pre-minhash, pre-contamination) and writes the kept
+corpus, while the driver registry exposes the same chain as the
+`pipe_quality_filter` / `pipe_funnel` oracle queries (queries_pipeline.py).
+
+Scale notes: the quality stats shuffle on (doc_id, word) then doc_id —
+high-cardinality, skew-bounded by document length (the pipe_repetition
+shape); exact dedup is one window over md5(text); near dedup is the linear
+star-pass of queries_textml.minhash_group_reps; the contamination screen
+broadcasts the (kilobytes-scale) eval n-gram set so the corpus side is
+never shuffled for the join; sampling is a map-only md5-threshold filter.
+All thresholds are integer-arithmetic comparisons of exact counts, so the
+keep/drop decisions are bit-identical across engines, partition counts and
+retries.
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dataclasses
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries_textml import (
+    _SHINGLES_SPARK,
+    _WORDS_SPARK,
+    BANDS,
+    NUM_PERMS,
+    minhash_group_reps,
+)
+
+# Gopher-style quality flags. Each is an integer-exact predicate over the
+# per-doc word stats (no float thresholds — `5*max_c > n_words` is exactly
+# "top word > 20% of tokens" without an IEEE divide in the decision path).
+FLAG_SHORT = 1  # n_words < min_words
+FLAG_REPETITIVE = 2  # top-word fraction > top_num/top_den
+FLAG_LOW_DIVERSITY = 4  # distinct-word fraction < div_num/div_den
+FLAG_WORD_LEN = 8  # mean word length outside [wl_lo, wl_hi] ratios
+MIN_WORDS = 20
+
+
+@_dataclasses.dataclass(frozen=True)
+class QualityThresholds:
+    """Integer-ratio thresholds — every predicate is exact integer
+    arithmetic, so decisions are bit-identical across engines. The defaults
+    fit the driver's synthetic `documents` table (measured sf0.01
+    distributions; the oracle constants in queries_pipeline._QFLAGS_SQL
+    mirror them); corpus-specific fits go through scripts/corpus_job.py's
+    WEB_THRESHOLDS. Semantics:
+
+    - short:     n_words < min_words
+    - repetitive: max_c/n_words > top_num/top_den
+    - low diversity: n_distinct/n_words < div_num/div_den
+    - word length: total_chars/n_words outside
+      [wl_lo_num/wl_lo_den, wl_hi_num/wl_hi_den]
+    """
+
+    min_words: int = MIN_WORDS
+    top_num: int = 1
+    top_den: int = 5
+    div_num: int = 3
+    div_den: int = 10
+    wl_lo_num: int = 101
+    wl_lo_den: int = 25
+    wl_hi_num: int = 26
+    wl_hi_den: int = 5
+
+
+DOC_THRESHOLDS = QualityThresholds()
+# extracted web prose is stopword-heavy (mean word length ~3.3 on the
+# synthetic crawl, vs ~4.5 on the driver documents table) — measured fits
+# for the extraction-fed corpus job:
+WEB_THRESHOLDS = QualityThresholds(
+    top_num=1, top_den=3, div_num=1, div_den=10,
+    wl_lo_num=3, wl_lo_den=1, wl_hi_num=6, wl_hi_den=1,
+)
+
+
+def word_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc word statistics: (id, n_words, n_distinct, max_c,
+    total_chars). Docs with zero words produce no row (explode of an empty
+    array) — callers left-join and treat the absence as an empty doc."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(_WORDS_SPARK.format(col=text_col))).alias("w"),
+    )
+    uc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return uc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_c"),
+        F.sum(F.col("c") * F.length("w")).alias("total_chars"),
+    )
+
+
+def quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    th: QualityThresholds = DOC_THRESHOLDS,
+) -> DataFrame:
+    """Input docs + (n_words, flags, q_keep). flags is the OR of the FLAG_*
+    bits above; q_keep <=> flags == 0. Empty docs get FLAG_SHORT."""
+    st = word_stats(docs, text_col, id_col)
+    j = docs.join(st, id_col, "left")
+    nw = F.coalesce(F.col("n_words"), F.lit(0))
+    nd = F.coalesce(F.col("n_distinct"), F.lit(0))
+    mc = F.coalesce(F.col("max_c"), F.lit(0))
+    tc = F.coalesce(F.col("total_chars"), F.lit(0))
+    flags = (
+        F.when(nw < th.min_words, F.lit(FLAG_SHORT)).otherwise(F.lit(0))
+        + F.when(
+            th.top_den * mc > th.top_num * nw, F.lit(FLAG_REPETITIVE)
+        ).otherwise(F.lit(0))
+        + F.when(
+            th.div_den * nd < th.div_num * nw, F.lit(FLAG_LOW_DIVERSITY)
+        ).otherwise(F.lit(0))
+        + F.when(
+            (th.wl_lo_den * tc < th.wl_lo_num * nw)
+            | (th.wl_hi_den * tc > th.wl_hi_num * nw),
+            F.lit(FLAG_WORD_LEN),
+        ).otherwise(F.lit(0))
+    )
+    return j.select(
+        *[F.col(c) for c in docs.columns],
+        nw.alias("n_words"),
+        flags.cast("int").alias("flags"),
+        (flags == 0).alias("q_keep"),
+    )
+
+
+def exact_keepers(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates: keep the minimum-id doc per md5(text). One
+    window shuffle keyed on the content hash (high-cardinality; a true dup
+    cluster of any size lands in one partition but the window only ranks,
+    never materializes the cluster)."""
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+        id_col
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def near_keepers(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = NUM_PERMS,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Drop near-duplicates: MinHash-LSH star pass (linear output), keep a
+    doc iff it is its own cluster representative. Docs with < 3 words have
+    no signature — they survive this stage (the quality filter is the stage
+    that judges short docs)."""
+    reps = minhash_group_reps(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col=text_col,
+        num_perms=num_perms,
+        bands=bands,
+    ).withColumnRenamed("doc_id", id_col)
+    j = docs.join(reps, id_col, "left")
+    return j.filter(
+        F.col("rep").isNull() | (F.col("rep") == F.col(id_col))
+    ).drop("rep")
+
+
+def eval_ngram_set(
+    eval_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct md5 hashes of the eval split's word 3-grams — the
+    (kilobytes-scale) set the contamination screen broadcasts."""
+    return (
+        eval_docs.select(
+            F.expr(_WORDS_SPARK.format(col=text_col)).alias("w")
+        )
+        .select(F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+    )
+
+
+def clean_of_contamination(
+    docs: DataFrame,
+    ev: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop docs sharing any word 3-gram with the eval set. The corpus side
+    streams through a broadcast hash join (never shuffled); the only
+    exchange is the distinct over the (rare) contaminated ids."""
+    tr = docs.select(
+        F.col(id_col), F.expr(_WORDS_SPARK.format(col=text_col)).alias("w")
+    ).select(F.col(id_col), F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+    hit = (
+        tr.select(F.col(id_col), F.md5("sh").alias("h"))
+        .join(F.broadcast(ev), "h")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hit, id_col, "left_anti")
+
+
+def sample_stratified(
+    docs: DataFrame, id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """Deterministic md5-threshold sampling: 50% of 'en' docs, 25% of the
+    rest (first md5 hex digit of the id under '8'/'4'). Map-only; identical
+    on every engine, retry and cluster size."""
+    digit = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    thresh = F.when(F.col(lang_col) == "en", F.lit("8")).otherwise(
+        F.lit("4")
+    )
+    return docs.filter(digit < thresh)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    tokens_col: str = "n_words",
+) -> DataFrame:
+    """Greedy per-shard token packing: docs + seq_id. The running-sum
+    window partitions by the shard column, so parallelism = shard count
+    (never a global ORDER BY)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return docs.withColumn(
+        "seq_id", (before / F.lit(budget)).cast("bigint")
+    )
+
+
+def funnel_stages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    eval_mod: int = 50,
+    num_perms: int = NUM_PERMS,
+    bands: int = BANDS,
+    persist: bool = False,
+    th: QualityThresholds = DOC_THRESHOLDS,
+) -> dict[str, DataFrame]:
+    """The full stage chain as an ordered dict of survivor DataFrames.
+    ``docs`` with id % eval_mod == 0 form the held-out eval split (screened
+    against, never kept). With ``persist=True`` the two stages whose plans
+    are re-read by multiple consumers (pre-minhash, pre-contamination) are
+    persisted — the production-job setting; the oracle query leaves the DAG
+    fully lazy so both engines evaluate the same expressions."""
+    train = docs.filter(F.col(id_col) % eval_mod != 0)
+    ev = docs.filter(F.col(id_col) % eval_mod == 0)
+    q = quality_flags(train, text_col, id_col, th).filter(
+        F.col("flags") == 0
+    )
+    e = exact_keepers(q, text_col, id_col)
+    if persist:
+        e = e.persist()
+    n = near_keepers(e, text_col, id_col, num_perms, bands)
+    if persist:
+        n = n.persist()
+    c = clean_of_contamination(
+        n, eval_ngram_set(ev, text_col), text_col, id_col
+    )
+    s = sample_stratified(c, id_col, lang_col)
+    return {
+        "0_input": docs,
+        "1_train": train,
+        "2_quality": q,
+        "3_exact": e,
+        "4_near": n,
+        "5_clean": c,
+        "6_sampled": s,
+    }
+
+
+def funnel_report(stages: dict[str, DataFrame]) -> DataFrame:
+    """One (stage, n) row per funnel stage plus a final '7_tokens' row
+    (token sum of the kept set) — a single unioned plan."""
+    parts = [
+        df.select(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n")
+        )
+        for name, df in stages.items()
+    ]
+    parts.append(
+        stages["6_sampled"].select(
+            F.lit("7_tokens").alias("stage"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -19,7 +19,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.queries import register, t
-from ocr_spark.queries_textml import _SHINGLES_SPARK, _SHINGLES_SQL, _WORDS_SPARK
+from ocr_spark.queries_textml import (
+    _SHASH_SQL,
+    _SHINGLES_SPARK,
+    _SHINGLES_SQL,
+    _WORDS_SPARK,
+    _bands_sql,
+    _sigs_sql,
+    BANDS,
+    NUM_PERMS,
+    ROWS_PER_BAND,
+)
 
 # DuckDB word splitter (same semantics as _WORDS_SPARK: drop empty tokens)
 _WORDS_SQL_COL = "list_filter(string_split({col}, ' '), x -> x != '')"
@@ -362,3 +372,153 @@ def q_pipe_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+# --- quality filter decision + integrated funnel ----------------------------------
+# The decision operators behind scripts/corpus_job.py, exposed as oracle
+# queries. Implementations live in ocr_spark/operators/corpus.py; the SQL
+# below is the DuckDB mirror of the same integer-exact predicates.
+
+# shared SQL fragment: per-doc word stats + flags over an input CTE named
+# "tr" carrying (doc_id, text, ...). Mirrors corpus.quality_flags exactly:
+# flag 1 short (< 20 words), 2 repetitive (top word > 20% = 5*max_c >
+# n_words), 4 low diversity (distinct < 30% = 10*n_distinct < 3*n_words),
+# 8 mean word length outside [4.04, 5.2] (25*tc < 101*nw or 5*tc > 26*nw).
+_QFLAGS_SQL = """
+wx AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+    AS w
+  FROM tr
+), uc AS (
+  SELECT doc_id, w, count(*) AS c FROM wx GROUP BY doc_id, w
+), st AS (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+    max(c) AS max_c, sum(c * len(w)) AS total_chars
+  FROM uc GROUP BY doc_id
+), fl AS (
+  SELECT tr.*,
+    CAST(coalesce(st.n_words, 0) AS BIGINT) AS n_words,
+    CAST(
+      CASE WHEN coalesce(st.n_words, 0) < 20 THEN 1 ELSE 0 END
+      + CASE WHEN 5 * coalesce(st.max_c, 0) > coalesce(st.n_words, 0)
+          THEN 2 ELSE 0 END
+      + CASE WHEN 10 * coalesce(st.n_distinct, 0)
+            < 3 * coalesce(st.n_words, 0) THEN 4 ELSE 0 END
+      + CASE WHEN 25 * coalesce(st.total_chars, 0)
+            < 101 * coalesce(st.n_words, 0)
+          OR 5 * coalesce(st.total_chars, 0)
+            > 26 * coalesce(st.n_words, 0) THEN 8 ELSE 0 END
+    AS INT) AS flags
+  FROM tr LEFT JOIN st USING (doc_id)
+)
+"""
+
+
+@register(
+    "pipe_quality_filter",
+    "WITH tr AS (SELECT doc_id, text FROM documents),"
+    + _QFLAGS_SQL
+    + """
+SELECT doc_id, n_words, flags, flags = 0 AS keep FROM fl
+""",
+)
+def q_pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop decision per doc with a reason bitmask. Every
+    threshold is an integer comparison of exact counts (`5*max_c > n_words`
+    is "top word > 20%" with no IEEE divide in the decision), so keep/drop
+    is bit-identical across engines and retries. Plan: the pipe_repetition
+    shuffle shape ((doc_id, word) then doc_id partial counts) + a doc_id
+    join back to the input."""
+    from ocr_spark.operators.corpus import quality_flags
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_flags(d).select(
+        "doc_id", "n_words", "flags", F.col("q_keep").alias("keep")
+    )
+
+
+@register(
+    "pipe_funnel",
+    "WITH tr AS (SELECT doc_id, text, lang FROM documents"
+    " WHERE doc_id % 50 <> 0),"
+    + _QFLAGS_SQL
+    + f"""
+, q AS (SELECT doc_id, text, lang, n_words FROM fl WHERE flags = 0),
+e AS (
+  SELECT doc_id, text, lang, n_words FROM (
+    SELECT q.*, row_number() OVER (
+      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+ww AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM e
+),
+shd AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM ww),
+hvd AS (
+  SELECT doc_id, list_transform(sh, s -> {_SHASH_SQL}) AS hv
+  FROM shd WHERE len(sh) > 0
+),
+sig AS (SELECT doc_id, {_sigs_sql(NUM_PERMS)} AS sigs FROM hvd)
+{_bands_sql(BANDS, ROWS_PER_BAND)},
+bm AS (SELECT bi, band, min(doc_id) AS bmin FROM bands GROUP BY bi, band),
+rep AS (
+  SELECT b.doc_id, min(bm.bmin) AS rep
+  FROM bands b JOIN bm ON b.bi = bm.bi AND b.band = bm.band
+  GROUP BY b.doc_id
+),
+n AS (
+  SELECT e.* FROM e LEFT JOIN rep USING (doc_id)
+  WHERE rep IS NULL OR rep = doc_id
+),
+evw AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents WHERE doc_id % 50 = 0
+),
+evg AS (
+  SELECT DISTINCT md5(sh) AS h
+  FROM (SELECT unnest({_SHINGLES_SQL}) AS sh FROM evw)
+),
+trg AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shl
+  FROM (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM n) z
+),
+hit AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(shl) AS sh FROM trg) u
+  WHERE md5(sh) IN (SELECT h FROM evg)
+),
+c AS (SELECT * FROM n WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+s AS (
+  SELECT * FROM c
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+    < CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+)
+SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+UNION ALL SELECT '1_train', CAST(count(*) AS BIGINT) FROM tr
+UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM q
+UNION ALL SELECT '3_exact', CAST(count(*) AS BIGINT) FROM e
+UNION ALL SELECT '4_near', CAST(count(*) AS BIGINT) FROM n
+UNION ALL SELECT '5_clean', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT '6_sampled', CAST(count(*) AS BIGINT) FROM s
+UNION ALL SELECT '7_tokens', CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM s
+""",
+)
+def q_pipe_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrated corpus-preparation funnel as ONE driver-graded plan:
+    eval/train split -> quality filter -> exact dedup -> MinHash near-dedup
+    -> contamination screen -> stratified sample, reporting one (stage, n)
+    row per stage plus the final token count. This is the value-hash
+    evidence that the stage chain scripts/corpus_job.py runs at production
+    width composes correctly end-to-end (here at the 16-perm oracle width).
+    Scale: each stage's plan is the audited shape of its standalone query;
+    the unioned count branches recompute the lazy prefix at oracle scale,
+    while the production job persists the two reused stages instead
+    (operators/corpus.funnel_stages(persist=True))."""
+    from ocr_spark.operators.corpus import funnel_report, funnel_stages
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return funnel_report(funnel_stages(d))

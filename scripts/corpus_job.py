@@ -1,0 +1,157 @@
+"""Integrated corpus-preparation run: pages -> extraction -> quality filter
+-> exact dedup -> MinHash near-dedup (production width) -> benchmark-
+contamination screen -> stratified sample -> token-budget packing, writing
+the kept corpus plus a funnel report.
+
+Usage (same launch mode as extract_job.py)::
+
+    zip -qr engine.zip ocr_spark
+    spark-submit --master <cluster> --py-files engine.zip \\
+        scripts/corpus_job.py <out_dir> [n_pages] [budget] [pages_location]
+
+With no ``pages_location`` the job generates ``n_pages`` deterministic
+synthetic pages (ocr_spark.gen.corpus_pages — a diversity-controlled
+crawl with injected exact/near dups, quality rejects and benchmark
+contamination; no external data); otherwise it reads the given
+parquet/``iceberg:`` pages table. Documents are keyed by
+``xxhash64(url, warc_ts)`` and stage decisions are md5/integer-exact, so
+the kept set is identical on every rerun, partition count and cluster
+size. Prints one JSON line: per-stage funnel counts, wall/stage seconds,
+kept-corpus rows/tokens/sequences and the output path.
+
+The stage semantics are driver-graded at oracle width by the
+``pipe_quality_filter`` / ``pipe_funnel`` registry queries
+(ocr_spark/queries_pipeline.py); this job runs the same chain at the
+production MinHash width (64 perms / 16 bands) with the two reused stages
+persisted (see ocr_spark/operators/corpus.py).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+PACK_BUDGET_DEFAULT = 2048
+
+
+def run_corpus_job(
+    spark,
+    out_dir: str,
+    n_pages: int = 20000,
+    budget: int = PACK_BUDGET_DEFAULT,
+    pages_location: str | None = None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen import corpus_pages
+    from ocr_spark.operators.corpus import (
+        WEB_THRESHOLDS,
+        funnel_stages,
+        pack_sequences,
+    )
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.operators.runner import read_pages
+    from ocr_spark.queries_textml import PROD_BANDS, PROD_NUM_PERMS
+
+    stage_sec: dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    pages = (
+        read_pages(spark, pages_location)
+        if pages_location
+        else corpus_pages(spark, n_pages)
+    )
+
+    # extraction -> document table (url-keyed; doc_id = xxhash64(url, ts)
+    # is deterministic and order-free, so every downstream md5/threshold
+    # decision is reproducible across runs and cluster sizes)
+    docs = extract_pages(pages).select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+        "lang",
+        F.parse_url("url", F.lit("HOST")).alias("source"),
+        "url",
+        "warc_ts",
+    )
+
+    stages = funnel_stages(
+        docs,
+        num_perms=PROD_NUM_PERMS,
+        bands=PROD_BANDS,
+        persist=True,
+        th=WEB_THRESHOLDS,
+    )
+
+    # one pass per funnel stage count; the persisted stages ("3_exact",
+    # "4_near") cut the recomputation chain so each count reuses the
+    # heaviest prefix instead of re-parsing the corpus
+    funnel: dict[str, int] = {}
+    for name, df in stages.items():
+        ts = time.perf_counter()
+        funnel[name] = df.count()
+        stage_sec[name] = round(time.perf_counter() - ts, 3)
+
+    ts = time.perf_counter()
+    kept = pack_sequences(stages["6_sampled"], budget)
+    out_path = str(pathlib.Path(out_dir) / "corpus")
+    kept.select(
+        "doc_id", "url", "warc_ts", "lang", "source", "n_words",
+        "seq_id", "text",
+    ).write.mode("overwrite").partitionBy("seq_id").parquet(out_path)
+    stage_sec["pack_write"] = round(time.perf_counter() - ts, 3)
+
+    ts = time.perf_counter()
+    final = spark.read.parquet(out_path).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).alias("tokens"),
+        F.count_distinct("seq_id", "source").alias("sequences"),
+    ).collect()[0]
+    stage_sec["readback"] = round(time.perf_counter() - ts, 3)
+
+    for df in (stages["3_exact"], stages["4_near"]):
+        df.unpersist()
+
+    report = {
+        "out": out_path,
+        "funnel": funnel,
+        "kept_rows": int(final["rows"]),
+        "kept_tokens": int(final["tokens"]),
+        "sequences": int(final["sequences"]),
+        "budget": budget,
+        "minhash": {"num_perms": PROD_NUM_PERMS, "bands": PROD_BANDS},
+        "stage_sec": stage_sec,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    (pathlib.Path(out_dir) / "funnel.json").write_text(
+        json.dumps(report, indent=2)
+    )
+    return report
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
+    out_dir = sys.argv[1]
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else PACK_BUDGET_DEFAULT
+    pages_location = sys.argv[4] if len(sys.argv) > 4 else None
+
+    from ocr_spark.session import build_session
+
+    spark = build_session(app_name="ocr-spark-corpus")
+    try:
+        print(json.dumps(run_corpus_job(
+            spark, out_dir, n_pages, budget, pages_location
+        )))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

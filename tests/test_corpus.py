@@ -1,0 +1,130 @@
+"""Integrated corpus-funnel tests (operators/corpus.py +
+scripts/corpus_job.py): stage monotonicity, parallelism invariance of the
+kept set, packing-budget properties and the end-to-end job report.
+
+The per-stage VALUE correctness is driver-graded by the pipe_quality_filter
+and pipe_funnel DuckDB oracles (tests/test_oracle.py); these tests cover
+what SQL oracles can't — invariance across partitionings, the persisted
+production-width job path, and packing invariants."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def test_funnel_monotone_and_consistent(spark):
+    from ocr_spark.operators.corpus import funnel_report, funnel_stages
+
+    rows = {
+        r["stage"]: r["n"]
+        for r in funnel_report(funnel_stages(_docs(spark))).collect()
+    }
+    order = ["0_input", "1_train", "2_quality", "3_exact", "4_near",
+             "5_clean", "6_sampled"]
+    for a, b in zip(order, order[1:]):
+        assert rows[b] <= rows[a], (a, b, rows)
+    assert rows["0_input"] == 500
+    assert rows["6_sampled"] > 0
+    # token count is over the kept set only
+    assert rows["7_tokens"] >= rows["6_sampled"] * 20  # min words per keeper
+
+
+def test_kept_set_parallelism_invariant(spark):
+    """The kept doc_id set must not depend on how the input is
+    partitioned — every decision is md5/integer-derived."""
+    from ocr_spark.operators.corpus import funnel_stages
+
+    base = _docs(spark)
+    kept1 = {
+        r["doc_id"]
+        for r in funnel_stages(base.repartition(1))["6_sampled"]
+        .select("doc_id").collect()
+    }
+    kept13 = {
+        r["doc_id"]
+        for r in funnel_stages(base.repartition(13))["6_sampled"]
+        .select("doc_id").collect()
+    }
+    assert kept1 == kept13 and kept1
+
+
+def test_quality_flags_empty_doc_short(spark):
+    from ocr_spark.operators.corpus import FLAG_SHORT, quality_flags
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_flags(d).collect()}
+    assert out[1]["flags"] & FLAG_SHORT and out[1]["n_words"] == 0
+    assert out[2]["flags"] & FLAG_SHORT and out[2]["n_words"] == 0
+    assert out[3]["n_words"] == 40 and not (out[3]["flags"] & FLAG_SHORT)
+
+
+def test_pack_sequences_budget_property(spark):
+    """Within every (source, seq_id) bin the token sum exceeds the budget
+    only by the bin's last (overflowing) doc, and seq_ids are dense per
+    source starting at 0."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.corpus import pack_sequences, quality_flags
+
+    budget = 500
+    docs = quality_flags(_docs(spark))
+    packed = pack_sequences(docs, budget)
+    bins = (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.sum("n_words").alias("tok"),
+            F.max("n_words").alias("max_doc"),
+        )
+        .collect()
+    )
+    assert bins
+    for b in bins:
+        assert b["tok"] < budget + b["max_doc"], b
+    per_src = {}
+    for b in bins:
+        per_src.setdefault(b["source"], set()).add(b["seq_id"])
+    for src, ids in per_src.items():
+        assert ids == set(range(len(ids))), (src, sorted(ids))
+
+
+def test_corpus_job_end_to_end(spark, tmp_path):
+    """Production-width job over synthetic extracted pages: funnel report
+    written, kept corpus readable, counts self-consistent, rerun
+    byte-stable."""
+    from scripts.corpus_job import run_corpus_job
+
+    rep = run_corpus_job(spark, str(tmp_path), n_pages=600, budget=512)
+    assert rep["funnel"]["0_input"] == 600
+    assert rep["kept_rows"] == rep["funnel"]["6_sampled"] > 0
+    assert rep["kept_tokens"] > 0 and rep["sequences"] > 0
+    on_disk = json.loads((tmp_path / "funnel.json").read_text())
+    assert on_disk["funnel"] == rep["funnel"]
+
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    kept = spark.read.parquet(rep["out"])
+    assert kept.count() == rep["kept_rows"]
+    # snapshot the ids BEFORE the rerun overwrites the parquet dir (the
+    # first DataFrame's file listing would dangle otherwise)
+    ids1 = ids(kept)
+    # deterministic rerun: same kept doc_ids
+    rep2 = run_corpus_job(spark, str(tmp_path), n_pages=600, budget=512)
+    assert rep2["funnel"] == rep["funnel"]
+    assert ids1 == ids(spark.read.parquet(rep2["out"]))

@@ -167,3 +167,18 @@ def test_pipeline_scan_and_scrub_stay_jvm_side(spark):
         plan = _plan(em.queries()[name](spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in plan, name
         assert "Python" not in plan, name
+
+
+def test_quality_filter_partial_agg_no_python(spark):
+    """pipe_quality_filter: word stats aggregate map-side first (partial
+    HashAggregate below the (doc_id, word) exchange), and the whole plan
+    is JVM-side — the keep/drop decision never leaves codegen."""
+    import __spark_entry__ as em
+
+    plan = _plan(
+        em.queries()["pipe_quality_filter"](spark, "/root/testdata/sf0.001")
+    )
+    assert "Python" not in plan
+    # partial-then-final aggregation around the explode's exchange
+    assert plan.count("HashAggregate") >= 4  # 2 agg levels x partial+final
+    assert "hashpartitioning(doc_id" in plan
