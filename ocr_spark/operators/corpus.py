@@ -260,10 +260,11 @@ def funnel_stages(
 ) -> dict[str, DataFrame]:
     """The full stage chain as an ordered dict of survivor DataFrames.
     ``docs`` with id % eval_mod == 0 form the held-out eval split (screened
-    against, never kept). With ``persist=True`` the two stages whose plans
-    are re-read by multiple consumers (pre-minhash, pre-contamination) are
-    persisted — the production-job setting; the oracle query leaves the DAG
-    fully lazy so both engines evaluate the same expressions."""
+    against, never kept). With ``persist=True`` the three stages whose
+    plans are re-read by multiple consumers (pre-minhash,
+    pre-contamination, post-contamination) are persisted — the
+    production-job setting; the oracle query leaves the DAG fully lazy so
+    both engines evaluate the same expressions."""
     train = docs.filter(F.col(id_col) % eval_mod != 0)
     ev = docs.filter(F.col(id_col) % eval_mod == 0)
     q = quality_flags(train, text_col, id_col, th).filter(
@@ -278,6 +279,8 @@ def funnel_stages(
     c = clean_of_contamination(
         n, eval_ngram_set(ev, text_col), text_col, id_col
     )
+    if persist:
+        c = c.persist()
     s = sample_stratified(c, id_col, lang_col)
     return {
         "0_input": docs,

@@ -79,6 +79,17 @@ def run_corpus_job(
         "warc_ts",
     )
 
+    # Stage the extracted table ONCE (the runner's staged-input move):
+    # filters can't push below the mapInArrow parse, and the funnel's
+    # count-per-stage loop plus the final write would otherwise re-run
+    # extraction ~7x over the full corpus — at 100 TB, seven parses.
+    # One write + cheap parquet re-scans is the scale-correct shape.
+    ts = time.perf_counter()
+    docs_path = str(pathlib.Path(out_dir) / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    stage_sec["extract_stage"] = round(time.perf_counter() - ts, 3)
+
     stages = funnel_stages(
         docs,
         num_perms=PROD_NUM_PERMS,
@@ -99,10 +110,17 @@ def run_corpus_job(
     ts = time.perf_counter()
     kept = pack_sequences(stages["6_sampled"], budget)
     out_path = str(pathlib.Path(out_dir) / "corpus")
+    # seq_id is a per-shard ordinal, so the sequence identity is
+    # (source, seq_id) — partition the layout by both. And repartition ON
+    # the partition columns before the partitionBy write: otherwise every
+    # write task emits a file into every dir it holds rows for —
+    # tasks x dirs tiny files. Clustered, each sequence dir gets one file.
     kept.select(
         "doc_id", "url", "warc_ts", "lang", "source", "n_words",
         "seq_id", "text",
-    ).write.mode("overwrite").partitionBy("seq_id").parquet(out_path)
+    ).repartition("source", "seq_id").write.mode("overwrite").partitionBy(
+        "source", "seq_id"
+    ).parquet(out_path)
     stage_sec["pack_write"] = round(time.perf_counter() - ts, 3)
 
     ts = time.perf_counter()
@@ -113,7 +131,7 @@ def run_corpus_job(
     ).collect()[0]
     stage_sec["readback"] = round(time.perf_counter() - ts, 3)
 
-    for df in (stages["3_exact"], stages["4_near"]):
+    for df in (stages["3_exact"], stages["4_near"], stages["5_clean"]):
         df.unpersist()
 
     report = {
