@@ -260,6 +260,57 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_dedup_minhash", None)  # streaming: rows-only driver check
+def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression as a driver-visible query: the
+    documents table arrives as TWO identical micro-batches
+    (maxFilesPerTrigger=1 over two copies of the file); the first batch
+    keeps its within-batch star-pass survivors, the second — an exact
+    recrawl of the whole corpus — is suppressed entirely against the
+    band-key store. Returns one (batch_seq, rows_kept) row per micro-batch
+    from the exactly-once manifest; deterministic regardless of which copy
+    the file source picks first. Semantics + crash windows pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_spark.streaming.incremental import incremental_dedup_minhash
+
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-mh-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    for i in (1, 2):
+        shutil.copy(
+            f"{sf_dir}/documents.parquet",
+            os.path.join(src_dir, f"wave{i}.parquet"),
+        )
+    docs = (
+        spark.readStream.schema(t(spark, sf_dir, "documents").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("doc_id", "text")
+    )
+    writer, committer = incremental_dedup_minhash(
+        docs, os.path.join(work, "out"), os.path.join(work, "ckpt")
+    )
+    writer.trigger(availableNow=True).start().awaitTermination()
+    recs = [
+        (seq, bid)
+        for seq, bid in enumerate(sorted(committer.committed()))
+    ]
+    import json as _json
+
+    rows = [
+        (
+            seq,
+            _json.loads(committer._record(bid).read_text())["rows"],
+        )
+        for seq, bid in recs
+    ]
+    return spark.createDataFrame(rows, "batch_seq int, rows_kept long")
+
+
 # --- B. projection / filter / derivation ------------------------------------
 
 @register(

@@ -377,3 +377,162 @@ def incremental_extract(
         .outputMode("append")
     )
     return writer, committer
+
+
+# --- incremental near-dup suppression (streaming MinHash LSH) ----------------
+
+class _MinhashDedupCommitter:
+    """foreachBatch function: per-micro-batch MinHash near-dup suppression
+    against the accumulated band-key store of everything KEPT so far.
+
+    Per batch: (1) within-batch star-pass dedup (the linear
+    ``minhash_group_reps`` decision — keep a doc iff it is its own cluster
+    representative; docs with < 3 words have no signature and always
+    survive this stage); (2) drop any survivor sharing ANY band key with
+    the store (i.e. a near-dup of a previously KEPT doc — chains through
+    previously *dropped* docs do not suppress, by design: suppression is
+    always against a retained representative); (3) write the kept rows to
+    ``data/batch_id=N`` and their band keys to ``sigstore/batch_id=N``.
+
+    Exactly-once: both writes are batch-scoped ``mode("overwrite")`` and
+    the manifest record commits last (same contract as
+    :class:`_BatchCommitter`); the store read excludes the current
+    batch_id, so a replayed batch sees exactly the store state of its
+    first attempt and recomputes the identical kept set.
+
+    Scale: the cross-batch check is one linear pass over the store with
+    BROADCAST-only joins of the (small) batch side — the store is never
+    shuffled and no pairs are materialized. Global invariant maintained:
+    kept docs are pairwise band-key-disjoint (within a batch the star pass
+    guarantees it; across batches the store anti-join does). At the 10^12
+    design point the parquet store scan per batch becomes the bottleneck;
+    the production layout is the same store bucket-partitioned by band-key
+    hash in Iceberg so each micro-batch prunes to the buckets it touches.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        run_id: str = "stream",
+        num_perms: int | None = None,
+        bands: int | None = None,
+    ) -> None:
+        from ocr_spark.queries_textml import BANDS, NUM_PERMS
+
+        self.out = pathlib.Path(out_dir)
+        self.run_id = run_id
+        self.num_perms = num_perms or NUM_PERMS
+        self.bands = bands or BANDS
+
+    def _record(self, batch_id: int) -> pathlib.Path:
+        return self.out / "_stream_manifest" / f"batch-{batch_id:010d}.json"
+
+    def committed(self) -> list[int]:
+        d = self.out / "_stream_manifest"
+        if not d.is_dir():
+            return []
+        return sorted(
+            int(p.stem.split("-")[1]) for p in d.glob("batch-*.json")
+        )
+
+    def _band_keys(self, docs: DataFrame) -> DataFrame:
+        from ocr_spark.queries_textml import (
+            minhash_band_keys,
+            minhash_signatures,
+        )
+
+        return minhash_band_keys(
+            minhash_signatures(docs, num_perms=self.num_perms),
+            self.bands,
+            self.num_perms // self.bands,
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ocr_spark.queries_textml import minhash_group_reps
+
+        rec_path = self._record(batch_id)
+        if rec_path.exists():
+            return  # replayed micro-batch: already committed
+        spark = batch_df.sparkSession
+        reps = minhash_group_reps(
+            batch_df.select("doc_id", "text"),
+            num_perms=self.num_perms,
+            bands=self.bands,
+        )
+        kept = (
+            batch_df.join(reps, "doc_id", "left")
+            .filter(F.col("rep").isNull() | (F.col("rep") == F.col("doc_id")))
+            .drop("rep")
+        )
+        prior = [
+            p
+            for p in sorted((self.out / "sigstore").glob("batch_id=*"))
+            if p.is_dir() and int(p.name.split("=", 1)[1]) < batch_id
+        ]
+        if prior:
+            store = spark.read.parquet(*[str(p) for p in prior])
+            kb = self._band_keys(kept)
+            # store-side pass with broadcast of the batch's keys; only the
+            # (rare) matches come back, then a broadcast anti join removes
+            # their docs — the store never shuffles
+            matched = (
+                store.join(
+                    F.broadcast(kb.select("bi", "band").distinct()),
+                    ["bi", "band"],
+                    "left_semi",
+                )
+                .select("bi", "band")
+                .distinct()
+            )
+            dup_ids = (
+                kb.join(F.broadcast(matched), ["bi", "band"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            kept = kept.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+        kept = kept.persist()  # consumed by both writes + the row count
+        data_dir = self.out / "data" / f"batch_id={batch_id}"
+        kept.write.mode("overwrite").parquet(str(data_dir))
+        sig_dir = self.out / "sigstore" / f"batch_id={batch_id}"
+        self._band_keys(kept).write.mode("overwrite").parquet(str(sig_dir))
+        try:
+            n = spark.read.parquet(str(data_dir)).count()
+        except Exception:
+            n = 0  # empty micro-batch: no part files were produced
+        kept.unpersist()
+        rec_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = rec_path.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps(
+                {"batch_id": batch_id, "run_id": self.run_id, "rows": n}
+            )
+        )
+        os.replace(tmp, rec_path)
+
+
+def incremental_dedup_minhash(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    num_perms: int | None = None,
+    bands: int | None = None,
+) -> tuple[DataStreamWriter, _MinhashDedupCommitter]:
+    """Continuous-crawl near-dup suppression: a streaming DataFrame of
+    documents (``doc_id`` + ``text`` + payload columns) → only docs that
+    are not near-duplicates of anything previously kept, written
+    exactly-once to ``out_dir/data`` with the suppression state
+    accumulating in ``out_dir/sigstore``.
+
+    Returns (writer, committer); caller picks the trigger::
+
+        writer, _ = incremental_dedup_minhash(docs, out, ckpt)
+        writer.trigger(availableNow=True).start().awaitTermination()
+    """
+    committer = _MinhashDedupCommitter(out_dir, run_id, num_perms, bands)
+    writer = (
+        docs_stream.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer

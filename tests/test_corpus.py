@@ -124,6 +124,19 @@ def test_corpus_job_end_to_end(spark, tmp_path):
     # snapshot the ids BEFORE the rerun overwrites the parquet dir (the
     # first DataFrame's file listing would dangle otherwise)
     ids1 = ids(kept)
+
+    # pages_location path: the same pages via parquet must yield the same
+    # funnel and kept set (read_pages integration)
+    from ocr_spark.gen import corpus_pages
+
+    src = str(tmp_path / "pages_src")
+    corpus_pages(spark, 600).write.parquet(src)
+    rep_loc = run_corpus_job(
+        spark, str(tmp_path / "loc"), budget=512, pages_location=src
+    )
+    assert rep_loc["funnel"] == rep["funnel"]
+    assert ids(spark.read.parquet(rep_loc["out"])) == ids1
+
     # deterministic rerun: same kept doc_ids
     rep2 = run_corpus_job(spark, str(tmp_path), n_pages=600, budget=512)
     assert rep2["funnel"] == rep["funnel"]

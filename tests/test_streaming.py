@@ -377,3 +377,113 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert emitted == {"2024-01-01T00:00:00": 2}
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _uniq_text(seed: str, n: int = 60) -> str:
+    # every 3-gram contains a seed-unique word: zero cross-doc shingle overlap
+    return " ".join(f"{seed}w{i}" for i in range(n))
+
+
+def test_incremental_minhash_dedup(spark, tmp_path):
+    """Streaming near-dup suppression: within-batch star-pass + cross-batch
+    band-key store. Exact recrawls across waves are suppressed; unique docs
+    survive; kept docs are globally band-key-disjoint; replay exactly-once."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.incremental import incremental_dedup_minhash
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    a, c = _uniq_text("a"), _uniq_text("c")
+    # wave 1: A unique, B exact copy of A (within-batch dup), C unique
+    _mk_docs(spark, [(1, a), (2, a), (3, c)]).coalesce(1).write.parquet(
+        str(src / "w1")
+    )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src / "*")
+        )
+        writer, committer = incremental_dedup_minhash(stream, out, ckpt)
+        _drain(writer)
+        return committer
+
+    run()
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert kept == {1, 3}  # B suppressed within the batch
+
+    # wave 2: D exact copy of A (cross-batch dup), E unique
+    _mk_docs(spark, [(4, a), (5, _uniq_text("e"))]).coalesce(1).write.parquet(
+        str(src / "w2")
+    )
+    committer = run()
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert kept == {1, 3, 5}  # D suppressed against the store
+
+    # global invariant: kept docs are pairwise band-key-disjoint — every
+    # band key in the sigstore is owned by exactly one kept doc
+    store = spark.read.parquet(f"{out}/sigstore")
+    dup_keys = (
+        store.groupBy("bi", "band")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert dup_keys == 0
+    assert {r.doc_id for r in store.select("doc_id").collect()} == kept
+
+    # replay exactly-once: a committed batch_id short-circuits
+    docs_b2 = _mk_docs(spark, [(4, a), (5, _uniq_text("e"))])
+    last = max(committer.committed())
+    committer(docs_b2, last)  # no-op: record exists
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out}/data").collect()
+    } == {1, 3, 5}
+
+    # crash window: record lost after the writes -> recommit recomputes the
+    # identical kept set (store read excludes the current batch_id)
+    committer._record(last).unlink()
+    committer(docs_b2, last)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out}/data").collect()
+    } == {1, 3, 5}
+    assert max(committer.committed()) == last
+
+
+def test_incremental_minhash_matches_batch_on_simple_clusters(spark, tmp_path):
+    """With exact-dup clusters (no near-dup chains) the streaming kept set
+    equals the batch near_keepers decision over the union, regardless of
+    how the waves split the clusters."""
+    from ocr_spark.operators.corpus import near_keepers
+    from ocr_spark.streaming.incremental import incremental_dedup_minhash
+
+    texts = {i: _uniq_text(f"s{i % 4}") for i in range(12)}  # 4 clusters of 3
+    rows = [(i, texts[i]) for i in range(12)]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    _mk_docs(spark, rows[:5]).coalesce(1).write.parquet(str(src / "w1"))
+    _mk_docs(spark, rows[5:]).coalesce(1).write.parquet(str(src / "w2"))
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    writer, _ = incremental_dedup_minhash(
+        stream, out, str(tmp_path / "ckpt")
+    )
+    _drain(writer)
+    stream_kept = {
+        r.doc_id for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    batch_kept = {
+        r.doc_id
+        for r in near_keepers(_mk_docs(spark, rows)).select("doc_id").collect()
+    }
+    assert stream_kept == batch_kept == {0, 1, 2, 3}
