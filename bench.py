@@ -39,6 +39,7 @@ HEADLINE = [
     "topk",                 # G: TakeOrderedAndProject
     "dedup_minhash_pairs",  # training-data: MinHash LSH band join (16 perms)
     "dedup_exact",          # training-data: exact hash dedup
+    "dedup_cc",             # training-data: connected-components dedup to fixpoint
     "dedup_embcos",         # training-data: embedding-cosine near-dup pairs
     "sim_cosine_topk",      # training-data: brute-force ANN baseline
     "sim_ann_multiprobe",   # training-data: probe-table ANN, per-probe top-k

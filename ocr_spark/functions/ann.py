@@ -285,6 +285,58 @@ def ivf_topk(
     return score_topk(e, probes, ivf_candidates(e, cent, probes, nprobe), k)
 
 
+# --- clustered synthetic corpus ----------------------------------------------
+
+def clustered_embeddings(
+    spark,
+    n: int = 2000,
+    k_clusters: int = 16,
+    dim: int = DIM,
+    noise: float = 0.15,
+) -> DataFrame:
+    """Deterministic embeddings WITH cluster structure: k md5-derived
+    centers (literal matrix), vector i = center[i % k] + xxhash64-derived
+    per-(i,dim) noise. Same schema as the testdata embeddings table.
+
+    Purpose: the driver's embeddings table is near-isotropic — the worst
+    case for hyperplane LSH — so BENCH/ANN.md's absolute recall numbers
+    there say little about real corpora, which cluster. This corpus is the
+    realistic-geometry counterpart: same harness, same settings, recall
+    measured on data where locality exists to be found. Seed-free and
+    partitioning-independent by construction (every value is a pure
+    function of (vec_id, dim))."""
+    centers = [
+        [
+            int(hashlib.md5(f"cc{c}_{d}".encode()).hexdigest()[:8], 16)
+            / float(0x80000000)
+            - 1.0
+            for d in range(dim)
+        ]
+        for c in range(k_clusters)
+    ]
+    lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{v:.9f}D" for v in row) + ")"
+            for row in centers
+        )
+        + ")"
+    )
+    vec = (
+        f"transform(sequence(1, {dim}), d -> CAST("
+        f" element_at(element_at({lit},"
+        f"  CAST(pmod(id, {k_clusters}) AS INT) + 1), d)"
+        f" + {noise}D * (CAST(xxhash64(concat(CAST(id AS STRING), '_',"
+        " CAST(d AS STRING))) AS DOUBLE) / 9.223372036854776E18)"
+        " AS FLOAT))"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(vec).alias("embedding"),
+        F.expr(f"CAST(pmod(id, {k_clusters}) AS STRING)").alias("label"),
+    )
+
+
 # --- recall harness ----------------------------------------------------------
 
 def default_probes(e: DataFrame, mod: int = 20) -> DataFrame:

@@ -160,11 +160,38 @@ def near_keepers(
     id_col: str = "doc_id",
     num_perms: int = NUM_PERMS,
     bands: int = BANDS,
+    full_cc: bool = False,
 ) -> DataFrame:
-    """Drop near-duplicates: MinHash-LSH star pass (linear output), keep a
-    doc iff it is its own cluster representative. Docs with < 3 words have
-    no signature — they survive this stage (the quality filter is the stage
-    that judges short docs)."""
+    """Drop near-duplicates: keep a doc iff it is its own cluster
+    representative. Docs with < 3 words have no signature — they survive
+    this stage (the quality filter is the stage that judges short docs).
+
+    ``full_cc=False`` (default): single MinHash-LSH star pass (linear
+    output, one fixed round — may under-merge bucket chains A~B~C).
+    ``full_cc=True``: min-label propagation to a FIXPOINT over the
+    doc–bucket graph (functions/graph.bucket_connected_components) — true
+    connected components, a few extra linear rounds. The default stays the
+    star pass so the oracle-pinned funnel queries keep one deterministic
+    plan; production jobs opt in per run."""
+    if full_cc:
+        from ocr_spark.functions.graph import bucket_connected_components
+        from ocr_spark.queries_textml import (
+            minhash_band_keys,
+            minhash_signatures,
+        )
+
+        sig = minhash_signatures(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            text_col=text_col,
+            num_perms=num_perms,
+        )
+        reps = bucket_connected_components(
+            minhash_band_keys(sig, bands, num_perms // bands)
+        ).withColumnRenamed("doc_id", id_col)
+        j = docs.join(reps, id_col, "left")
+        return j.filter(
+            F.col("rep").isNull() | (F.col("rep") == F.col(id_col))
+        ).drop("rep")
     reps = minhash_group_reps(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
         text_col=text_col,
@@ -257,6 +284,7 @@ def funnel_stages(
     bands: int = BANDS,
     persist: bool = False,
     th: QualityThresholds = DOC_THRESHOLDS,
+    full_cc: bool = False,
 ) -> dict[str, DataFrame]:
     """The full stage chain as an ordered dict of survivor DataFrames.
     ``docs`` with id % eval_mod == 0 form the held-out eval split (screened
@@ -273,7 +301,7 @@ def funnel_stages(
     e = exact_keepers(q, text_col, id_col)
     if persist:
         e = e.persist()
-    n = near_keepers(e, text_col, id_col, num_perms, bands)
+    n = near_keepers(e, text_col, id_col, num_perms, bands, full_cc=full_cc)
     if persist:
         n = n.persist()
     c = clean_of_contamination(

@@ -351,6 +351,48 @@ def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_SQL = (
+    # the recursive reachability walk needs the RECURSIVE keyword on the
+    # shared CTE list; the walk itself is over the doc-doc pair edges of the
+    # band buckets — fine for an sf0.01 oracle, quadratic in dup-cluster
+    # size at scale, which is exactly why the Spark side propagates over the
+    # bipartite doc-bucket graph instead (functions/graph.py module note)
+    _minhash_sql_base(NUM_PERMS).replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + _bands_sql()
+    + """
+, edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.band = b.band AND a.doc_id <> b.doc_id
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM sig
+  UNION
+  SELECT e.dst AS doc_id, reach.r
+  FROM reach JOIN edges e ON e.src = reach.doc_id
+)
+SELECT doc_id, min(r) AS rep FROM reach GROUP BY doc_id
+"""
+)
+
+
+@register("dedup_cc", _CC_SQL)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL connected-components dedup decision: min-label propagation to a
+    fixpoint over the doc–bucket bipartite graph
+    (functions/graph.bucket_connected_components), closing the star-pass
+    under-merge caveat of dedup_minhash_groups — chains A~B~C where A and C
+    never share a band bucket now land in one cluster. Output is linear in
+    the corpus (one (doc_id, rep) row per banded doc); every round is two
+    linear shuffles and pair edges are never materialized, so a 1M-copy
+    cluster costs 1M membership rows, not 5·10^11 pair rows. Oracle: DuckDB
+    recursive-CTE reachability over the same band graph."""
+    from ocr_spark.functions.graph import bucket_connected_components
+
+    sig = minhash_signatures(t(spark, sf_dir, "documents"))
+    return bucket_connected_components(minhash_band_keys(sig))
+
+
 # --- SimHash (16-bit, md5-derived bit planes) -------------------------------------
 
 _HI = "('8','9','a','b','c','d','e','f')"

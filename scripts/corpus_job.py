@@ -7,7 +7,12 @@ Usage (same launch mode as extract_job.py)::
 
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
-        scripts/corpus_job.py <out_dir> [n_pages] [budget] [pages_location]
+        scripts/corpus_job.py <out_dir> [n_pages] [budget] [pages_location] \\
+        [--full-cc]
+
+``--full-cc`` upgrades near-dedup clustering from the one-round star pass
+to full connected components (fixpoint label propagation over the
+doc–bucket graph, ocr_spark/functions/graph.py).
 
 With no ``pages_location`` the job generates ``n_pages`` deterministic
 synthetic pages (ocr_spark.gen.corpus_pages — a diversity-controlled
@@ -45,6 +50,7 @@ def run_corpus_job(
     n_pages: int = 20000,
     budget: int = PACK_BUDGET_DEFAULT,
     pages_location: str | None = None,
+    full_cc: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -96,6 +102,10 @@ def run_corpus_job(
         bands=PROD_BANDS,
         persist=True,
         th=WEB_THRESHOLDS,
+        # --full-cc: near-dedup clusters are TRUE connected components
+        # (fixpoint label propagation, functions/graph.py) instead of the
+        # one-round star pass — a few extra linear rounds, no plan blow-up
+        full_cc=full_cc,
     )
 
     # one pass per funnel stage count; the persisted stages ("3_exact",
@@ -141,7 +151,11 @@ def run_corpus_job(
         "kept_tokens": int(final["tokens"]),
         "sequences": int(final["sequences"]),
         "budget": budget,
-        "minhash": {"num_perms": PROD_NUM_PERMS, "bands": PROD_BANDS},
+        "minhash": {
+            "num_perms": PROD_NUM_PERMS,
+            "bands": PROD_BANDS,
+            "full_cc": full_cc,
+        },
         "stage_sec": stage_sec,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
@@ -152,20 +166,22 @@ def run_corpus_job(
 
 
 def main() -> None:
-    if len(sys.argv) < 2:
+    argv = [a for a in sys.argv[1:] if a != "--full-cc"]
+    full_cc = "--full-cc" in sys.argv[1:]
+    if not argv:
         print(__doc__)
         sys.exit(2)
-    out_dir = sys.argv[1]
-    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
-    budget = int(sys.argv[3]) if len(sys.argv) > 3 else PACK_BUDGET_DEFAULT
-    pages_location = sys.argv[4] if len(sys.argv) > 4 else None
+    out_dir = argv[0]
+    n_pages = int(argv[1]) if len(argv) > 1 else 20000
+    budget = int(argv[2]) if len(argv) > 2 else PACK_BUDGET_DEFAULT
+    pages_location = argv[3] if len(argv) > 3 else None
 
     from ocr_spark.session import build_session
 
     spark = build_session(app_name="ocr-spark-corpus")
     try:
         print(json.dumps(run_corpus_job(
-            spark, out_dir, n_pages, budget, pages_location
+            spark, out_dir, n_pages, budget, pages_location, full_cc
         )))
     finally:
         spark.stop()

@@ -158,6 +158,40 @@ def main() -> None:
         tree_of(q["dedup_jaccard"](spark, sf)),
     ))
 
+    from ocr_spark.queries_textml import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    b = minhash_band_keys(minhash_signatures(docs))
+    labels0 = (
+        b.select("doc_id").distinct().withColumn("rep", F.col("doc_id"))
+    )
+    bmin = (
+        b.join(labels0, "doc_id")
+        .groupBy("bi", "band")
+        .agg(F.min("rep").alias("_bmin"))
+    )
+    one_round = (
+        b.join(bmin, ["bi", "band"])
+        .groupBy("doc_id")
+        .agg(F.min("_bmin").alias("rep"))
+    )
+    sections.append((
+        "dedup_cc — one label-propagation round (functions/graph.py)",
+        "Connected components to a fixpoint without ever materializing "
+        "doc–doc pair edges: each round is two hash joins + two "
+        "aggregations keyed by the bucket and the doc id — every exchange "
+        "carries tables linear in |membership| = docs × bands, so a "
+        "1M-copy duplicate cluster costs 1M rows per round, not 5·10^11 "
+        "pair rows. Rounds repeat until the labels stop changing "
+        "(bucket-hop diameter, 1–3 for real dup clusters), with the labels "
+        "frame persisted and the convergence count doubling as the "
+        "materialization action.",
+        tree_of(one_round),
+    ))
+
     from ocr_spark.operators.runner import stage_input
 
     staged_dir = pathlib.Path(tempfile.mkdtemp(prefix="plan-audit-staged-"))

@@ -103,6 +103,56 @@ def test_ivf_nprobe_monotone(emb, probes, truth):
     assert rs[2] == 1.0
 
 
+@pytest.fixture(scope="module")
+def clustered(spark):
+    e = ann.clustered_embeddings(spark, n=500).cache()
+    e.count()
+    return e
+
+
+def test_clustered_corpus_lsh_recall(spark, clustered):
+    """On data WITH cluster structure (the geometry real embedding corpora
+    have) the same LSH settings that look weak on the isotropic driver
+    table reach production recall at a few percent of brute-force cost —
+    the BENCH/ANN.md corpus-2 claim, pinned at a 500-vector scale. The
+    corpus is deterministic, so these are fixed numbers with margin, not
+    flaky thresholds."""
+    probes = ann.default_probes(clustered, 20).cache()
+    truth = ann.brute_force_topk(clustered, probes, 10).cache()
+    n_probes = probes.count()
+    n_vec = clustered.count()
+
+    plain = ann.recall_at_k(
+        ann.lsh_topk(clustered, probes, 10, n_planes=8), truth, 10
+    )
+    multi = ann.recall_at_k(
+        ann.lsh_topk(clustered, probes, 10, n_planes=8, multiprobe=True),
+        truth,
+        10,
+    )
+    assert plain > 0.4
+    assert multi > plain and multi > 0.8
+    # the headline setting: 16 planes / 2 tables / multi-probe — high
+    # recall at a small candidate fraction
+    cand = ann.lsh_candidates(
+        clustered, probes, n_planes=16, n_tables=2, multiprobe=True
+    )
+    frac = cand.count() / (n_probes * (n_vec - 1))
+    best = ann.recall_at_k(
+        ann.score_topk(clustered, probes, cand, 10), truth, 10
+    )
+    assert best > 0.9
+    assert frac < 0.25
+
+
+def test_clustered_corpus_deterministic(spark):
+    """Partitioning-independent by construction: every value is a pure
+    function of (vec_id, dim)."""
+    a = ann.clustered_embeddings(spark, n=64)
+    b = ann.clustered_embeddings(spark, n=64).repartition(7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_trained_centroids_shape(emb):
     """k centroids always come back (empty-list fallback keeps the seed),
     each dim-64, and training moved at least one centroid off its seed."""

@@ -63,6 +63,21 @@ def test_kept_set_parallelism_invariant(spark):
     assert kept1 == kept13 and kept1
 
 
+def test_near_keepers_full_cc_subset(spark):
+    """full_cc=True can only merge further, so its keeper set is a subset
+    of the star pass's on the same corpus — and both keep at least the
+    per-cluster representative."""
+    from ocr_spark.operators.corpus import near_keepers
+
+    d = _docs(spark)
+    star = {r["doc_id"] for r in near_keepers(d).select("doc_id").collect()}
+    cc = {
+        r["doc_id"]
+        for r in near_keepers(d, full_cc=True).select("doc_id").collect()
+    }
+    assert cc and cc <= star
+
+
 def test_quality_flags_empty_doc_short(spark):
     from ocr_spark.operators.corpus import FLAG_SHORT, quality_flags
 

@@ -1,0 +1,93 @@
+"""Connected-components over bucket graphs: fixpoint semantics the single
+star-pass (minhash_group_reps) cannot provide, partitioning invariance, and
+the refinement relation between the two on the real documents table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from ocr_spark.functions.graph import bucket_connected_components
+from ocr_spark.queries import t
+from ocr_spark.queries_textml import (
+    minhash_band_keys,
+    minhash_group_reps,
+    minhash_signatures,
+)
+
+
+def _chain_buckets(spark):
+    # path graph 1-2-3-4-5-6 through five buckets: consecutive docs share a
+    # bucket, distant docs never do — the worst case for one star pass
+    rows = [
+        (1, 0, "x"), (2, 0, "x"),
+        (2, 0, "y"), (3, 0, "y"),
+        (3, 0, "z"), (4, 0, "z"),
+        (4, 1, "x"), (5, 1, "x"),
+        (5, 1, "y"), (6, 1, "y"),
+        (7, 1, "z"),  # isolated doc in its own bucket
+    ]
+    return spark.createDataFrame(rows, "doc_id long, bi int, band string")
+
+
+def test_chain_fully_merges(spark):
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in bucket_connected_components(_chain_buckets(spark)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7}
+
+
+def test_star_pass_undermerges_the_chain(spark):
+    # documents the caveat dedup_cc closes: the one-pass rep-of-bucket-min
+    # on the same chain leaves multiple labels in one component
+    b = _chain_buckets(spark)
+    bmin = b.groupBy("bi", "band").agg(F.min("doc_id").alias("bmin"))
+    star = (
+        b.join(bmin, ["bi", "band"]).groupBy("doc_id")
+        .agg(F.min("bmin").alias("rep"))
+    )
+    labels = {r["rep"] for r in star.filter("doc_id != 7").collect()}
+    assert len(labels) > 1
+
+
+def test_partitioning_invariance(spark):
+    b = _chain_buckets(spark)
+    one = sorted(
+        (r["doc_id"], r["rep"])
+        for r in bucket_connected_components(b.coalesce(1)).collect()
+    )
+    many = sorted(
+        (r["doc_id"], r["rep"])
+        for r in bucket_connected_components(b.repartition(8)).collect()
+    )
+    assert one == many
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError):
+        bucket_connected_components(_chain_buckets(spark), max_iter=1)
+
+
+def test_cc_refines_star_pass_on_documents(spark):
+    docs = t(spark, SF_ORACLE, "documents")
+    star = {
+        r["doc_id"]: r["rep"] for r in minhash_group_reps(docs).collect()
+    }
+    cc = {
+        r["doc_id"]: r["rep"]
+        for r in bucket_connected_components(
+            minhash_band_keys(minhash_signatures(docs))
+        ).collect()
+    }
+    assert set(cc) == set(star)
+    # CC only ever merges further: same star rep => same cc rep, and the cc
+    # rep is never larger than the star rep (both are component-min flavored)
+    for d in star:
+        assert cc[d] <= star[d]
+    by_star: dict[int, set[int]] = {}
+    for d, r in star.items():
+        by_star.setdefault(r, set()).add(cc[d])
+    assert all(len(v) == 1 for v in by_star.values())
