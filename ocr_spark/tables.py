@@ -19,6 +19,7 @@ runner.stage_input becomes unnecessary (see its docstring).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 ICEBERG_PREFIX = "iceberg:"
 
@@ -87,3 +88,55 @@ def write_table(
     if partition_by:
         pw = pw.partitionBy(*partition_by)
     pw.parquet(location)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Materialize ``df`` as a BUCKETED table: rows hash-clustered into
+    ``num_buckets`` files by ``bucket_cols`` (and sorted inside each bucket
+    by ``sort_cols``), registered as ``table`` with data at ``path``.
+
+    This is the co-located-join primitive: two tables bucketed on the same
+    key with the same bucket count join WITHOUT any Exchange — each scan
+    already reports hash partitioning on the key, so at 100 TB the join
+    reads both sides bucket-by-bucket instead of shuffling them (the
+    pay-once-at-write, join-free-forever trade for fact tables that are
+    joined on the same key repeatedly — exactly the pages/extracted/golden
+    url-key shape). ``sort_cols`` clusters rows inside each bucket file
+    (scan locality / min-max pruning); note Spark does NOT use it to elide
+    the SMJ's per-bucket Sort by default
+    (spark.sql.legacy.bucketedTableScanOutputOrdering). Plan evidence:
+    PLANS.md "bucketed co-located join"; regression-locked in
+    tests/test_tables.py.
+
+    On the Iceberg branch the equivalent is a ``bucket(N, col)`` partition
+    transform at CREATE time (write_table(..., mode="create") with a
+    transformed partition column) plus storage-partitioned joins; this
+    helper covers the sandbox-exercisable parquet/metastore path, which is
+    also what `spark.table` resolves everywhere."""
+    # repartition onto the bucket key first: (a) one file per bucket
+    # instead of tasks × buckets small files, and (b) single-file buckets
+    # are the condition under which the planner trusts the sortBy metadata
+    # and drops the Sort under SortMergeJoin (multi-file buckets keep it)
+    w = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table by catalog name (`spark.read.parquet` on the
+    path would LOSE the bucket metadata — only the catalog route lets the
+    planner use the clustering)."""
+    return spark.table(table)

@@ -192,6 +192,44 @@ def main() -> None:
         tree_of(one_round),
     ))
 
+    from ocr_spark.tables import read_bucketed, write_bucketed
+
+    bt_dir = pathlib.Path(tempfile.mkdtemp(prefix="plan-audit-bt-"))
+    docs_n = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_bucketed(
+        docs_n, "pa_docs", str(bt_dir / "d"), ("doc_id",), 8,
+        sort_cols=("doc_id",),
+    )
+    write_bucketed(
+        docs_n.select("doc_id", F.col("n_chars").alias("feat")),
+        "pa_feats", str(bt_dir / "f"), ("doc_id",), 8, sort_cols=("doc_id",),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    bt_join = read_bucketed(spark, "pa_docs").join(
+        read_bucketed(spark, "pa_feats"), "doc_id"
+    )
+    sections.append((
+        "Bucketed co-located join (tables.write_bucketed)",
+        "Both tables were written with bucketBy(8, doc_id), so each scan "
+        "already satisfies the join's partitioning: SortMergeJoin with "
+        "ZERO Exchange (broadcast disabled here to force the fact–fact "
+        "shape — at 100 TB neither side of such a join fits a broadcast). "
+        "The shuffle is paid once at write time; every subsequent "
+        "same-key join is scan-local. The per-bucket Sort under the SMJ "
+        "remains — Spark ignores bucket sortBy metadata by default "
+        "(spark.sql.legacy.bucketedTableScanOutputOrdering) — and is "
+        "linear local work on a 1/N slice, not a shuffle. Regression "
+        "test: tests/test_tables.py.",
+        tree_of(bt_join),
+    ))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS pa_docs")
+    spark.sql("DROP TABLE IF EXISTS pa_feats")
+
     from ocr_spark.operators.runner import stage_input
 
     staged_dir = pathlib.Path(tempfile.mkdtemp(prefix="plan-audit-staged-"))

@@ -37,6 +37,63 @@ def test_read_pages_dispatches_on_prefix(spark, tmp_path, fixture_df):
     assert read_pages(spark, d).count() == fixture_df.count()
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key/count join with ZERO Exchange
+    nodes — the co-located-join contract write_bucketed exists for. (The
+    per-bucket Sort under the SMJ remains: Spark ignores bucket sortBy
+    metadata by default — spark.sql.legacy.bucketedTableScanOutputOrdering
+    — and sorting a 1/N bucket slice is linear local work, not a shuffle.)
+    Results must equal the plain (shuffled) join."""
+    from ocr_spark.tables import read_bucketed, write_bucketed
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    feats = docs.select(
+        "doc_id", (F.col("n_chars") * 2).alias("feat")
+    )
+    write_bucketed(
+        docs, "bt_docs", str(tmp_path / "bt_docs"), ("doc_id",), 8,
+        sort_cols=("doc_id",),
+    )
+    write_bucketed(
+        feats, "bt_feats", str(tmp_path / "bt_feats"), ("doc_id",), 8,
+        sort_cols=("doc_id",),
+    )
+    # at sf0.01 the planner would broadcast the small side (correctly);
+    # force the shuffle-join path the bucketing exists to serve — at 100 TB
+    # NEITHER side of a fact–fact join fits a broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = read_bucketed(spark, "bt_docs"), read_bucketed(spark, "bt_feats")
+        joined = a.join(b, "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan, plan
+        expect = sorted(
+            (r["doc_id"], r["feat"]) for r in docs.join(feats, "doc_id")
+            .select("doc_id", "feat").collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["feat"])
+            for r in joined.select("doc_id", "feat").collect()
+        )
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_feats")
+
+
 def test_iceberg_roundtrip_when_runtime_present(spark, tmp_path):
     from ocr_spark.tables import iceberg_available, read_table, write_table
 
