@@ -62,6 +62,33 @@ def test_salted_path_invariance(spark, fixture_df, fused):
     assert got == fused
 
 
+def test_salted_balance_under_viral_url(spark):
+    """The skew claim behind op 21, pinned without timing: on a corpus
+    where HALF the rows are one identical url, a host-keyed repartition
+    puts that half in one partition, while the salted layout bounds every
+    partition near the mean (wall-clock evidence: BENCH/SKEW.md)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.extract import salted, with_part_id
+    from scripts.skew_bench import viral_pages
+
+    pages = viral_pages(spark, 4000)
+    parts = 16
+    host = F.parse_url("url", F.lit("HOST"))
+
+    def max_rows(df):
+        return (
+            df.groupBy(F.spark_partition_id().alias("p")).count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+
+    hot = max_rows(pages.repartition(parts, host))
+    bal = max_rows(salted(with_part_id(pages, parts), parts))
+    mean = 4000 / parts
+    assert hot >= 2000          # the viral half serializes into one task
+    assert bal < 3 * mean, bal  # salted: every task near the mean
+
+
 def test_exploded_parallelism_invariance(spark, fixture_df, fused):
     """The exploded path shuffles twice (window + groupBy) — its output must
     still be independent of the incoming partitioning."""
