@@ -204,6 +204,60 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
           + b"</p><script>swallowed()</script x>"
           b"<p>never reached content tail</p></body>"),
          "en"),
+        # --- round-3 frontier families (append-only: earlier rng draws and
+        # therefore all existing goldens stay byte-identical) ---
+        # foreign content: html.parser treats <svg>/<math> as ordinary
+        # tags, so their text participates in blocks — both implementations
+        # must agree on that (no special foreign-content mode)
+        ("svg-math-foreign",
+         ("<body><svg viewBox='0 0 10 10'><g><text>svg label text</text>"
+          "</g></svg><p>" + _salad(rng, "en", 45, 0.5)
+          + "</p><math><mi>x</mi><mo>+</mo><mn>1</mn></math><p>"
+          + _salad(rng, "en", 35, 0.5) + "</p></body>").encode(),
+         "en"),
+        # <template>: inert in browsers, a plain container to html.parser —
+        # the frozen spec follows the parser (content flows through)
+        ("template-element",
+         ("<body><template><p>inert template markup</p></template><p>"
+          + _salad(rng, "en", 40, 0.5) + "</p></body>").encode(),
+         "en"),
+        # entity torture: bare '&', unterminated '&amp', prefix-matched
+        # named refs without semicolons ('&notit;' -> '¬it;' under
+        # html.unescape's longest-prefix rule), numeric, out-of-range
+        # numeric (&#xD800; -> U+FFFD), and NUL (&#0; -> U+FFFD)
+        ("entities-edge",
+         ("<p>a &amp b &amp; c &notit; d &#x41;&#65; e &#xD800; f &#0; g "
+          + _salad(rng, "en", 30, 0.5) + "</p>").encode(),
+         "en"),
+        # bidi + zero-width characters inside words: must be preserved in
+        # the extracted bytes and must not split tokens for the densities
+        ("bidi-zero-width",
+         ("<p>שלום עולם ‏ ltr‍tail ​sep "
+          + _salad(rng, "en", 35, 0.5) + "</p>").encode("utf-8"),
+         "en"),
+        # overlapping inline tags: html.parser reports the end tags as they
+        # come (no adoption agency); depth bookkeeping must not corrupt
+        # downstream block boundaries
+        ("misnested-inline",
+         ("<p><b>bold <i>both</b> italic-left</i> plain "
+          + _salad(rng, "en", 35, 0.5) + "</p><p>"
+          + _salad(rng, "en", 30, 0.5) + "</p>").encode(),
+         "en"),
+        # '>' inside quoted attribute values (locatestarttagend territory)
+        # plus unquoted attributes — the tag must not end early
+        ("attr-gt-in-quotes",
+         ("<body><a href=\"/x?a>b\" title='q>r'>quoted gt link</a><div "
+          "id=plain data-x=1><p>" + _salad(rng, "en", 40, 0.5)
+          + "</p></div></body>").encode(),
+         "en"),
+        # processing instruction, exotic doctype, and a CDATA section in
+        # html (bogus-comment path: '<![CDATA[...]]>' is markup, dropped)
+        ("pi-doctype-cdata",
+         ("<!DOCTYPE html SYSTEM 'about:legacy-compat'><body><?php echo"
+          " 'x'; ?><p>" + _salad(rng, "en", 40, 0.5)
+          + "</p><![CDATA[ not content ]]><p>"
+          + _salad(rng, "en", 25, 0.5) + "</p></body>").encode(),
+         "en"),
     ]
     return cases
 
