@@ -71,6 +71,52 @@ def test_nonconvergence_raises(spark):
         bucket_connected_components(_chain_buckets(spark), max_iter=1)
 
 
+def test_cc_equals_union_find_on_random_graphs(spark):
+    """Distributed label propagation == a sequential union-find oracle on
+    seeded random bucket graphs (isolated docs, chains, cliques, and
+    multi-bucket overlaps all arise at these sizes)."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        for doc in range(60):
+            for _ in range(rng.randint(0, 3)):
+                rows.append((doc, 0, f"b{rng.randint(0, 19)}"))
+        if not rows:
+            continue
+        rows = sorted(set(rows))
+
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        by_bucket: dict[str, list[int]] = {}
+        for doc, _, bk in rows:
+            parent.setdefault(doc, doc)
+            by_bucket.setdefault(bk, []).append(doc)
+        for members in by_bucket.values():
+            for m in members[1:]:
+                union(members[0], m)
+        expect = {d: find(d) for d in parent}
+
+        df = spark.createDataFrame(rows, "doc_id long, bi int, band string")
+        got = {
+            r["doc_id"]: r["rep"]
+            for r in bucket_connected_components(df).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
 def test_cc_refines_star_pass_on_documents(spark):
     docs = t(spark, SF_ORACLE, "documents")
     star = {
