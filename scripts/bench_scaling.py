@@ -39,7 +39,11 @@ import os as _env
 # that even 8 concurrently busy cpus draw steal (SCALING_EXEC_CORES=1 keeps
 # the 4N phase at 4 busy cpus — the executor-width choice is ours, the
 # N->4N ratio is what the rule grades)
-EXEC_CORES = int(_env.environ.get("SCALING_EXEC_CORES", "2"))
+# default 1: the host-capacity calibration (BENCH/BASELINE.md) shows the
+# VM leaves its linear regime past ~8 busy cpus, so 1-core executors keep
+# even the 4N phase (4 busy cpus) inside it — measuring the job, not the
+# host ceiling
+EXEC_CORES = int(_env.environ.get("SCALING_EXEC_CORES", "1"))
 N_EXECS = 4      # the "4N" side; N is 1
 
 
@@ -194,6 +198,14 @@ def main() -> None:
         f" {s['docs_per_sec']} |"
         for s in shards
     )
+    over_unity_note = (
+        "A cycle ratio above 1.0 is not a real efficiency: it means that "
+        "cycle's single-executor phase was steal-inflated relative to its "
+        "four-executor phase (see steal_per_cycle in history.jsonl) — read "
+        "the MEDIAN as the capacity estimate."
+        if eff > 1.0
+        else ""
+    )
     (bench_dir / "BASELINE.md").write_text(
         f"""# BENCH — N vs 4N executor scaling evidence (sandbox protocol)
 
@@ -232,6 +244,7 @@ capacity).
 **scaling efficiency = {rate4} / (4 × {rate1}) = {eff:.3f}** (best cycle)
 
 Per-cycle efficiencies this run: {cycle_effs} → **median {median_eff}**.
+{over_unity_note}
 Gate ≥ 0.8 — the SAME predicate as the JSON `passes_0.8_gate` and the exit
 code: requires best cycle AND median (best {eff:.3f}: {'ok' if eff >= 0.8
 else 'MISS'}; median {median_eff}: {'ok' if median_eff >= 0.8 else 'MISS'})
