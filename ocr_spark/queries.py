@@ -543,6 +543,15 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      encoding fixed this round) plus anything new this round (new
 #      registrations land in the head automatically);
 #   3. everything graded green or rows-only-by-design in r02 goes last.
+#
+# ROUND-4 ROTATION PLAN (do this at the start of r04): the 33 entries past
+# the r03 cap are exactly the _R02_DRIVER_GRADED list minus the 14 that fit
+# in the r03 window (extract_wrapped … sim_ann_ivf, positions 36-50 minus
+# one). Build _PRIORITY_R04 = [the tail entries from position 51 on in the
+# r03 CORRECTNESS file: text_langid … agg_custom_pandas], then
+# extract_wrapped, then anything new in r04; demote everything r03-graded
+# (this file's r03 head) to the tail list. Verify with
+# `list(all_queries())[:50]` before committing.
 _PRIORITY_R03 = [
     # (1) r01-green tail, no driver row since r01
     "udf_grouped_map", "win_rownum_dedup", "win_rank_topk", "win_laglead",
