@@ -96,11 +96,14 @@ def main() -> None:
         # (queries_textml.PROD_NUM_PERMS — see the banding math there) timed
         # against the 16-perm oracle width already in HEADLINE, so the
         # cost-per-width of the production setting is on record
+        from ocr_spark.functions.graph import bucket_connected_components
         from ocr_spark.queries_textml import (
             PROD_BANDS,
             PROD_NUM_PERMS,
+            minhash_band_keys,
             minhash_candidate_pairs,
             minhash_group_reps,
+            minhash_signatures,
         )
 
         docs = t(spark, sf_dir, "documents")
@@ -115,6 +118,18 @@ def main() -> None:
                 "dedup_minhash_groups_64p16b",
                 lambda: minhash_group_reps(
                     docs, num_perms=PROD_NUM_PERMS, bands=PROD_BANDS
+                ),
+            ),
+            # the CC fixpoint at production width: same banding, a few extra
+            # linear label-propagation rounds on top of the star pass
+            (
+                "dedup_cc_64p16b",
+                lambda: bucket_connected_components(
+                    minhash_band_keys(
+                        minhash_signatures(docs, num_perms=PROD_NUM_PERMS),
+                        PROD_BANDS,
+                        PROD_NUM_PERMS // PROD_BANDS,
+                    )
                 ),
             ),
         ]:
