@@ -258,6 +258,109 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
           + "</p><![CDATA[ not content ]]><p>"
           + _salad(rng, "en", 25, 0.5) + "</p></body>").encode(),
          "en"),
+        # --- round-4 charset-sniffing family (SPEC.md §0 step 2 v2;
+        # append-only so all earlier rng draws and goldens stay stable).
+        # Legacy-encoded pages whose bytes are NOT valid UTF-8 — without the
+        # sniffer these extract mojibake; with it the goldens carry the real
+        # characters. Gate both decoders (html_blocks vs goldenref)
+        # byte-identical across the BOM / declaration / probe / fallback arms.
+        ("charset-gbk-meta",
+         ("<html><head><meta charset=gbk></head><body><p>"
+          "数据引擎在表上运行这一批的扫描计划包含所有这些行 "
+          + _salad(rng, "zh", 45, 0.6) + "</p><p>第二段内容继续说明"
+          "引擎如何分区和执行</p></body></html>").encode("gbk"),
+         "zh"),
+        ("charset-gb2312-httpequiv",
+         ("<html><head><meta http-equiv=\"Content-Type\" content=\"text/html;"
+          " charset=GB2312\"></head><body><p>中文网页的主要内容部分 "
+          + _salad(rng, "zh", 45, 0.6) + "</p></body></html>").encode("gbk"),
+         "zh"),
+        ("charset-shiftjis",
+         ("<html><head><meta http-equiv='content-type' content='text/html; "
+          "charset=Shift_JIS'></head><body><p>データエンジンはテーブル上で"
+          "スキャンを実行します " + _salad(rng, "en", 22, 0.5)
+          + "</p></body></html>").encode("shift_jis"),
+         "en"),
+        ("charset-win1251",
+         ("<html><head><meta charset=\"windows-1251\"></head><body><p>"
+          "Движок данных выполняет сканирование таблицы "
+          + _salad(rng, "en", 45, 0.6) + "</p></body></html>").encode(
+             "windows-1251"),
+         "en"),
+        ("charset-big5",
+         # traditional-only, big5-encodable filler (the shared zh salad
+         # vocab is simplified, which big5 cannot encode); tokens cycle a
+         # 50% zh-stopword mix so the block classifies as content
+         ("<html><head><meta charset=big5></head><body><p>資料引擎在表格上"
+          "執行掃描計畫 "
+          + " ".join(["的", "資料", "是", "引擎", "在", "表格", "有", "掃描",
+                      "了", "計畫"] * 5)
+          + "</p></body></html>").encode("big5"),
+         "zh"),
+        ("charset-eucjp",
+         ("<html><head><meta charset='euc-jp'></head><body><p>"
+          "エンジンのしくみと実行計画 " + _salad(rng, "en", 20, 0.5)
+          + "</p></body></html>").encode("euc-jp"),
+         "en"),
+        ("charset-koi8r-alias",
+         # the bare "koi8" alias exercises the label table, not just the
+         # canonical name
+         ("<html><head><meta charset=koi8></head><body><p>"
+          "Сканирование таблицы данных " + _salad(rng, "en", 20, 0.5)
+          + "</p></body></html>").encode("koi8-r"),
+         "en"),
+        ("charset-latin1-as-1252",
+         # iso-8859-1 label maps to windows-1252 (WHATWG identification):
+         # byte 0x97 is an em dash in 1252, a control char in true latin-1
+         ("<html><head><meta charset=iso-8859-1></head><body><p>"
+          "caf\xe9 r\xe9sum\xe9 — d\xe9j\xe0 vu "
+          + _salad(rng, "fr", 45, 0.6) + "</p></body></html>").encode(
+             "windows-1252"),
+         "fr"),
+        ("charset-bom-utf16le",
+         # utf-16-le emits no BOM itself; the sniffer is BOM-gated for
+         # utf-16/32 (labels deliberately absent from the table)
+         b"\xff\xfe" + ("<html><body><p>utf sixteen little endian content "
+                        "body " + _salad(rng, "en", 45, 0.6)
+                        + "</p></body></html>").encode("utf-16-le"),
+         "en"),
+        ("charset-bom-utf8",
+         b"\xef\xbb\xbf" + ("<html><body><p>bom prefixed utf8 page "
+                            + _salad(rng, "en", 25, 0.5)
+                            + "</p></body></html>").encode("utf-8"),
+         "en"),
+        ("charset-unknown-label",
+         # unknown label falls through to the strict-UTF-8 probe
+         ("<html><head><meta charset=x-mystery-enc></head><body><p>"
+          "unknown charset label page " + _salad(rng, "en", 25, 0.5)
+          + "</p></body></html>").encode("utf-8"),
+         "en"),
+        ("charset-undeclared-fallback",
+         # no BOM, no declaration, invalid UTF-8 → latin-1 fallback arm
+         b"<html><body><p>undeclared legacy bytes caf\xe9 cr\xe8me "
+         b"br\xfbl\xe9e " + _salad(rng, "fr", 45, 0.6).encode("latin-1")
+         + b"</p></body></html>",
+         "fr"),
+        ("charset-mislabeled-truncated",
+         # declares gbk but the payload is cut mid-multibyte-sequence:
+         # errors="replace" must keep both decoders identical
+         ("<html><head><meta charset=gbk></head><body><p>中文截断内容 "
+          + _salad(rng, "zh", 45, 0.6)
+          + " 尾部中文</p></body></html>").encode("gbk")[:-5] + b">",
+         "zh"),
+        ("charset-decl-past-1k",
+         # declaration outside the first 1024 bytes is ignored → UTF-8
+         # probe fails on the GBK tail → latin-1 fallback (mojibake is the
+         # CONTRACT here; pins the 1 KiB window in both decoders)
+         # ASCII salad survives the latin-1 fallback readably, so the
+         # extracted text pins BOTH that extraction still works and that
+         # the GBK declaration was NOT honored (the zh prefix stays
+         # mojibake, exactly as the 1 KiB-window contract says)
+         (b"<html><head><!--" + b"x" * 1100
+          + ("--><meta charset=gbk></head><body><p>窗口外的声明 "
+             + _salad(rng, "en", 45, 0.6)
+             + "</p></body></html>").encode("gbk")),
+         "en"),
     ]
     return cases
 

@@ -40,6 +40,107 @@ def _normalize(s: str) -> str:
     return " ".join(s.split())
 
 
+# SPEC.md §0 step 2 frozen label table, written out flat (independent of the
+# engine-side construction in html_blocks.py; the charset-* goldens hold the
+# two decoders byte-identical).
+_CHARSET_TABLE = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "gbk": "gbk", "gb2312": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "csgb2312": "gbk", "x-gbk": "gbk", "chinese": "gbk",
+    "iso-ir-58": "gbk", "csiso58gb231280": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5", "big5-hkscs": "big5", "csbig5": "big5",
+    "cn-big5": "big5", "x-x-big5": "big5",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "s_jis": "shift_jis", "x-sjis": "shift_jis", "ms_kanji": "shift_jis",
+    "csshiftjis": "shift_jis", "windows-31j": "shift_jis",
+    "ms932": "shift_jis",
+    "euc-jp": "euc-jp", "x-euc-jp": "euc-jp",
+    "cseucpkdfmtjapanese": "euc-jp",
+    "euc-kr": "euc-kr", "korean": "euc-kr", "csksc56011987": "euc-kr",
+    "ks_c_5601-1987": "euc-kr", "windows-949": "euc-kr",
+    "koi8-r": "koi8-r", "koi8_r": "koi8-r", "cskoi8r": "koi8-r",
+    "koi8": "koi8-r",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "latin1": "windows-1252", "latin-1": "windows-1252",
+    "l1": "windows-1252", "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "iso-8859-2": "iso-8859-2", "iso8859-2": "iso-8859-2",
+    "latin2": "iso-8859-2",
+    "iso-8859-5": "iso-8859-5", "iso8859-5": "iso-8859-5",
+    "cyrillic": "iso-8859-5",
+    "iso-8859-7": "iso-8859-7", "iso8859-7": "iso-8859-7",
+    "greek": "iso-8859-7", "greek8": "iso-8859-7",
+    "iso-8859-15": "iso-8859-15", "iso8859-15": "iso-8859-15",
+    "latin9": "iso-8859-15",
+    "windows-1250": "windows-1250", "cp1250": "windows-1250",
+    "x-cp1250": "windows-1250",
+    "windows-1251": "windows-1251", "cp1251": "windows-1251",
+    "x-cp1251": "windows-1251",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "windows-1253": "windows-1253", "cp1253": "windows-1253",
+    "x-cp1253": "windows-1253",
+    "windows-1254": "windows-1254", "cp1254": "windows-1254",
+    "x-cp1254": "windows-1254",
+    "windows-1255": "windows-1255", "cp1255": "windows-1255",
+    "x-cp1255": "windows-1255",
+    "windows-1256": "windows-1256", "cp1256": "windows-1256",
+    "x-cp1256": "windows-1256",
+    "windows-1257": "windows-1257", "cp1257": "windows-1257",
+    "x-cp1257": "windows-1257",
+    "windows-1258": "windows-1258", "cp1258": "windows-1258",
+    "x-cp1258": "windows-1258",
+}
+
+_LABEL_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz0123456789_.:-")
+
+
+def _sniff_decode(raw: bytes) -> str:
+    """SPEC.md §0 step 2, implemented as a manual scan (no regex)."""
+    # BOMs, longest prefixes first
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    if raw[:4] == b"\xff\xfe\x00\x00":
+        return raw[4:].decode("utf-32-le", "replace")
+    if raw[:4] == b"\x00\x00\xfe\xff":
+        return raw[4:].decode("utf-32-be", "replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", "replace")
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    head = raw[:1024].decode("latin-1").lower()
+    pos = 0
+    while True:
+        hit = head.find("charset", pos)
+        if hit < 0:
+            break
+        i = hit + len("charset")
+        while i < len(head) and head[i] in " \t\n\r\f\v":
+            i += 1
+        if i < len(head) and head[i] == "=":
+            i += 1
+            while i < len(head) and head[i] in " \t\n\r\f\v":
+                i += 1
+            if i < len(head) and head[i] in "\"'":
+                i += 1
+            while i < len(head) and head[i] in " \t\n\r\f\v":
+                i += 1
+            j = i
+            while j < len(head) and head[j] in _LABEL_CHARS:
+                j += 1
+            if j > i:
+                codec = _CHARSET_TABLE.get(head[i:j])
+                if codec is not None:
+                    return raw.decode(codec, "replace")
+                break  # first charset= with a label decides; unknown falls out
+        pos = hit + 1
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 class _GoldenHTML(HTMLParser):
     """Event recorder for the SPEC.md §1 tokenizer rules (reference impl)."""
 
@@ -192,7 +293,7 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
     kind = "empty"
     blocks: list[dict] = []
     if html:
-        decoded = html.decode("utf-8", errors="replace")
+        decoded = _sniff_decode(html)
         obj = None
         if decoded.lstrip().startswith("{"):
             try:

@@ -27,6 +27,65 @@ from ocr_spark import spec
 
 _EDGE = ("good", "bad")  # classification edge labels (SPEC.md §2)
 
+# --- charset sniffing (SPEC.md §0 step 2, v2) --------------------------------
+# Real crawls carry a long legacy-encoded tail; decoding everything as UTF-8
+# silently turns GBK/Shift-JIS/windows-125x pages into mojibake. BOM →
+# first-1KiB charset declaration → strict-UTF-8 probe → latin-1, all stdlib.
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),  # before utf-16-le (prefix overlap)
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+_CHARSET_RX = re.compile(r"charset\s*=\s*[\"']?\s*([a-z0-9_.:\-]+)")
+
+# frozen label table (SPEC.md §0): WHATWG-inspired subset of encoding labels
+# that stdlib codecs cover; utf-16/32 labels deliberately absent (BOM-only)
+_ENC_LABELS: dict[str, str] = {}
+for _codec, _labels in (
+    ("utf-8", "utf-8 utf8 unicode-1-1-utf-8"),
+    ("gbk", "gbk gb2312 gb_2312 gb_2312-80 csgb2312 x-gbk chinese"
+            " iso-ir-58 csiso58gb231280"),
+    ("gb18030", "gb18030"),
+    ("big5", "big5 big5-hkscs csbig5 cn-big5 x-x-big5"),
+    ("shift_jis", "shift_jis shift-jis sjis s_jis x-sjis ms_kanji"
+                  " csshiftjis windows-31j ms932"),
+    ("euc-jp", "euc-jp x-euc-jp cseucpkdfmtjapanese"),
+    ("euc-kr", "euc-kr korean csksc56011987 ks_c_5601-1987 windows-949"),
+    ("koi8-r", "koi8-r koi8_r cskoi8r koi8"),
+    ("windows-1252", "iso-8859-1 iso8859-1 latin1 latin-1 l1 ascii"
+                     " us-ascii"),
+    ("iso-8859-2", "iso-8859-2 iso8859-2 latin2"),
+    ("iso-8859-5", "iso-8859-5 iso8859-5 cyrillic"),
+    ("iso-8859-7", "iso-8859-7 iso8859-7 greek greek8"),
+    ("iso-8859-15", "iso-8859-15 iso8859-15 latin9"),
+):
+    for _lb in _labels.split():
+        _ENC_LABELS[_lb] = _codec
+for _x in range(9):
+    for _pat in ("windows-125{}", "cp125{}", "x-cp125{}"):
+        _ENC_LABELS[_pat.format(_x)] = f"windows-125{_x}"
+del _codec, _labels, _lb, _x, _pat
+
+
+def sniff_decode(raw: bytes) -> str:
+    """Decode a page payload per the frozen SPEC.md §0 charset algorithm."""
+    for bom, codec in _BOMS:
+        if raw.startswith(bom):
+            return raw[len(bom):].decode(codec, errors="replace")
+    m = _CHARSET_RX.search(raw[:1024].decode("latin-1").lower())
+    if m:
+        codec = _ENC_LABELS.get(m.group(1))
+        if codec is not None:
+            return raw.decode(codec, errors="replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
 
 class _BlockParser(HTMLParser):
     """HTMLParser subclass implementing the SPEC.md §1 event rules."""
@@ -338,7 +397,7 @@ def parse_payload(
     if not html:
         return "empty", []
     stopset = spec.stopword_set(lang)
-    decoded = html.decode("utf-8", errors="replace")
+    decoded = sniff_decode(html)
     stripped = decoded.lstrip()
     if stripped.startswith("{"):
         try:

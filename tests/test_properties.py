@@ -198,3 +198,45 @@ def test_differential_fuzz_spark_equals_goldenref(spark):
         ], name
     # the cap actually engaged
     assert golden["max-blocks-overflow"]["n_blocks"] == spec.MAX_BLOCKS
+
+
+# --- charset sniffer differential (SPEC.md §0 step 2 v2, round 4) ------------
+# The two decoders are written independently (regex scan vs manual scan);
+# these pin them byte-identical across the BOM / declaration / probe /
+# fallback arms on arbitrary bytes, not just the golden corpus.
+
+_SNIFF_LABELS = [
+    "gbk", "gb2312", "big5", "shift_jis", "sjis", "euc-jp", "euc-kr",
+    "koi8", "koi8-r", "windows-1251", "cp1252", "iso-8859-1", "latin1",
+    "utf-8", "x-unknown-enc", "utf-16le",  # last two must fall through
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(raw=st.binary(max_size=2000))
+def test_sniff_decode_implementations_agree_on_raw_bytes(raw):
+    from ocr_spark.goldenref import _sniff_decode
+    from ocr_spark.html_blocks import sniff_decode
+
+    assert sniff_decode(raw) == _sniff_decode(raw)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    label=st.sampled_from(_SNIFF_LABELS),
+    quote=st.sampled_from(['', '"', "'"]),
+    ws=st.sampled_from(["", " ", "  ", "\t"]),
+    prefix=st.binary(max_size=200),
+    body=st.binary(max_size=500),
+    bom=st.sampled_from([b"", b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",
+                         b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"]),
+)
+def test_sniff_decode_agrees_on_synthesized_declarations(
+    label, quote, ws, prefix, body, bom
+):
+    from ocr_spark.goldenref import _sniff_decode
+    from ocr_spark.html_blocks import sniff_decode
+
+    decl = f"<meta charset{ws}={ws}{quote}{label}{quote}>".encode("ascii")
+    raw = bom + prefix + decl + body
+    assert sniff_decode(raw) == _sniff_decode(raw)
