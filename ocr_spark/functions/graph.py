@@ -45,6 +45,13 @@ def bucket_connected_components(
     ``buckets``: one row per (id, bucket) membership; ids absent from it
     (e.g. shingle-less docs that were never banded) are absent from the
     output — mirror of the MinHash pipeline's semantics.
+
+    The returned frame is persisted (MEMORY_AND_DISK) — it was materialized
+    to detect the fixpoint, and dropping the cache would force downstream
+    actions to replay every propagation round. Callers that are done with
+    the labels should ``.unpersist()`` them (repeat invocations in one
+    session would otherwise accumulate cached frames). On the
+    non-convergence raise path all intermediates are unpersisted.
     """
     bc = list(bucket_cols)
     memb = buckets.select(id_col, *bc).persist(StorageLevel.MEMORY_AND_DISK)
@@ -79,6 +86,8 @@ def bucket_connected_components(
         if changed == 0:
             memb.unpersist()
             return labels
+    memb.unpersist()
+    labels.unpersist()
     raise RuntimeError(
         f"connected components did not converge in {max_iter} rounds "
         "(bucket-hop diameter exceeds max_iter)"

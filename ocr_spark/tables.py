@@ -120,10 +120,12 @@ def write_bucketed(
     transformed partition column) plus storage-partitioned joins; this
     helper covers the sandbox-exercisable parquet/metastore path, which is
     also what `spark.table` resolves everywhere."""
-    # repartition onto the bucket key first: (a) one file per bucket
-    # instead of tasks × buckets small files, and (b) single-file buckets
-    # are the condition under which the planner trusts the sortBy metadata
-    # and drops the Sort under SortMergeJoin (multi-file buckets keep it)
+    # repartition onto the bucket key first: one file per bucket instead
+    # of tasks × buckets small files (file-count hygiene at scale). With
+    # the default spark.sql.legacy.bucketedTableScanOutputOrdering=false
+    # the scan never reports sorted output, so the SMJ's per-bucket Sort
+    # stays regardless of file count (see docstring + the captured plan);
+    # single-file buckets only elide it under the legacy ordering flag.
     w = (
         df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode("overwrite")
