@@ -172,7 +172,13 @@ def near_keepers(
     doc–bucket graph (functions/graph.bucket_connected_components) — true
     connected components, a few extra linear rounds. The default stays the
     star pass so the oracle-pinned funnel queries keep one deterministic
-    plan; production jobs opt in per run."""
+    plan; production jobs opt in per run.
+
+    EAGER under ``full_cc=True``: unlike every other funnel stage, the
+    fixpoint runs Spark jobs at DataFrame-CONSTRUCTION time (one count per
+    propagation round, to detect convergence) and returns a frame joined
+    against a persisted labels cache — callers composing or timing stages
+    must not assume the usual lazy-DAG contract for this stage."""
     if full_cc:
         from ocr_spark.functions.graph import bucket_connected_components
         from ocr_spark.queries_textml import (
@@ -257,12 +263,34 @@ def pack_sequences(
     docs: DataFrame,
     budget: int,
     id_col: str = "doc_id",
-    shard_col: str = "source",
+    shard_col: str | None = None,
     tokens_col: str = "n_words",
+    num_shards: int = 64,
 ) -> DataFrame:
-    """Greedy per-shard token packing: docs + seq_id. The running-sum
-    window partitions by the shard column, so parallelism = shard count
-    (never a global ORDER BY)."""
+    """Greedy per-shard token packing: docs + (pack_shard, seq_id). The
+    running-sum window partitions by the shard key, so parallelism = shard
+    count (never a global ORDER BY — a total order would funnel the corpus
+    through one task).
+
+    ``shard_col=None`` (default): the shard key is derived as
+    ``pmod(xxhash64(id), num_shards)`` — high-cardinality by construction,
+    independent of any data column. A column like ``source`` has a handful
+    of distinct values at corpus scale, which caps the window at a handful
+    of tasks; the hashed key keeps the packing embarrassingly parallel at
+    any ``num_shards`` while staying deterministic (xxhash64 is a fixed
+    function of the id — same doc, same shard, on every run and cluster
+    size). Pass an explicit ``shard_col`` to pack within meaningful shards
+    (e.g. pre-existing input splits) instead.
+
+    Budget semantics per (pack_shard, seq_id): tokens-before-this-doc lies
+    in [seq_id*budget, (seq_id+1)*budget) — property-tested invariant
+    across num_shards values (tests/test_corpus.py)."""
+    if shard_col is None:
+        docs = docs.withColumn(
+            "pack_shard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)),
+        )
+        shard_col = "pack_shard"
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)
@@ -292,7 +320,9 @@ def funnel_stages(
     plans are re-read by multiple consumers (pre-minhash,
     pre-contamination, post-contamination) are persisted — the
     production-job setting; the oracle query leaves the DAG fully lazy so
-    both engines evaluate the same expressions."""
+    both engines evaluate the same expressions. With ``full_cc=True`` the
+    near-dup stage is EAGER (see near_keepers): this call itself runs the
+    full dedup fixpoint before returning."""
     train = docs.filter(F.col(id_col) % eval_mod != 0)
     ev = docs.filter(F.col(id_col) % eval_mod == 0)
     q = quality_flags(train, text_col, id_col, th).filter(

@@ -319,6 +319,56 @@ def q_pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDS = 64
+
+
+@register(
+    "pipe_pack_hashed",
+    f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS pack_shard,
+    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS tok_before
+  FROM d
+)
+SELECT pack_shard, CAST(tok_before // {{budget}} AS BIGINT) AS seq_id,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  min(doc_id) AS first_doc
+FROM c GROUP BY pack_shard, CAST(tok_before // {{budget}} AS BIGINT)
+""".replace("{budget}", str(_PACK_BUDGET)),
+)
+def q_pipe_pack_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token packing under a HIGH-CARDINALITY shard key (doc_id mod 64 —
+    the oracle-mirrorable stand-in for the operator's default
+    pmod(xxhash64(id), P), which DuckDB cannot reproduce). This is the
+    production shape: packing parallelism = num_shards regardless of how
+    few values a data column like `source` has, so the window never
+    funnels the corpus through a handful of tasks. Exercises
+    operators/corpus.pack_sequences end-to-end; budget invariance across
+    shard counts is property-tested in tests/test_corpus.py."""
+    from ocr_spark.operators.corpus import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("pack_shard"),
+        F.size(F.expr(_WORDS_SPARK.format(col="text"))).cast("bigint")
+        .alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        d, _PACK_BUDGET, shard_col="pack_shard", tokens_col="n_tokens"
+    )
+    return packed.groupBy("pack_shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 # --- PII scrubbing ------------------------------------------------------------------
 # Web text must be scrubbed of emails / IPs before training. The driver's
 # synthetic text contains none, so deterministic PII is injected first (same

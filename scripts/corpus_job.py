@@ -118,26 +118,30 @@ def run_corpus_job(
         stage_sec[name] = round(time.perf_counter() - ts, 3)
 
     ts = time.perf_counter()
+    # default hashed shard (pmod(xxhash64(doc_id), 64)): packing
+    # parallelism is 64 window tasks regardless of how few `source`
+    # values the corpus has — a source-keyed window caps at
+    # count(distinct source) tasks at any cluster size
     kept = pack_sequences(stages["6_sampled"], budget)
     out_path = str(pathlib.Path(out_dir) / "corpus")
     # seq_id is a per-shard ordinal, so the sequence identity is
-    # (source, seq_id) — partition the layout by both. And repartition ON
-    # the partition columns before the partitionBy write: otherwise every
-    # write task emits a file into every dir it holds rows for —
+    # (pack_shard, seq_id) — partition the layout by both. And repartition
+    # ON the partition columns before the partitionBy write: otherwise
+    # every write task emits a file into every dir it holds rows for —
     # tasks x dirs tiny files. Clustered, each sequence dir gets one file.
     kept.select(
         "doc_id", "url", "warc_ts", "lang", "source", "n_words",
-        "seq_id", "text",
-    ).repartition("source", "seq_id").write.mode("overwrite").partitionBy(
-        "source", "seq_id"
-    ).parquet(out_path)
+        "pack_shard", "seq_id", "text",
+    ).repartition("pack_shard", "seq_id").write.mode(
+        "overwrite"
+    ).partitionBy("pack_shard", "seq_id").parquet(out_path)
     stage_sec["pack_write"] = round(time.perf_counter() - ts, 3)
 
     ts = time.perf_counter()
     final = spark.read.parquet(out_path).agg(
         F.count(F.lit(1)).alias("rows"),
         F.coalesce(F.sum("n_words"), F.lit(0)).alias("tokens"),
-        F.count_distinct("seq_id", "source").alias("sequences"),
+        F.count_distinct("seq_id", "pack_shard").alias("sequences"),
     ).collect()[0]
     stage_sec["readback"] = round(time.perf_counter() - ts, 3)
 

@@ -92,9 +92,9 @@ def test_quality_flags_empty_doc_short(spark):
 
 
 def test_pack_sequences_budget_property(spark):
-    """Within every (source, seq_id) bin the token sum exceeds the budget
-    only by the bin's last (overflowing) doc, and seq_ids are dense per
-    source starting at 0."""
+    """Within every (pack_shard, seq_id) bin the token sum exceeds the
+    budget only by the bin's last (overflowing) doc, and seq_ids are dense
+    per shard starting at 0 — under the default hashed shard key."""
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.corpus import pack_sequences, quality_flags
@@ -103,7 +103,7 @@ def test_pack_sequences_budget_property(spark):
     docs = quality_flags(_docs(spark))
     packed = pack_sequences(docs, budget)
     bins = (
-        packed.groupBy("source", "seq_id")
+        packed.groupBy("pack_shard", "seq_id")
         .agg(
             F.sum("n_words").alias("tok"),
             F.max("n_words").alias("max_doc"),
@@ -113,11 +113,57 @@ def test_pack_sequences_budget_property(spark):
     assert bins
     for b in bins:
         assert b["tok"] < budget + b["max_doc"], b
-    per_src = {}
+    per_shard = {}
     for b in bins:
-        per_src.setdefault(b["source"], set()).add(b["seq_id"])
-    for src, ids in per_src.items():
-        assert ids == set(range(len(ids))), (src, sorted(ids))
+        per_shard.setdefault(b["pack_shard"], set()).add(b["seq_id"])
+    for sh, ids in per_shard.items():
+        assert ids == set(range(len(ids))), (sh, sorted(ids))
+
+
+def test_pack_sequences_shard_count_invariance(spark):
+    """The budget contract holds at EVERY shard count, and the packing is
+    a pure function of (doc_id, tokens) — independent of the input's
+    physical partitioning. (More shards = more window parallelism; the
+    per-shard greedy fill stays budget-correct at P=4 and P=32.)"""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.corpus import pack_sequences, quality_flags
+
+    from pyspark.sql import Window
+
+    budget = 500
+    docs = quality_flags(_docs(spark))
+    n_in = docs.count()
+    for p in (4, 32):
+        packed = pack_sequences(docs, budget, num_shards=p)
+        assert packed.count() == n_in  # packing never drops or dups docs
+        assert (
+            packed.agg(F.count_distinct("pack_shard")).collect()[0][0] <= p
+        )
+        # tokens-before-this-doc of every row lies inside its seq's window
+        w_ok = packed.withColumn(
+            "_before",
+            F.sum("n_words").over(
+                Window.partitionBy("pack_shard").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) - F.col("n_words"),
+        ).filter(
+            (F.col("_before") < F.col("seq_id") * budget)
+            | (F.col("_before") >= (F.col("seq_id") + 1) * budget)
+        )
+        assert w_ok.count() == 0
+    # determinism across physical partitionings of the same input
+    a = {
+        (r["doc_id"], r["pack_shard"], r["seq_id"])
+        for r in pack_sequences(docs.repartition(1), budget).select(
+            "doc_id", "pack_shard", "seq_id").collect()
+    }
+    b = {
+        (r["doc_id"], r["pack_shard"], r["seq_id"])
+        for r in pack_sequences(docs.repartition(17), budget).select(
+            "doc_id", "pack_shard", "seq_id").collect()
+    }
+    assert a == b
 
 
 def test_corpus_job_end_to_end(spark, tmp_path):
