@@ -260,17 +260,59 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup_minhash", None)  # streaming: rows-only driver check
+def _stream_dedup_minhash_oracle() -> str:
+    # batch-equivalent restatement of the streaming kept counts (round-4
+    # upgrade from rows-only): batch 0 keeps the within-batch star-pass
+    # survivors (rep == doc_id) plus every signature-less doc (< 3 words →
+    # no shingles → nothing to band); batch 1 is an exact recrawl, so every
+    # BANDED star survivor matches its own batch-0 band keys in the store
+    # and is suppressed — only the signature-less docs survive again.
+    # (Resolved lazily via _LAZY_ORACLES: queries_textml imports this
+    # module for @register, so importing it back at module scope here
+    # would be circular.)
+    from ocr_spark.queries_textml import (
+        _bands_sql,
+        _minhash_sql_base,
+        NUM_PERMS,
+    )
+
+    return (
+        _minhash_sql_base(NUM_PERMS)
+        + _bands_sql()
+        + """
+, bm AS (SELECT bi, band, min(doc_id) AS bmin FROM bands GROUP BY bi, band)
+, rep AS (
+  SELECT b.doc_id, min(bm.bmin) AS rep
+  FROM bands b JOIN bm ON b.bi = bm.bi AND b.band = bm.band
+  GROUP BY b.doc_id
+)
+, nosig AS (
+  SELECT count(*) AS n FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM sig)
+)
+, keep1 AS (SELECT count(*) AS n FROM rep WHERE rep = doc_id)
+SELECT CAST(0 AS INTEGER) AS batch_seq,
+  CAST((SELECT n FROM nosig) + (SELECT n FROM keep1) AS BIGINT) AS rows_kept
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS batch_seq,
+  CAST((SELECT n FROM nosig) AS BIGINT) AS rows_kept
+"""
+    )
+
+
+@register("stream_dedup_minhash", None)  # oracle via _LAZY_ORACLES below
 def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup suppression as a driver-visible query: the
     documents table arrives as TWO identical micro-batches
     (maxFilesPerTrigger=1 over two copies of the file); the first batch
     keeps its within-batch star-pass survivors, the second — an exact
     recrawl of the whole corpus — is suppressed entirely against the
-    band-key store. Returns one (batch_seq, rows_kept) row per micro-batch
-    from the exactly-once manifest; deterministic regardless of which copy
-    the file source picks first. Semantics + crash windows pinned in
-    tests/test_streaming.py."""
+    band-key store (signature-less docs, which band nowhere, survive both
+    waves). Returns one (batch_seq, rows_kept) row per micro-batch from
+    the exactly-once manifest; deterministic regardless of which copy the
+    file source picks first. VALUE-checked against a batch-equivalent
+    DuckDB oracle (round-4 upgrade from rows-only); semantics + crash
+    windows pinned in tests/test_streaming.py."""
     import os
     import shutil
     import tempfile
@@ -535,53 +577,65 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS_r{N}.json keeps only the FIRST 50 registry
 # entries in iteration order, so the registry is rotated each round to keep
-# every entry's driver row at most two rounds old. Round-3 priority order:
-#   1. the 21 entries whose only driver row is from r01 (skipped in r02 by
-#      the round-2 reorder) — freshest-need first;
-#   2. the 3 entries that were RED in r02 on driver canonicalization
-#      (dedup_minhash_sig / mm_resize_stub / mm_frames_stub — output
-#      encoding fixed this round) plus anything new this round (new
-#      registrations land in the head automatically);
-#   3. everything graded green or rows-only-by-design in r02 goes last.
+# every entry's driver row at most two rounds old. Round-4 priority order
+# (executing the plan recorded here at the end of round 3):
+#   1. `join_cross` FIRST — its source changed after its last driver
+#      grading (SQL VALUES literal replaced createDataFrame(list) in
+#      c240d27), so it needs the freshest possible row;
+#   2. the other 32 entries whose freshest driver row is r02 (everything
+#      past position 50 in CORRECTNESS_r03.json: sim_ann_ivf …
+#      agg_custom_pandas);
+#   3. `extract_wrapped` — the flagship keeps a fresh driver row every
+#      round by policy;
+#   4. `stream_dedup_minhash` — upgraded this round from rows-only to a
+#      DuckDB value-hash oracle, so the first hash grading must land;
+#   5. anything newly registered in r04 (lands in the head automatically);
+#   6. everything r03-graded goes to the tail list.
 #
-# ROUND-4 ROTATION PLAN (do this at the start of r04): the 33 entries past
-# the r03 cap are exactly the _R02_DRIVER_GRADED list minus the 14 that fit
-# in the r03 window (extract_wrapped … sim_ann_ivf, positions 36-50 minus
-# one). Build _PRIORITY_R04 = [the tail entries from position 51 on in the
-# r03 CORRECTNESS file: text_langid … agg_custom_pandas], then
-# extract_wrapped, then anything new in r04; demote everything r03-graded
-# (this file's r03 head) to the tail list. Verify with
+# ROUND-5 ROTATION PLAN (do this at the start of r05): the entries past
+# the r04 cap are the tail of this file's _R03_DRIVER_GRADED list. Build
+# _PRIORITY_R05 = [those tail entries, in CORRECTNESS_r04 order from
+# position 51 on], then extract_wrapped, then anything new in r05; demote
+# this round's head to the tail list. Verify with
 # `list(all_queries())[:50]` before committing.
-_PRIORITY_R03 = [
-    # (1) r01-green tail, no driver row since r01
+_PRIORITY_R04 = [
+    # (1) changed after its last driver grading — grade first
+    "join_cross",
+    # (2) freshest driver row is r02 (rotated out by the r03 50-cap)
+    "sim_ann_ivf", "text_langid", "text_quality", "text_tokens",
+    "text_fingerprint", "mm_decode_stub", "gen_pages", "scan_pages",
+    "stream_tumbling_counts", "agg_approx_distinct", "project_prune",
+    "filter_pred", "derive_host", "derive_hashes", "explode_blocks",
+    "classify_blocks", "smooth_labels", "span_offsets", "stopword_density",
+    "join_broadcast", "join_shuffle", "join_salted", "join_anti",
+    "join_semi", "join_range", "join_asof", "agg_basic", "agg_distinct",
+    "agg_groupingsets", "agg_collect", "agg_percentile",
+    "agg_custom_pandas",
+    # (3) flagship: fresh row every round
+    "extract_wrapped",
+    # (4) rows-only in r03, value-hash oracle added this round
+    "stream_dedup_minhash",
+]
+
+# Everything with a green hash (or rows-only-by-design) driver row in
+# CORRECTNESS_r03.json — registered LAST so a 50-entry cap lands on them
+# before anything needing a fresh row. scan_counts leads so a basic
+# scan stays near the window edge if the cap ever grows.
+_R03_DRIVER_GRADED = [
+    "scan_counts",
     "udf_grouped_map", "win_rownum_dedup", "win_rank_topk", "win_laglead",
     "win_frame_sum", "sort_global", "topk", "set_union", "set_except",
     "set_intersect", "fn_string", "fn_binary", "fn_datetime", "fn_math",
     "fn_array", "fn_map", "fn_json", "fn_vector", "fn_window_batch",
     "udf_scalar_iter", "udf_map_arrow",
-    # (2) red in r02 on output encoding, fixed this round
     "dedup_minhash_sig", "mm_resize_stub", "mm_frames_stub",
-]
-
-# Green (hash or rows-only-by-design) in CORRECTNESS_r02.json — registered
-# LAST so a 50-entry cap lands on them before anything needing a fresh row.
-# extract_wrapped (the flagship) and scan_counts lead this tail so the
-# flagship keeps a fresh driver row every round even as new queries push
-# the window.
-_R02_DRIVER_GRADED = [
-    "extract_wrapped", "scan_counts",
+    "dedup_minhash_prod", "dedup_cc", "sim_ann_2table",
+    "pipe_url_canon", "pipe_repetition", "pipe_contamination",
+    "pipe_sample_stratified", "pipe_pack_sequences", "pipe_scrub_pii",
+    "pipe_quality_filter", "pipe_funnel",
     "join_range_bucket", "udtf_blocks", "dedup_exact", "dedup_minhash_pairs",
     "dedup_minhash_groups", "dedup_simhash", "dedup_jaccard", "dedup_embcos",
     "sim_cosine_topk", "sim_ann_lsh", "sim_ann_search", "sim_ann_multiprobe",
-    "sim_ann_ivf", "text_langid", "text_quality", "text_tokens",
-    "text_fingerprint", "mm_decode_stub", "gen_pages", "scan_pages",
-    "stream_tumbling_counts", "agg_approx_distinct",
-    "project_prune", "filter_pred", "derive_host",
-    "derive_hashes", "explode_blocks", "classify_blocks", "smooth_labels",
-    "span_offsets", "stopword_density", "join_broadcast", "join_shuffle",
-    "join_salted", "join_anti", "join_semi", "join_range", "join_asof",
-    "join_cross", "agg_basic", "agg_distinct", "agg_groupingsets",
-    "agg_collect", "agg_percentile", "agg_custom_pandas",
 ]
 
 
@@ -592,13 +646,23 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_textml  # noqa: F401
     from ocr_spark import queries_pipeline  # noqa: F401
 
-    prio = [k for k in _PRIORITY_R03 if k in QUERIES]
-    tail = set(_R02_DRIVER_GRADED)
+    prio = [k for k in _PRIORITY_R04 if k in QUERIES]
+    tail = set(_R03_DRIVER_GRADED)
     new = [k for k in QUERIES if k not in set(prio) and k not in tail]
-    last = [k for k in _R02_DRIVER_GRADED if k in QUERIES]
+    last = [k for k in _R03_DRIVER_GRADED if k in QUERIES]
     return {k: QUERIES[k] for k in prio + new + last}
+
+
+# oracles whose SQL needs the sibling modules (circular at import time);
+# built on first all_oracles() call, after all_queries() has imported them
+_LAZY_ORACLES: dict[str, Callable[[], str]] = {
+    "stream_dedup_minhash": _stream_dedup_minhash_oracle,
+}
 
 
 def all_oracles() -> dict[str, str]:
     q = all_queries()
+    for name, make in _LAZY_ORACLES.items():
+        if name not in ORACLES:
+            ORACLES[name] = make()
     return {k: ORACLES[k] for k in q if k in ORACLES}
