@@ -383,16 +383,33 @@ def incremental_extract(
 
 class _MinhashDedupCommitter:
     """foreachBatch function: per-micro-batch MinHash near-dup suppression
-    against the accumulated band-key store of everything KEPT so far.
+    against the accumulated band-key store.
 
-    Per batch: (1) within-batch star-pass dedup (the linear
-    ``minhash_group_reps`` decision — keep a doc iff it is its own cluster
-    representative; docs with < 3 words have no signature and always
-    survive this stage); (2) drop any survivor sharing ANY band key with
-    the store (i.e. a near-dup of a previously KEPT doc — chains through
-    previously *dropped* docs do not suppress, by design: suppression is
-    always against a retained representative); (3) write the kept rows to
-    ``data/batch_id=N`` and their band keys to ``sigstore/batch_id=N``.
+    ``full_cc=False`` (default) — per batch: (1) within-batch star-pass
+    dedup (the linear ``minhash_group_reps`` decision — keep a doc iff it
+    is its own cluster representative; docs with < 3 words have no
+    signature and always survive this stage); (2) drop any survivor
+    sharing ANY band key with the store (i.e. a near-dup of a previously
+    KEPT doc — chains through previously *dropped* docs do not suppress,
+    by design: suppression is always against a retained representative);
+    (3) write the kept rows to ``data/batch_id=N`` and their band keys to
+    ``sigstore/batch_id=N``.
+
+    ``full_cc=True`` — the cross-batch CONNECTED-COMPONENTS mode (round 4,
+    closing the documented divergence from batch
+    ``near_keepers(full_cc=True)``): (1) within-batch dedup is min-label
+    propagation to a fixpoint over the batch's doc–bucket graph
+    (functions/graph.bucket_connected_components), so bucket chains
+    A~B~C inside one batch collapse to one keeper; (2) the sigstore
+    records the band keys of ALL docs in the batch — kept AND dropped —
+    so a later doc that chains to this component only through a dropped
+    doc still matches the store and is suppressed. Every band-key match
+    is an edge of the same graph batch CC uses, so suppression is exactly
+    incremental reachability: one kept doc per component, the
+    first-arrived one (batch CC keeps the min id instead — the kept SET
+    matches whenever arrival order is id order, which the equivalence
+    test pins). Store size becomes bands×docs-seen instead of
+    bands×docs-kept — still linear, same scan pattern.
 
     Exactly-once: both writes are batch-scoped ``mode("overwrite")`` and
     the manifest record commits last (same contract as
@@ -416,6 +433,7 @@ class _MinhashDedupCommitter:
         run_id: str = "stream",
         num_perms: int | None = None,
         bands: int | None = None,
+        full_cc: bool = False,
     ) -> None:
         from ocr_spark.queries_textml import BANDS, NUM_PERMS
 
@@ -423,6 +441,7 @@ class _MinhashDedupCommitter:
         self.run_id = run_id
         self.num_perms = num_perms or NUM_PERMS
         self.bands = bands or BANDS
+        self.full_cc = full_cc
 
     def _record(self, batch_id: int) -> pathlib.Path:
         return self.out / "_stream_manifest" / f"batch-{batch_id:010d}.json"
@@ -454,11 +473,24 @@ class _MinhashDedupCommitter:
         if rec_path.exists():
             return  # replayed micro-batch: already committed
         spark = batch_df.sparkSession
-        reps = minhash_group_reps(
-            batch_df.select("doc_id", "text"),
-            num_perms=self.num_perms,
-            bands=self.bands,
-        )
+        cc_labels = None  # persisted by the fixpoint; released at the end
+        if self.full_cc:
+            from ocr_spark.functions.graph import bucket_connected_components
+
+            # within-batch TRUE connected components (fixpoint, eager) —
+            # keep the handle so the persisted labels are unpersisted once
+            # the batch commits (a long-running stream must not accumulate
+            # one cached frame per micro-batch)
+            cc_labels = bucket_connected_components(
+                self._band_keys(batch_df.select("doc_id", "text"))
+            )
+            reps = cc_labels
+        else:
+            reps = minhash_group_reps(
+                batch_df.select("doc_id", "text"),
+                num_perms=self.num_perms,
+                bands=self.bands,
+            )
         kept = (
             batch_df.join(reps, "doc_id", "left")
             .filter(F.col("rep").isNull() | (F.col("rep") == F.col("doc_id")))
@@ -494,12 +526,21 @@ class _MinhashDedupCommitter:
         data_dir = self.out / "data" / f"batch_id={batch_id}"
         kept.write.mode("overwrite").parquet(str(data_dir))
         sig_dir = self.out / "sigstore" / f"batch_id={batch_id}"
-        self._band_keys(kept).write.mode("overwrite").parquet(str(sig_dir))
+        # full_cc: record EVERY doc's band keys (kept and dropped) so later
+        # docs chaining to this component only through a dropped doc still
+        # match; star mode records kept docs only (suppression strictly
+        # against retained representatives)
+        store_side = batch_df if self.full_cc else kept
+        self._band_keys(store_side).write.mode("overwrite").parquet(
+            str(sig_dir)
+        )
         try:
             n = spark.read.parquet(str(data_dir)).count()
         except Exception:
             n = 0  # empty micro-batch: no part files were produced
         kept.unpersist()
+        if cc_labels is not None:
+            cc_labels.unpersist()
         rec_path.parent.mkdir(parents=True, exist_ok=True)
         tmp = rec_path.with_suffix(".json.tmp")
         tmp.write_text(
@@ -517,19 +558,27 @@ def incremental_dedup_minhash(
     run_id: str = "stream",
     num_perms: int | None = None,
     bands: int | None = None,
+    full_cc: bool = False,
 ) -> tuple[DataStreamWriter, _MinhashDedupCommitter]:
     """Continuous-crawl near-dup suppression: a streaming DataFrame of
     documents (``doc_id`` + ``text`` + payload columns) → only docs that
-    are not near-duplicates of anything previously kept, written
+    are not near-duplicates of anything previously seen kept, written
     exactly-once to ``out_dir/data`` with the suppression state
     accumulating in ``out_dir/sigstore``.
+
+    ``full_cc=True`` switches both the within-batch pass and the store
+    semantics to true connected components (see
+    :class:`_MinhashDedupCommitter`): near-dup chains spanning
+    micro-batches merge, matching batch ``near_keepers(full_cc=True)``.
 
     Returns (writer, committer); caller picks the trigger::
 
         writer, _ = incremental_dedup_minhash(docs, out, ckpt)
         writer.trigger(availableNow=True).start().awaitTermination()
     """
-    committer = _MinhashDedupCommitter(out_dir, run_id, num_perms, bands)
+    committer = _MinhashDedupCommitter(
+        out_dir, run_id, num_perms, bands, full_cc=full_cc
+    )
     writer = (
         docs_stream.writeStream.foreachBatch(committer)
         .option("checkpointLocation", checkpoint_dir)

@@ -487,3 +487,71 @@ def test_incremental_minhash_matches_batch_on_simple_clusters(spark, tmp_path):
         for r in near_keepers(_mk_docs(spark, rows)).select("doc_id").collect()
     }
     assert stream_kept == batch_kept == {0, 1, 2, 3}
+
+
+def test_incremental_full_cc_chain_across_batches(spark, tmp_path):
+    """Round-4 cross-batch CC mode: a near-dup chain A~B~C arriving in
+    THREE micro-batches (B a partial near-dup of both A and C, where A and
+    C never share a band) keeps exactly one doc — equal to batch
+    near_keepers(full_cc=True) over the union. Star mode (the default) is
+    asserted to under-merge on the same input, pinning that the divergence
+    the mode closes is real."""
+    from ocr_spark.operators.corpus import near_keepers
+    from ocr_spark.queries_textml import minhash_band_keys, minhash_signatures
+    from ocr_spark.streaming.incremental import incremental_dedup_minhash
+
+    # 16 perms / 16 single-row bands: a band matches iff ONE minhash row
+    # agrees, so a half-A-half-C mixture doc reliably bridges both sides
+    NP, NB = 16, 16
+    a_words = [f"ccha{i}" for i in range(60)]
+    c_words = [f"cchc{i}" for i in range(60)]
+    a, c = " ".join(a_words), " ".join(c_words)
+    b = " ".join(a_words[:30] + c_words[:30])
+    rows = [(1, a), (2, b), (3, c)]
+
+    # premise: the chain is A~B~C with A,C band-disjoint (deterministic
+    # hashes — these assertions pin the fixture, they can never flake)
+    def keys(txt):
+        df = minhash_band_keys(
+            minhash_signatures(
+                _mk_docs(spark, [(0, txt)]), num_perms=NP
+            ),
+            NB,
+            NP // NB,
+        )
+        return {(r.bi, r.band) for r in df.collect()}
+
+    ka, kb, kc = keys(a), keys(b), keys(c)
+    assert ka & kb and kb & kc and not (ka & kc)
+
+    def run_stream(full_cc, sub):
+        src = tmp_path / f"in_{sub}"
+        out = str(tmp_path / f"out_{sub}")
+        ckpt = str(tmp_path / f"ckpt_{sub}")
+        src.mkdir()
+        for i, row in enumerate(rows):
+            _mk_docs(spark, [row]).coalesce(1).write.parquet(
+                str(src / f"w{i}")
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(str(src / "*"))
+            writer, _ = incremental_dedup_minhash(
+                stream, out, ckpt, num_perms=NP, bands=NB, full_cc=full_cc
+            )
+            _drain(writer)
+        return {
+            r.doc_id for r in spark.read.parquet(f"{out}/data").collect()
+        }
+
+    batch_kept = {
+        r.doc_id
+        for r in near_keepers(
+            _mk_docs(spark, rows), num_perms=NP, bands=NB, full_cc=True
+        ).select("doc_id").collect()
+    }
+    assert batch_kept == {1}
+    assert run_stream(True, "cc") == batch_kept
+    # the default star/kept-only store keeps C too: the chain passes
+    # through dropped B, whose keys the star store never records
+    assert run_stream(False, "star") == {1, 3}
