@@ -183,6 +183,16 @@ _L2 = (
 )
 
 
+def _argmin_key(k: int) -> str:
+    """Quantized scalar argmin key — round(L2 * 1e6) * k + cent_id — the
+    same device the registry IVF skeleton uses: both engines pick the same
+    list (quantized distance, cent_id tie-break) with a plain min(), and
+    ``key % k`` recovers the cent_id. Mirrors exactly into DuckDB, which
+    struct-keyed min_by does not (round-4 change; prior struct(_l2,
+    cent_id) semantics differ only when two raw L2s quantize equal)."""
+    return f"CAST(round(_l2 * 1000000, 0) AS BIGINT) * {k} + cent_id"
+
+
 def ivf_seed_centroids(e: DataFrame, k: int = 8) -> DataFrame:
     """The untrained baseline: the first k vectors as centroids
     (cent_id, cvec) — what the registry sim_ann_ivf skeleton uses."""
@@ -214,7 +224,7 @@ def ivf_train_centroids(
         )
         .groupBy("vec_id")
         .agg(
-            F.expr("min_by(cent_id, struct(_l2, cent_id))").alias("list_id"),
+            (F.min(F.expr(_argmin_key(k))) % k).alias("list_id"),
             F.first("embedding").alias("embedding"),
         )
     )
@@ -244,24 +254,32 @@ def ivf_train_centroids(
 
 
 def ivf_candidates(
-    e: DataFrame, cent: DataFrame, probes: DataFrame, nprobe: int = 2
+    e: DataFrame,
+    cent: DataFrame,
+    probes: DataFrame,
+    nprobe: int = 2,
+    n_lists: int | None = None,
 ) -> DataFrame:
     """(probe_id, vec_id) candidates under IVF: broadcast-argmin assignment
     of every vector to its list (one per-row map), per-probe nprobe nearest
     lists, candidates = members of those lists (~nprobe/k of the data per
-    probe)."""
+    probe). ``n_lists`` (the centroid count, needed by the quantized argmin
+    key) avoids an eager count when the caller already knows it."""
+    k = n_lists if n_lists is not None else cent.count()  # tiny table
     assign = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("_l2", F.expr(_L2.format(v="embedding", c="cvec")))
         .groupBy("vec_id")
-        .agg(
-            F.expr("min_by(cent_id, struct(_l2, cent_id))").alias("list_id"),
-        )
+        .agg((F.min(F.expr(_argmin_key(k))) % k).alias("list_id"))
     )
-    pw = Window.partitionBy("probe_id").orderBy("_l2", "cent_id")
+    # rank by the same quantized key as the assignment (not raw _l2):
+    # both engines agree on the probe's nprobe lists even when two
+    # centroid distances quantize equal
+    pw = Window.partitionBy("probe_id").orderBy("_key")
     probe_lists = (
         probes.crossJoin(F.broadcast(cent))
         .withColumn("_l2", F.expr(_L2.format(v="probe", c="cvec")))
+        .withColumn("_key", F.expr(_argmin_key(k)))
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") <= nprobe)
         .select("probe_id", F.col("cent_id").alias("list_id"))
@@ -279,10 +297,13 @@ def ivf_topk(
     probes: DataFrame,
     nprobe: int = 2,
     k: int = 10,
+    n_lists: int | None = None,
 ) -> DataFrame:
     """IVF search over an arbitrary centroid table: candidate lists then
     exact cosine top-k inside them."""
-    return score_topk(e, probes, ivf_candidates(e, cent, probes, nprobe), k)
+    return score_topk(
+        e, probes, ivf_candidates(e, cent, probes, nprobe, n_lists), k
+    )
 
 
 # --- clustered synthetic corpus ----------------------------------------------

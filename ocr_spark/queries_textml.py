@@ -916,6 +916,89 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SAMPLE_MOD = 5  # ivf_train_centroids default train-sample stride
+
+
+@register(
+    "sim_ann_ivf_trained",
+    f"""
+WITH seeds AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_IVF_K}
+), tassign AS (
+  SELECT e.vec_id, e.embedding,
+    CAST(min({_IVF_KEY_SQL.format(
+        d=_L2_SQL.format(v='e.embedding', c='c.cvec'), cid='c.cent_id')})
+      % {_IVF_K} AS BIGINT) AS list_id
+  FROM embeddings e CROSS JOIN seeds c
+  WHERE e.vec_id % {_IVF_SAMPLE_MOD} = 0
+  GROUP BY e.vec_id, e.embedding
+), dims AS (
+  SELECT list_id, generate_subscripts(embedding, 1) AS d,
+    unnest(embedding) AS v
+  FROM tassign
+), means AS (
+  SELECT list_id, d, avg(CAST(v AS DOUBLE)) AS m
+  FROM dims GROUP BY list_id, d
+), tvecs AS (
+  SELECT list_id, list(CAST(m AS REAL) ORDER BY d) AS tvec
+  FROM means GROUP BY list_id
+), cent AS (
+  SELECT s.cent_id, coalesce(t.tvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN tvecs t ON s.cent_id = t.list_id
+), assign AS (
+  SELECT e.vec_id, e.label, e.embedding,
+    CAST(min({_IVF_KEY_SQL.format(
+        d=_L2_SQL.format(v='e.embedding', c='c.cvec'), cid='c.cent_id')})
+      % {_IVF_K} AS BIGINT) AS list_id
+  FROM embeddings e CROSS JOIN cent c
+  GROUP BY e.vec_id, e.label, e.embedding
+), probe_lists AS (
+  SELECT c.cent_id AS plist
+  FROM cent c CROSS JOIN (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
+  ORDER BY {_IVF_KEY_SQL.format(
+      d=_L2_SQL.format(v='p.pv', c='c.cvec'), cid='c.cent_id')}
+  LIMIT {_IVF_NPROBE}
+)
+SELECT a.vec_id, a.label,
+  CAST(round({_IVF_DOT}
+    / ({_IVF_NE} * {_IVF_NP}), 6) AS DOUBLE) AS cosine
+FROM assign a
+JOIN probe_lists pl ON a.list_id = pl.plist
+CROSS JOIN (SELECT embedding AS probe FROM embeddings WHERE vec_id = 0) p
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+""",
+)
+def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids (round-4 regrade of the ann.py
+    maturity work): seeds = first K vectors, ONE Lloyd iteration on the
+    deterministic vec_id%5 sample (functions/ann.ivf_train_centroids —
+    broadcast-argmin assignment on the quantized scalar key, one shuffle
+    keyed by (list_id, dim) for the per-dim means), then the same
+    inverted-list probe search as sim_ann_ivf over the trained table.
+    DuckDB mirrors the full train+search pipeline — seeds → sample
+    assignment → per-dim means (REAL-cast like the Spark side) →
+    fallback-coalesce → quantized reassignment → nprobe lists → exact
+    cosine top-10."""
+    from ocr_spark.functions.ann import ivf_train_centroids, ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = ivf_train_centroids(e, _IVF_K, _IVF_SAMPLE_MOD)
+    probes = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("probe_id"),
+        F.col("embedding").alias("probe"),
+    )
+    topk = ivf_topk(
+        e, cent, probes, nprobe=_IVF_NPROBE, k=10, n_lists=_IVF_K
+    )
+    return (
+        topk.join(e.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "cosine")
+    )
+
+
 # --- text analysis -------------------------------------------------------------
 
 _LANGS = list(spec.STOPWORDS.keys())
