@@ -361,6 +361,109 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
              + _salad(rng, "en", 45, 0.6)
              + "</p></body></html>").encode("gbk")),
          "en"),
+        # --- round-4 adversarial PDF/bbox family (SPEC.md §3; append-only).
+        # The original pdf fixtures cover clean 1/2-column layouts; these
+        # pin the grouping rules where layouts fight back.
+        ("pdf-overlap-bbox",
+         # partially overlapping x-intervals chain into ONE column via
+         # single-linkage (each next block starts before the running x1)
+         json.dumps({"kind": "pdf", "blocks": [
+             {"text": "alpha top", "x0": 0, "y0": 50, "x1": 100, "y1": 70},
+             {"text": "beta overlapped", "x0": 80, "y0": 10,
+              "x1": 180, "y1": 30},
+             {"text": "gamma chained", "x0": 160, "y0": 90,
+              "x1": 260, "y1": 110},
+         ]}).encode(),
+         "en"),
+        ("pdf-interleaved-columns",
+         # storage order alternates L,R,L,R with descending y: reading
+         # order must come out column-major, y-sorted within column
+         json.dumps({"kind": "pdf", "blocks": [
+             {"text": "left three", "x0": 10, "y0": 300, "x1": 200,
+              "y1": 330},
+             {"text": "right two", "x0": 300, "y0": 150, "x1": 500,
+              "y1": 180},
+             {"text": "left one", "x0": 12, "y0": 40, "x1": 198, "y1": 70},
+             {"text": "right one", "x0": 305, "y0": 45, "x1": 495,
+              "y1": 75},
+             {"text": "left two", "x0": 11, "y0": 160, "x1": 199,
+              "y1": 190},
+             {"text": "right three", "x0": 302, "y0": 280, "x1": 498,
+              "y1": 310},
+         ]}).encode(),
+         "en"),
+        ("pdf-col-bridge-header",
+         # a full-width header whose x-interval overlaps BOTH columns:
+         # single-linkage merges everything into one column (the documented
+         # trade of interval-overlap clustering — pinned, not hidden)
+         json.dumps({"kind": "pdf", "blocks": [
+             {"text": "wide banner header", "x0": 10, "y0": 5, "x1": 500,
+              "y1": 25},
+             {"text": "left body", "x0": 10, "y0": 50, "x1": 200,
+              "y1": 80},
+             {"text": "right body", "x0": 300, "y0": 52, "x1": 500,
+              "y1": 82},
+         ]}).encode(),
+         "en"),
+        ("pdf-x-touching",
+         # x0 == running x1 exactly: SPEC's strict '>' means touching
+         # blocks JOIN the column (boundary pinned)
+         json.dumps({"kind": "pdf", "blocks": [
+             {"text": "first cell", "x0": 0, "y0": 0, "x1": 100, "y1": 20},
+             {"text": "touching cell", "x0": 100, "y0": 0, "x1": 200,
+              "y1": 20},
+             {"text": "separate cell", "x0": 200.5, "y0": 0, "x1": 300,
+              "y1": 20},
+         ]}).encode(),
+         "en"),
+        ("pdf-identical-bbox",
+         # identical coords, distinct text: the (…, text) tie-break is the
+         # only thing giving a total order
+         json.dumps({"kind": "pdf", "blocks": [
+             {"text": "zeta same box", "x0": 5, "y0": 5, "x1": 50,
+              "y1": 15},
+             {"text": "alpha same box", "x0": 5, "y0": 5, "x1": 50,
+              "y1": 15},
+             {"text": "mid same box", "x0": 5, "y0": 5, "x1": 50,
+              "y1": 15},
+         ]}).encode(),
+         "en"),
+        ("pdf-negative-and-huge-coords",
+         # negative origins (cropped scans) and a giant outlier coordinate
+         json.dumps({"kind": "pdf", "blocks": [
+             {"text": "negative origin", "x0": -120.5, "y0": -40,
+              "x1": -20, "y1": -10},
+             {"text": "normal block", "x0": 0, "y0": 0, "x1": 90,
+              "y1": 30},
+             {"text": "far right outlier", "x0": 1e9, "y0": 2,
+              "x1": 1.0000001e9, "y1": 22},
+         ]}).encode(),
+         "en"),
+        ("pdf-rotated-storage",
+         # a 2-col layout stored bottom-up right-to-left (rotated-scan
+         # storage order): grouping + reading order must reconstruct it
+         json.dumps({"kind": "pdf", "blocks": list(reversed([
+             {"text": "col one para one", "x0": 20, "y0": 30, "x1": 280,
+              "y1": 60},
+             {"text": "col one para two", "x0": 22, "y0": 90, "x1": 278,
+              "y1": 120},
+             {"text": "col two para one", "x0": 320, "y0": 32, "x1": 560,
+              "y1": 62},
+             {"text": "col two para two", "x0": 322, "y0": 95, "x1": 558,
+              "y1": 125},
+         ]))}).encode(),
+         "en"),
+        ("pdf-whitespace-normalize",
+         # §1-flush normalization inside pdf text: tabs/newlines/multi-space
+         # collapse; a block that normalizes to "" is dropped entirely
+         json.dumps({"kind": "pdf", "blocks": [
+             {"text": "  spaced\t\tout\n\nlines  ", "x0": 0, "y0": 0,
+              "x1": 100, "y1": 20},
+             {"text": " \t \n ", "x0": 0, "y0": 30, "x1": 100, "y1": 50},
+             {"text": "tail block", "x0": 0, "y0": 60, "x1": 100,
+              "y1": 80},
+         ]}).encode(),
+         "en"),
     ]
     return cases
 
