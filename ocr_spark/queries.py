@@ -353,6 +353,98 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "batch_seq int, rows_kept long")
 
 
+def _stream_dedup_cc_oracle() -> str:
+    # batch-equivalent kept counts for the full_cc streaming mode: batch 0
+    # keeps one doc per CONNECTED COMPONENT of the band graph (recursive
+    # reachability, the same oracle device as dedup_cc) plus every
+    # signature-less doc; batch 1 — an exact recrawl — keeps only the
+    # signature-less docs (the store now carries the band keys of ALL seen
+    # docs, so every banded doc matches). Lazy via _LAZY_ORACLES
+    # (circular import, same as stream_dedup_minhash).
+    from ocr_spark.queries_textml import (
+        _bands_sql,
+        _minhash_sql_base,
+        NUM_PERMS,
+    )
+
+    return (
+        _minhash_sql_base(NUM_PERMS).replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1
+        )
+        + _bands_sql()
+        + """
+, edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.band = b.band AND a.doc_id <> b.doc_id
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM sig
+  UNION
+  SELECT e.dst AS doc_id, reach.r
+  FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+rep AS (SELECT doc_id, min(r) AS rep FROM reach GROUP BY doc_id),
+nosig AS (
+  SELECT count(*) AS n FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM sig)
+),
+keep1 AS (SELECT count(*) AS n FROM rep WHERE rep = doc_id)
+SELECT CAST(0 AS INTEGER) AS batch_seq,
+  CAST((SELECT n FROM nosig) + (SELECT n FROM keep1) AS BIGINT) AS rows_kept
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS batch_seq,
+  CAST((SELECT n FROM nosig) AS BIGINT) AS rows_kept
+"""
+    )
+
+
+@register("stream_dedup_cc", None)  # oracle via _LAZY_ORACLES below
+def q_stream_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full_cc streaming suppressor as a driver-visible query (round
+    4): same two-wave drive as stream_dedup_minhash but with
+    ``full_cc=True`` — within-batch TRUE connected components and an
+    all-docs band-key store, so the kept counts equal the batch CC
+    decision: one keeper per component + signature-less docs in wave 1,
+    signature-less docs only in wave 2. Oracle: DuckDB recursive-CTE
+    reachability (the dedup_cc device) restated as per-batch counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_spark.streaming.incremental import incremental_dedup_minhash
+
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-cc-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    for i in (1, 2):
+        shutil.copy(
+            f"{sf_dir}/documents.parquet",
+            os.path.join(src_dir, f"wave{i}.parquet"),
+        )
+    docs = (
+        spark.readStream.schema(t(spark, sf_dir, "documents").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("doc_id", "text")
+    )
+    writer, committer = incremental_dedup_minhash(
+        docs, os.path.join(work, "out"), os.path.join(work, "ckpt"),
+        full_cc=True,
+    )
+    writer.trigger(availableNow=True).start().awaitTermination()
+    import json as _json
+
+    rows = [
+        (
+            seq,
+            _json.loads(committer._record(bid).read_text())["rows"],
+        )
+        for seq, bid in enumerate(sorted(committer.committed()))
+    ]
+    return spark.createDataFrame(rows, "batch_seq int, rows_kept long")
+
+
 # --- B. projection / filter / derivation ------------------------------------
 
 @register(
@@ -657,6 +749,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # built on first all_oracles() call, after all_queries() has imported them
 _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "stream_dedup_minhash": _stream_dedup_minhash_oracle,
+    "stream_dedup_cc": _stream_dedup_cc_oracle,
 }
 
 
