@@ -159,6 +159,23 @@ def test_pack_sequences_partitions_by_source(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_pack_hashed_partitions_by_derived_shard(spark):
+    """pipe_pack_hashed (r04 production shape): the window shuffles on the
+    derived high-cardinality pack_shard key — parallelism is num_shards no
+    matter how few distinct values any data column has; never a
+    SinglePartition funnel."""
+    import __spark_entry__ as em
+
+    plan = _plan(
+        em.queries()["pipe_pack_hashed"](spark, "/root/testdata/sf0.001")
+    )
+    assert (
+        re.search(r"Arguments:.*\[pack_shard", plan)
+        or "hashpartitioning(pack_shard" in plan
+    ), plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_pipeline_scan_and_scrub_stay_jvm_side(spark):
     """Sampling + scrubbing are map-only JVM plans: no Exchange, no Python."""
     import __spark_entry__ as em
