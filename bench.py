@@ -61,6 +61,9 @@ HEADLINE = [
     "text_fingerprint",     # training-data: doc fingerprints
     "pipe_repetition",      # corpus prep: Gopher repetition signals (2 explode branches)
     "pipe_contamination",   # corpus prep: 3-gram eval-overlap screen (broadcast)
+    # round-4 additions (not in the r1-r3 comparable set)
+    "pipe_pack_hashed",     # corpus prep: token packing on the hashed shard key
+    "sim_ann_ivf_trained",  # training-data: IVF with one trained Lloyd iteration
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
