@@ -64,6 +64,11 @@ HEADLINE = [
     # round-4 additions (not in the r1-r3 comparable set)
     "pipe_pack_hashed",     # corpus prep: token packing on the hashed shard key
     "sim_ann_ivf_trained",  # training-data: IVF with one trained Lloyd iteration
+    # late round-4 corpus block 2
+    "dedup_substr_spans",   # training-data: exact-substring duplicate spans
+    "text_ppl_proxy",       # training-data: corpus-LM perplexity proxy
+    "sim_ann_pq",           # training-data: product-quantization ADC ANN
+    "pipe_shuffle_shard",   # corpus prep: seeded training-order shuffle
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

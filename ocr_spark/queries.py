@@ -681,7 +681,11 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      round by policy;
 #   4. `stream_dedup_minhash` — upgraded this round from rows-only to a
 #      DuckDB value-hash oracle, so the first hash grading must land;
-#   5. anything newly registered in r04 (lands in the head automatically);
+#   5. anything newly registered in r04 (lands in the head automatically):
+#      stream_dedup_cc, sim_ann_ivf_trained, pipe_pack_hashed, then the
+#      queries_corpusml block (dedup_substr_spans, text_ppl_proxy,
+#      text_gopher_rules, pipe_mix_domains, pipe_shuffle_shard,
+#      sim_ann_pq) — head total 44, so 6 tail entries get a bonus regrade;
 #   6. everything r03-graded goes to the tail list.
 #
 # ROUND-5 ROTATION PLAN (do this at the start of r05): the entries past
@@ -737,6 +741,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_fns  # noqa: F401
     from ocr_spark import queries_textml  # noqa: F401
     from ocr_spark import queries_pipeline  # noqa: F401
+    from ocr_spark import queries_corpusml  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

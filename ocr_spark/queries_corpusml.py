@@ -1,0 +1,515 @@
+"""Corpus-preparation operators, block 2: the famous large-scale
+training-data components not yet covered by queries_textml/queries_pipeline.
+
+- exact-substring duplicate spans (the Lee-et-al-2021 "Deduplicating
+  Training Data" family, re-expressed as a rolling char-k-gram inverted
+  index + island grouping — no suffix array, no driver-side state);
+- CCNet-style perplexity-proxy quality scoring (corpus unigram LM);
+- Gopher quality-rule bundle (word/line shape heuristics);
+- alpha-temperature domain mixing (per-source sampling quotas);
+- deterministic seeded global shuffle + fixed shard assignment
+  (training-order materialization);
+- product-quantization ANN (PQ codes + asymmetric-distance top-k),
+  completing the brute/LSH/multi-probe/IVF family.
+
+Every checked output is integer-quantized (e2/e4/e6 fixed-point BIGINTs or
+md5 hex) so the DuckDB oracle hashes match exactly — the same discipline as
+the sibling modules. Float work happens inside a single expression tree
+whose per-row evaluation is order-independent; cross-row float SUM/AVG is
+never emitted unquantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+from ocr_spark.queries_textml import _L2_SPARK, _L2_SQL, _WORDS_SPARK
+
+_WORDS_SQL = "list_filter(string_split({col}, ' '), x -> x != '')"
+
+# --- exact-substring duplicate spans ------------------------------------------------
+# Lee et al. 2021 dedups training corpora by EXACT substring: any ≥L-char
+# run that appears twice anywhere in the corpus is a duplicate span. Their
+# implementation is a single-machine suffix array; at 100 TB the
+# Spark-first shape is a rolling k-gram inverted index:
+#   positions = one row per (doc, char offset) k-gram  (linear in corpus)
+#   dup grams = groupBy(gram hash) HAVING count >= 2   (one shuffle)
+#   spans     = consecutive duplicated offsets, grouped into islands with
+#               a lag/running-sum window per doc       (one shuffle by doc)
+# No doc-doc pairs are ever materialized, so there is no quadratic anywhere:
+# a gram shared by a million docs costs one counter row, and the join back
+# to positions is per-position (each position matches exactly one gram row).
+# Production knobs (documented, not needed at test scale): stride > 1 on
+# the position generator (k/2 finds every span ≥ 1.5k at half the index
+# size) and a document-frequency cap that routes stop-gram rows (boilerplate
+# shared by ~every page) to a bloom-filter side channel instead of the join.
+
+SUBSTR_K = 16  # char k-gram width; duplicated spans are maximal runs >= K
+
+
+@register(
+    "dedup_substr_spans",
+    f"""
+WITH pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, length(text) - {SUBSTR_K} + 2)) AS p
+  FROM documents WHERE length(text) >= {SUBSTR_K}
+), grams AS (
+  SELECT doc_id, p, md5(substr(text, p, {SUBSTR_K})) AS g FROM pos
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, p FROM grams JOIN dupg USING (g)
+), brk AS (
+  SELECT doc_id, p,
+    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+         THEN 0 ELSE 1 END AS b
+  FROM hits
+), isl AS (
+  SELECT doc_id, p,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+  CAST(max(p) - min(p) + {SUBSTR_K} AS BIGINT) AS span_len,
+  CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+""",
+)
+def q_dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans: every maximal run of characters that
+    occurs >= 2 times corpus-wide, as (doc_id, span_start, span_len). See
+    the block comment above for the scale analysis (linear index, two
+    shuffles, zero doc-doc pairs)."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.length("text") >= SUBSTR_K
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"explode(sequence(1, length(text) - {SUBSTR_K} + 1))"
+        ).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id", "p",
+        F.md5(F.expr(f"substring(text, p, {SUBSTR_K})")).alias("g"),
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dupg, "g").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    brk = hits.withColumn(
+        "b",
+        F.when(F.col("p") - F.lag("p").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("b").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("p").cast("bigint").alias("span_start"),
+        (F.max("p") - F.min("p") + SUBSTR_K).cast("bigint").alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_len", "n_grams")
+
+
+# --- CCNet-style perplexity-proxy quality score -------------------------------------
+# CCNet filters Common Crawl by KenLM perplexity; the sandbox has no KenLM,
+# but the DECISION SHAPE is a corpus LM scored per doc. A unigram LM over
+# the corpus itself is the honest stdlib-only proxy: nll(w) = ln(N / c_w),
+# doc score = sum over words. Each word's nll is quantized to e4 BEFORE the
+# per-doc sum, so the checked output is an exact integer on both engines.
+# Scale: the vocab table is Zipf-bounded (vastly smaller than the corpus)
+# and broadcast; the whole job is one groupBy(word) + one broadcast join —
+# no per-doc state, no Python.
+
+
+@register(
+    "text_ppl_proxy",
+    """
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+  FROM documents
+), f AS (
+  SELECT w, count(*) AS c FROM w GROUP BY w
+), tot AS (
+  SELECT sum(c) AS n FROM f
+)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(CAST(round(ln(CAST(tot.n AS DOUBLE) / CAST(f.c AS DOUBLE))
+    * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_nll_e4
+FROM w JOIN f USING (w) CROSS JOIN tot
+GROUP BY w.doc_id
+""",
+)
+def q_text_ppl_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative-log-likelihood per document (CCNet perplexity
+    filtering, proxied stdlib-only). Per-word nll quantized to e4 before the
+    integer per-doc sum — exact oracle parity, no float-sum order issues."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(_WORDS_SPARK.format(col="lower(text)"))
+        ).alias("w"),
+    )
+    f = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = f.agg(F.sum("c").alias("n"))
+    nll_e4 = F.round(
+        F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * 10000,
+        0,
+    ).cast("bigint")
+    return (
+        words.join(F.broadcast(f), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(nll_e4).alias("sum_nll_e4"),
+        )
+    )
+
+
+# --- Gopher quality-rule bundle -----------------------------------------------------
+# The Rae-et-al Gopher rules are the canonical web-text heuristic filter:
+# word-count bounds, mean word length, symbol-to-word ratio, bullet/ellipsis
+# line fractions, alphabetic-word fraction. All metrics are emitted as
+# fixed-point BIGINTs and the pass flag is derived from the SAME integers,
+# so the boolean is exactly reproducible. Pure per-row expressions — at
+# 100 TB this is a map-only scan that fuses into whole-stage codegen.
+
+_GOPHER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    {_WORDS_SQL.format(col='text')} AS ws,
+    string_split(text, chr(10)) AS ls
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(round(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+      * 100.0 / greatest(len(ws), 1), 0) AS BIGINT) AS mean_wlen_e2,
+    CAST(round(len(list_filter(ws, x -> contains(x, '#')
+      OR contains(x, '...'))) * 10000.0 / greatest(len(ws), 1), 0)
+      AS BIGINT) AS symbol_e4,
+    CAST(round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+      * 10000.0 / greatest(len(ws), 1), 0) AS BIGINT) AS alpha_e4,
+    CAST(round(len(list_filter(ls, l -> starts_with(l, '- ')
+      OR starts_with(l, '* '))) * 10000.0 / greatest(len(ls), 1), 0)
+      AS BIGINT) AS bullet_e4,
+    CAST(round(len(list_filter(ls, l -> ends_with(l, '...')))
+      * 10000.0 / greatest(len(ls), 1), 0) AS BIGINT) AS ellipsis_e4,
+    CAST(round((len(ls) - len(list_distinct(ls))) * 10000.0
+      / greatest(len(ls), 1), 0) AS BIGINT) AS dup_line_e4
+  FROM m
+)
+SELECT doc_id, n_words, mean_wlen_e2, symbol_e4, alpha_e4, bullet_e4,
+  ellipsis_e4, dup_line_e4,
+  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+    AND mean_wlen_e2 BETWEEN 300 AND 1000
+    AND symbol_e4 <= 1000 AND alpha_e4 >= 8000
+    AND bullet_e4 <= 9000 AND ellipsis_e4 <= 3000
+    AND dup_line_e4 <= 3000
+  THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM s
+"""
+
+
+@register("text_gopher_rules", _GOPHER_SQL)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules: per-doc shape heuristics + pass flag, all from
+    fixed-point integers (see module comment). Map-only scan at scale."""
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.expr(_WORDS_SPARK.format(col="text")).alias("ws"),
+        F.expr("split(text, '\\n')").alias("ls"),
+    )
+    nw = F.greatest(F.size("ws"), F.lit(1))
+    nl = F.greatest(F.size("ls"), F.lit(1))
+
+    def frac_e4(cnt, denom):
+        return F.round(cnt * 10000.0 / denom, 0).cast("bigint")
+
+    s = m.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.round(
+            F.expr("aggregate(transform(ws, x -> length(x)), 0, (a, b) -> a + b)")
+            * 100.0 / nw,
+            0,
+        ).cast("bigint").alias("mean_wlen_e2"),
+        frac_e4(
+            F.size(F.expr(
+                "filter(ws, x -> contains(x, '#') OR contains(x, '...'))"
+            )),
+            nw,
+        ).alias("symbol_e4"),
+        frac_e4(
+            F.size(F.expr("filter(ws, x -> x rlike '[a-zA-Z]')")), nw
+        ).alias("alpha_e4"),
+        frac_e4(
+            F.size(F.expr(
+                "filter(ls, l -> startswith(l, '- ') OR startswith(l, '* '))"
+            )),
+            nl,
+        ).alias("bullet_e4"),
+        frac_e4(
+            F.size(F.expr("filter(ls, l -> endswith(l, '...'))")), nl
+        ).alias("ellipsis_e4"),
+        frac_e4(
+            F.size("ls") - F.size(F.array_distinct("ls")), nl
+        ).alias("dup_line_e4"),
+    )
+    gp = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_wlen_e2").between(300, 1000)
+        & (F.col("symbol_e4") <= 1000)
+        & (F.col("alpha_e4") >= 8000)
+        & (F.col("bullet_e4") <= 9000)
+        & (F.col("ellipsis_e4") <= 3000)
+        & (F.col("dup_line_e4") <= 3000)
+    )
+    return s.withColumn(
+        "gopher_pass", F.when(gp, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+    )
+
+
+# --- alpha-temperature domain mixing ------------------------------------------------
+# Training mixes re-weight sources by count^alpha (alpha < 1 up-weights
+# small domains — the multilingual-sampling trick). Quotas are computed in
+# INTEGER arithmetic (weights pre-quantized to e3) so floor() can never
+# flip on a float-sum ulp, and membership is a deterministic md5-ranked
+# prefix per source. Scale: source stats are one tiny agg; the rank window
+# partitions by source (parallelism = #domains; at web scale each domain is
+# further hash-sharded before ranking, same device as pipe_pack_hashed).
+
+_MIX_ALPHA_SQL = "CAST(round(sqrt(CAST(c AS DOUBLE)) * 1000, 0) AS BIGINT)"
+_MIX_TARGET_NUM, _MIX_TARGET_DEN = 3, 5  # keep 60% of the corpus overall
+
+
+@register(
+    "pipe_mix_domains",
+    f"""
+WITH c AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+), w AS (
+  SELECT source, c, {_MIX_ALPHA_SQL} AS w_e3 FROM c
+), tot AS (
+  SELECT sum(w_e3) AS sw, sum(c) AS n FROM w
+), q AS (
+  SELECT source,
+    (w_e3 * (tot.n * {_MIX_TARGET_NUM} // {_MIX_TARGET_DEN})) // tot.sw
+      AS quota
+  FROM w CROSS JOIN tot
+), r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+""",
+)
+def q_pipe_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count^0.5 temperature mixing: integer quotas per source, md5-ranked
+    deterministic membership. See block comment for the integer-quota
+    device and the scale notes."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    w = c.select(
+        "source", "c",
+        F.round(F.sqrt(F.col("c").cast("double")) * 1000, 0)
+        .cast("bigint").alias("w_e3"),
+    )
+    tot = w.agg(F.sum("w_e3").alias("sw"), F.sum("c").alias("n"))
+    q = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                f"(w_e3 * ((n * {_MIX_TARGET_NUM}) div {_MIX_TARGET_DEN}))"
+                f" div sw"
+            ).alias("quota"),
+        )
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "doc_id", "source", F.row_number().over(rw).alias("rk")
+    )
+    return (
+        r.join(F.broadcast(q), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# --- deterministic seeded shuffle + shard assignment --------------------------------
+# Training-order materialization: every doc gets a seeded pseudo-random key
+# (md5 of seed:doc_id), a shard (two key bytes mod P — parallel, stateless)
+# and a position within its shard (sort by key inside the shard only).
+# This is the standard distributed global shuffle: no total order, no
+# single-partition window; parallelism = P and each shard is one output
+# file's worth of work. Re-running with the same seed reproduces the exact
+# order on any cluster size.
+
+_SHUF_SEED = "shuf42:"
+_SHUF_P = 8
+
+
+@register(
+    "pipe_shuffle_shard",
+    f"""
+WITH k AS (
+  SELECT doc_id, md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+)
+SELECT doc_id,
+  CAST((ascii(substr(key, 1, 1)) * 256 + ascii(substr(key, 2, 1)))
+    % {_SHUF_P} AS BIGINT) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY (ascii(substr(key, 1, 1)) * 256
+      + ascii(substr(key, 2, 1))) % {_SHUF_P}
+    ORDER BY key, doc_id) AS BIGINT) AS pos
+FROM k
+""",
+)
+def q_pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle: md5 key -> shard (mod P) ->
+    within-shard position. Never a total order; see block comment."""
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string")))
+    k = d.select("doc_id", key.alias("key"))
+    shard = (
+        (F.ascii(F.substring("key", 1, 1)) * 256
+         + F.ascii(F.substring("key", 2, 1))) % _SHUF_P
+    ).cast("bigint")
+    k = k.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return k.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+# --- product-quantization ANN -------------------------------------------------------
+# PQ completes the ANN family (brute/LSH/multi-probe/IVF already graded):
+# vectors are split into M subvectors, each quantized to one of KS codebook
+# entries (here the deterministic skeleton codebook = subvectors of the
+# first KS vectors, same seeding device as sim_ann_ivf; ivf_train_centroids
+# shows the trained path for coarse quantizers). Search is asymmetric
+# distance (ADC): per-(subspace, code) probe distances are a KS*M lookup
+# table, a doc's approx distance is the integer sum of its M table entries.
+# Per-cell distances are quantized to e6 BEFORE the sum — exact parity.
+# Scale: codes are M bytes per vector (64x compression at D=64 float32);
+# the LUT is broadcast; scoring is a map-only pass + top-k.
+
+_PQ_M = 8       # subvectors
+_PQ_DS = 8      # dims per subvector (embeddings are D=64)
+_PQ_KS = 4      # codebook entries per subspace
+
+
+@register(
+    "sim_ann_pq",
+    f"""
+WITH sub AS (
+  SELECT vec_id, label, m.m,
+    (embedding)[m.m * {_PQ_DS} + 1 : m.m * {_PQ_DS} + {_PQ_DS}] AS sv
+  FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+), cb AS (
+  SELECT vec_id AS code_id, m, sv AS cvec FROM sub WHERE vec_id < {_PQ_KS}
+), enc AS (
+  SELECT s.vec_id, s.label, s.m,
+    CAST(min(CAST(round({_L2_SQL.format(v='s.sv', c='c.cvec')} * 1000000, 0)
+      AS BIGINT) * {_PQ_KS} + c.code_id) % {_PQ_KS} AS BIGINT) AS code
+  FROM sub s JOIN cb c ON s.m = c.m
+  GROUP BY s.vec_id, s.label, s.m
+), lut AS (
+  SELECT c.m, c.code_id,
+    CAST(round({_L2_SQL.format(v='p.sv', c='c.cvec')} * 1000000, 0)
+      AS BIGINT) AS pd_e6
+  FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) p ON c.m = p.m
+)
+SELECT e.vec_id, max(e.label) AS label,
+  CAST(sum(l.pd_e6) AS BIGINT) AS adc_e6
+FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code_id
+WHERE e.vec_id <> 0
+GROUP BY e.vec_id
+ORDER BY adc_e6 ASC, e.vec_id
+LIMIT 10
+""",
+)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: deterministic skeleton codebooks -> per-subspace argmin codes
+    (quantized scalar key, same device as sim_ann_ivf) -> broadcast ADC
+    lookup table -> integer-summed approx distance top-10."""
+    e = t(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id", "label",
+        F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id", "label", "m",
+        F.expr(f"slice(embedding, m * {_PQ_DS} + 1, {_PQ_DS})").alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_KS).select(
+        F.col("vec_id").alias("code_id"), "m", F.col("sv").alias("cvec")
+    )
+    key = (
+        F.round(
+            F.expr(_L2_SPARK.format(v="sv", c="cvec")) * 1000000, 0
+        ).cast("bigint") * _PQ_KS + F.col("code_id")
+    )
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("_k", key)
+        .groupBy("vec_id", "label", "m")
+        .agg(F.min("_k").alias("_mk"))
+        .select(
+            "vec_id", "label", "m",
+            (F.col("_mk") % _PQ_KS).cast("bigint").alias("code"),
+        )
+    )
+    probe = sub.filter(F.col("vec_id") == 0).select(
+        F.col("m").alias("pm"), F.col("sv").alias("psv")
+    )
+    lut = (
+        cb.join(F.broadcast(probe), F.col("m") == F.col("pm"))
+        .select(
+            "m", "code_id",
+            F.round(
+                F.expr(_L2_SPARK.format(v="psv", c="cvec")) * 1000000, 0
+            ).cast("bigint").alias("pd_e6"),
+        )
+    )
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(lut),
+            (enc["m"] == lut["m"]) & (enc["code"] == lut["code_id"]),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("label").alias("label"),
+            F.sum("pd_e6").alias("adc_e6"),
+        )
+        .orderBy(F.col("adc_e6").asc(), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,352 @@
+"""Semantic tests for queries_corpusml (block-2 corpus operators): each
+query is run through its REAL graded path (a crafted ``documents.parquet``
+/ ``embeddings.parquet`` in a tmp sf_dir) and compared against an
+independent pure-Python/numpy reference implementation — not against the
+DuckDB oracle (tests/test_oracle.py already replicates the driver gate for
+that at sf0.01)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_spark.queries import QUERIES
+import ocr_spark.queries_corpusml as cm  # registers; constants
+
+
+def _write_documents(tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_embeddings(tmp_path, vecs):
+    """vecs: list of (vec_id, list[float32], label)."""
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+# --- exact-substring duplicate spans -------------------------------------------------
+
+
+def _ref_substr_spans(texts: dict[int, str], k: int) -> set[tuple]:
+    """Independent reference: brute-force k-gram counting + island scan.
+    Returns {(doc_id, span_start, span_len, n_grams)} with 1-based starts."""
+    counts: dict[str, int] = {}
+    for text in texts.values():
+        for i in range(len(text) - k + 1):
+            g = text[i : i + k]
+            counts[g] = counts.get(g, 0) + 1
+    out = set()
+    for doc_id, text in texts.items():
+        dup_pos = [
+            i + 1
+            for i in range(len(text) - k + 1)
+            if counts[text[i : i + k]] >= 2
+        ]
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        n = 1
+        for p in dup_pos[1:]:
+            if p == prev + 1:
+                prev = p
+                n += 1
+            else:
+                out.add((doc_id, start, prev - start + k, n))
+                start = prev = p
+                n = 1
+        out.add((doc_id, start, prev - start + k, n))
+    return out
+
+
+def test_substr_spans_cross_doc_exact_boundaries(spark, tmp_path):
+    # doc 0 and doc 1 share exactly one 40-char run; the surrounding text
+    # uses per-doc unique alphabets so no other 16-gram can repeat.
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-DOG-0123"  # 39 chars
+    assert len(shared) == 39
+    a = "abcdefghijklmnopqrstuvwxyz" * 2
+    b = "zyxwvutsrqponmlkjihgfedcba"
+    c = "0987654321!@#$%^&*()_+=-[]{};:,.<>?/|" * 2
+    docs = {
+        0: a + shared + b,
+        1: c + shared,
+        2: "unique-text-with-no-repeats-at-all",
+    }
+    sf = _write_documents(
+        tmp_path, [(i, t, "en", "s") for i, t in docs.items()]
+    )
+    got = {
+        tuple(r)
+        for r in QUERIES["dedup_substr_spans"](spark, sf).collect()
+    }
+    ref = _ref_substr_spans(docs, cm.SUBSTR_K)
+    assert got == ref
+    # the shared run is found at its exact boundaries in both docs
+    k = cm.SUBSTR_K
+    expect0 = (0, len(a) + 1, len(shared), len(shared) - k + 1)
+    expect1 = (1, len(c) + 1, len(shared), len(shared) - k + 1)
+    assert expect0 in got and expect1 in got
+    assert not any(r[0] == 2 for r in got)
+
+
+def test_substr_spans_random_corpus_matches_reference(spark, tmp_path):
+    rng = random.Random(42)
+    # small alphabet + short words => plenty of genuine duplicate runs
+    words = ["aa", "bb", "ab", "ba", "abc"]
+    docs = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(0, 40)))
+        for i in range(30)
+    }
+    sf = _write_documents(
+        tmp_path, [(i, t, "en", "s") for i, t in docs.items()]
+    )
+    got = {
+        tuple(r)
+        for r in QUERIES["dedup_substr_spans"](spark, sf).collect()
+    }
+    assert got == _ref_substr_spans(docs, cm.SUBSTR_K)
+    assert got  # the corpus really exercises the operator
+
+
+# --- perplexity proxy ----------------------------------------------------------------
+
+
+def test_ppl_proxy_matches_reference(spark, tmp_path):
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the dog sat",
+        2: "rare unique tokens here",
+        3: "the the the",
+    }
+    sf = _write_documents(
+        tmp_path, [(i, t, "en", "s") for i, t in docs.items()]
+    )
+    counts: dict[str, int] = {}
+    for t_ in docs.values():
+        for w in t_.lower().split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    n = sum(counts.values())
+
+    def half_up(x: float) -> int:
+        return int(math.floor(x + 0.5))
+
+    ref = {}
+    for i, t_ in docs.items():
+        ws = [w for w in t_.lower().split(" ") if w]
+        ref[i] = (
+            len(ws),
+            sum(half_up(math.log(n / counts[w]) * 10000) for w in ws),
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["sum_nll_e4"])
+        for r in QUERIES["text_ppl_proxy"](spark, sf).collect()
+    }
+    assert got == ref
+    # common-word doc scores lower (more likely) than rare-word doc
+    assert got[3][1] / got[3][0] < got[2][1] / got[2][0]
+
+
+# --- Gopher rules --------------------------------------------------------------------
+
+
+def test_gopher_rules_flags(spark, tmp_path):
+    good = " ".join(f"word{i % 7}x" for i in range(60))
+    short = "too short"
+    bullets = "\n".join(f"- item {i}" for i in range(60))
+    symbols = " ".join("#tag" for _ in range(60))
+    dup_lines = "\n".join(["same line here"] * 50 + [f"w{i}" for i in range(10)])
+    rows = [
+        (0, good, "en", "s"),
+        (1, short, "en", "s"),
+        (2, bullets, "en", "s"),
+        (3, symbols, "en", "s"),
+        (4, dup_lines, "en", "s"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["text_gopher_rules"](spark, sf).collect()
+    }
+    assert got[0]["gopher_pass"] == 1
+    assert got[1]["gopher_pass"] == 0 and got[1]["n_words"] == 2
+    assert got[2]["bullet_e4"] == 10000 and got[2]["gopher_pass"] == 0
+    assert got[3]["symbol_e4"] == 10000 and got[3]["gopher_pass"] == 0
+    assert got[4]["dup_line_e4"] > 3000 and got[4]["gopher_pass"] == 0
+    # metric spot-checks against hand math
+    assert got[0]["n_words"] == 60
+    assert got[0]["alpha_e4"] == 10000
+
+
+# --- domain mixing -------------------------------------------------------------------
+
+
+def test_mix_domains_quota_math(spark, tmp_path):
+    rows = []
+    did = 0
+    for src, cnt in (("big", 90), ("small", 10)):
+        for _ in range(cnt):
+            rows.append((did, f"text {did}", "en", src))
+            did += 1
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["pipe_mix_domains"](spark, sf).collect()
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    # integer quota reference (same arithmetic, independent code)
+    w_big = round(math.sqrt(90) * 1000)
+    w_small = round(math.sqrt(10) * 1000)
+    target = (100 * 3) // 5
+    sw = w_big + w_small
+    # the rank filter caps each quota at the docs actually available
+    assert kept["big"] == min((w_big * target) // sw, 90)
+    assert kept["small"] == min((w_small * target) // sw, 10)
+    # and the small domain really was over-allocated then capped
+    assert (w_small * target) // sw > 10
+    # alpha=0.5 up-weights the small domain vs proportional sampling
+    assert kept["small"] / 10 > kept["big"] / 90
+    # membership is the md5-ranked prefix: deterministic across runs
+    out2 = QUERIES["pipe_mix_domains"](spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# --- seeded shuffle + shard ----------------------------------------------------------
+
+
+def test_shuffle_shard_contract(spark, tmp_path):
+    rows = [(i, f"doc {i}", "en", f"s{i % 3}") for i in range(200)]
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["pipe_shuffle_shard"](spark, sf).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < cm._SHUF_P
+        by_shard.setdefault(r["shard"], []).append(r)
+    # positions are 1..n contiguous within each shard
+    for recs in by_shard.values():
+        assert sorted(r["pos"] for r in recs) == list(
+            range(1, len(recs) + 1)
+        )
+    # every shard populated (200 docs over 8 shards: p(empty) ~ 8*(7/8)^200)
+    assert len(by_shard) == cm._SHUF_P
+    # matches an independent md5 reference: shard and within-shard order
+    ref = []
+    for i in range(200):
+        key = hashlib.md5(f"shuf42:{i}".encode()).hexdigest()
+        shard = (ord(key[0]) * 256 + ord(key[1])) % cm._SHUF_P
+        ref.append((shard, key, i))
+    ref_pos = {}
+    for shard in range(cm._SHUF_P):
+        members = sorted(x for x in ref if x[0] == shard)
+        for pos, (_, _, i) in enumerate(members, start=1):
+            ref_pos[i] = (shard, pos)
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    assert got == ref_pos
+
+
+# --- product-quantization ANN --------------------------------------------------------
+
+
+def _ref_pq_topk(vecs: dict[int, list[float]]):
+    """Independent PQ reference with the exact quantized-argmin/e6-LUT
+    arithmetic (sequential left-fold float64 sums, like the Spark HOF)."""
+    m_, ds, ks = cm._PQ_M, cm._PQ_DS, cm._PQ_KS
+
+    def l2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + (float(x) - float(y)) * (float(x) - float(y))
+        return s
+
+    def half_up(x):
+        return int(math.floor(x + 0.5))
+
+    def sub(v, m):
+        return v[m * ds : (m + 1) * ds]
+
+    codes = {}
+    for vid, v in vecs.items():
+        codes[vid] = []
+        for m in range(m_):
+            key = min(
+                half_up(l2(sub(v, m), sub(vecs[c], m)) * 1e6) * ks + c
+                for c in range(ks)
+            )
+            codes[vid].append(key % ks)
+    probe = vecs[0]
+    lut = {
+        (m, c): half_up(l2(sub(probe, m), sub(vecs[c], m)) * 1e6)
+        for m in range(m_)
+        for c in range(ks)
+    }
+    adc = {
+        vid: sum(lut[(m, codes[vid][m])] for m in range(m_))
+        for vid in vecs
+        if vid != 0
+    }
+    return sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+
+
+def test_pq_matches_reference(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = {}
+    for vid in range(40):
+        vecs[vid] = [
+            float(x) for x in rng.randn(64).astype(np.float32)
+        ]
+    # vec 25 = probe exactly: its codes equal the probe's, so it lands at
+    # the minimum possible ADC (the probe's own quantization error)
+    vecs[25] = list(vecs[0])
+    sf = _write_embeddings(
+        tmp_path, [(vid, v, f"l{vid % 3}") for vid, v in vecs.items()]
+    )
+    out = QUERIES["sim_ann_pq"](spark, sf).collect()
+    got = [(r["vec_id"], r["adc_e6"]) for r in out]
+    ref = _ref_pq_topk(
+        {vid: [np.float32(x) for x in v] for vid, v in vecs.items()}
+    )
+    assert got == ref
+    assert got[0][0] == 25  # the planted duplicate wins
+
+
+def test_pq_codes_compress(spark, tmp_path):
+    # sanity: ADC distances are nonnegative and the result is exactly 10
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [
+        (vid, [float(x) for x in rng.randn(64).astype(np.float32)], "l")
+        for vid in range(30)
+    ]
+    sf = _write_embeddings(tmp_path, vecs)
+    out = QUERIES["sim_ann_pq"](spark, sf).collect()
+    assert len(out) == 10
+    assert all(r["adc_e6"] >= 0 for r in out)
+    adcs = [r["adc_e6"] for r in out]
+    assert adcs == sorted(adcs)
