@@ -66,9 +66,12 @@ HEADLINE = [
     "sim_ann_ivf_trained",  # training-data: IVF with one trained Lloyd iteration
     # late round-4 corpus block 2
     "dedup_substr_spans",   # training-data: exact-substring duplicate spans
+    "dedup_substr_clean",   # training-data: substring-dedup removal path
     "text_ppl_proxy",       # training-data: corpus-LM perplexity proxy
     "sim_ann_pq",           # training-data: product-quantization ADC ANN
     "pipe_shuffle_shard",   # corpus prep: seeded training-order shuffle
+    "dedup_substr_prod",    # training-data: substring spans at production knobs
+    "text_collocations",    # training-data: PMI bigram collocations
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -373,3 +373,181 @@ def recall_at_k(approx: DataFrame, truth: DataFrame, k: int = 10) -> float:
     n_probes = truth.select("probe_id").distinct().count()
     hits = approx.join(truth, ["probe_id", "vec_id"], "leftsemi").count()
     return round(hits / (n_probes * k), 4) if n_probes else 0.0
+
+
+# --- product quantization ------------------------------------------------
+
+def _pq_argmin_key(ks: int) -> str:
+    """Quantized scalar argmin key over codewords — same device as
+    _argmin_key but modulo the per-subspace codebook size."""
+    return f"CAST(round(_l2 * 1000000, 0) AS BIGINT) * {ks} + code_id"
+
+
+def pq_seed_codebooks(
+    e: DataFrame, m: int = 8, ks: int = 4, dim: int = DIM
+) -> DataFrame:
+    """The untrained skeleton codebooks the registry sim_ann_pq query
+    pins: (m, code_id, cvec) = subvectors of the first ks vectors."""
+    ds = dim // m
+    return (
+        e.where(F.col("vec_id") < ks)
+        .select(
+            F.col("vec_id").alias("code_id"),
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
+            "embedding",
+        )
+        .select(
+            "m", "code_id",
+            F.expr(f"slice(embedding, m * {ds} + 1, {ds})").alias("cvec"),
+        )
+    )
+
+
+def pq_train_codebooks(
+    e: DataFrame,
+    m: int = 8,
+    ks: int = 4,
+    dim: int = DIM,
+    sample_mod: int = 5,
+) -> DataFrame:
+    """Seeded init + ONE Lloyd iteration per subspace, trained in Spark on
+    the deterministic vec_id % sample_mod sample (the same
+    train-on-a-sample shape as ivf_train_centroids — at 10^12 vectors
+    training never scans the full table). Per-(m, code, dim) means are one
+    shuffle over m*ks*ds tiny groups; empty codewords keep their seed."""
+    ds = dim // m
+    seeds = pq_seed_codebooks(e, m, ks, dim)
+    sample_sub = (
+        e.where(F.col("vec_id") % sample_mod == 0)
+        .select(
+            "vec_id",
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
+            "embedding",
+        )
+        .select(
+            "vec_id", "m",
+            F.expr(f"slice(embedding, m * {ds} + 1, {ds})").alias("sv"),
+        )
+    )
+    assigned = (
+        sample_sub.join(F.broadcast(seeds), "m")
+        .withColumn("_l2", F.expr(_L2.format(v="sv", c="cvec")))
+        .groupBy("vec_id", "m")
+        .agg(
+            (F.min(F.expr(_pq_argmin_key(ks))) % ks).alias("code"),
+            F.first("sv").alias("sv"),
+        )
+    )
+    trained = (
+        assigned.select("m", "code", F.posexplode("sv").alias("d", "v"))
+        .groupBy("m", "code", "d")
+        .agg(F.avg("v").alias("mu"))
+        .groupBy("m", "code")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, mu))),"
+                " s -> CAST(s.mu AS FLOAT))"
+            ).alias("tvec")
+        )
+    )
+    return (
+        seeds.join(
+            trained,
+            (seeds.m == trained.m) & (seeds.code_id == trained.code),
+            "left",
+        )
+        .select(
+            seeds.m, seeds.code_id,
+            F.coalesce(trained.tvec, seeds.cvec).alias("cvec"),
+        )
+    )
+
+
+def pq_codes(
+    e: DataFrame, cb: DataFrame, m: int = 8, ks: int = 4, dim: int = DIM
+) -> DataFrame:
+    """(vec_id, m, code): every vector encoded against the codebooks —
+    m bytes per vector at ks <= 256 (the 100 TB story: a D=64 float32
+    corpus compresses 32x; the scoring pass never touches floats again)."""
+    ds = dim // m
+    sub = e.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id", "m",
+        F.expr(f"slice(embedding, m * {ds} + 1, {ds})").alias("sv"),
+    )
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("_l2", F.expr(_L2.format(v="sv", c="cvec")))
+        .groupBy("vec_id", "m")
+        .agg((F.min(F.expr(_pq_argmin_key(ks))) % ks).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    e: DataFrame,
+    cb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 4,
+    dim: int = DIM,
+) -> DataFrame:
+    """(probe_id, vec_id, adc_e6) per-probe top-k by asymmetric distance:
+    probe-to-codeword distances form a broadcast (probe, m, code) lookup
+    table of integers (e6-quantized), a vector's approx distance is the
+    integer sum of its m code entries. Ranking is a per-probe window."""
+    ds = dim // m
+    psub = probes.select(
+        "probe_id",
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
+        "probe",
+    ).select(
+        "probe_id", "m",
+        F.expr(f"slice(probe, m * {ds} + 1, {ds})").alias("psv"),
+    )
+    lut = (
+        cb.join(F.broadcast(psub), "m")
+        .select(
+            "probe_id", "m", F.col("code_id").alias("code"),
+            F.round(
+                F.expr(_L2.format(v="psv", c="cvec")) * 1000000, 0
+            ).cast("bigint").alias("pd_e6"),
+        )
+    )
+    codes = pq_codes(e, cb, m, ks, dim)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pd_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_e6").asc(), "vec_id"
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def pq_rerank_topk(
+    e: DataFrame,
+    cb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 8,
+    ks: int = 4,
+    dim: int = DIM,
+) -> DataFrame:
+    """The production PQ pattern: ADC shortlist (cheap, codes-only) then
+    EXACT cosine re-rank of the shortlist — candidate fraction
+    shortlist/(n-1) with brute-force-quality scores inside it."""
+    cand = pq_adc_topk(e, cb, probes, shortlist, m, ks, dim).select(
+        "probe_id", "vec_id"
+    )
+    return score_topk(e, probes, cand, k)

@@ -313,6 +313,8 @@ def funnel_stages(
     persist: bool = False,
     th: QualityThresholds = DOC_THRESHOLDS,
     full_cc: bool = False,
+    substr_clean: bool = False,
+    substr_k: int = 16,
 ) -> dict[str, DataFrame]:
     """The full stage chain as an ordered dict of survivor DataFrames.
     ``docs`` with id % eval_mod == 0 form the held-out eval split (screened
@@ -322,7 +324,10 @@ def funnel_stages(
     production-job setting; the oracle query leaves the DAG fully lazy so
     both engines evaluate the same expressions. With ``full_cc=True`` the
     near-dup stage is EAGER (see near_keepers): this call itself runs the
-    full dedup fixpoint before returning."""
+    full dedup fixpoint before returning. ``substr_clean=True`` inserts a
+    within-doc exact-substring deletion stage ("4b_substr") between
+    near-dedup and the contamination screen (keep-first-occurrence rule,
+    functions/substr.substr_dedup_clean)."""
     train = docs.filter(F.col(id_col) % eval_mod != 0)
     ev = docs.filter(F.col(id_col) % eval_mod == 0)
     q = quality_flags(train, text_col, id_col, th).filter(
@@ -334,21 +339,44 @@ def funnel_stages(
     n = near_keepers(e, text_col, id_col, num_perms, bands, full_cc=full_cc)
     if persist:
         n = n.persist()
+    sub = None
+    if substr_clean:
+        # within-doc surgery AFTER doc-level near-dedup (the standard
+        # order: near-dup drops whole docs cheaply first, then the
+        # substring pass deletes every remaining duplicated >=k-char run
+        # except its corpus-first occurrence — functions/substr.py)
+        from ocr_spark.functions.substr import substr_dedup_clean
+
+        cleaned = substr_dedup_clean(
+            n, k=substr_k, id_col=id_col, text_col=text_col
+        )
+        sub = n.drop(text_col).join(
+            cleaned.select(
+                id_col, F.col("clean_text").alias(text_col)
+            ),
+            id_col,
+        )
+        if persist:
+            sub = sub.persist()
+    after_dedup = sub if sub is not None else n
     c = clean_of_contamination(
-        n, eval_ngram_set(ev, text_col), text_col, id_col
+        after_dedup, eval_ngram_set(ev, text_col), text_col, id_col
     )
     if persist:
         c = c.persist()
     s = sample_stratified(c, id_col, lang_col)
-    return {
+    out = {
         "0_input": docs,
         "1_train": train,
         "2_quality": q,
         "3_exact": e,
         "4_near": n,
-        "5_clean": c,
-        "6_sampled": s,
     }
+    if sub is not None:
+        out["4b_substr"] = sub
+    out["5_clean"] = c
+    out["6_sampled"] = s
+    return out
 
 
 def funnel_report(stages: dict[str, DataFrame]) -> DataFrame:

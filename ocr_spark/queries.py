@@ -683,9 +683,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      DuckDB value-hash oracle, so the first hash grading must land;
 #   5. anything newly registered in r04 (lands in the head automatically):
 #      stream_dedup_cc, sim_ann_ivf_trained, pipe_pack_hashed, then the
-#      queries_corpusml block (dedup_substr_spans, text_ppl_proxy,
-#      text_gopher_rules, pipe_mix_domains, pipe_shuffle_shard,
-#      sim_ann_pq) — head total 44, so 6 tail entries get a bonus regrade;
+#      queries_corpusml block (dedup_substr_spans, dedup_substr_clean,
+#      dedup_substr_prod, text_ppl_proxy, text_gopher_rules,
+#      text_collocations, pipe_mix_domains, pipe_shuffle_shard,
+#      sim_ann_pq) — head 47, 3 tail bonus regrades;
 #   6. everything r03-graded goes to the tail list.
 #
 # ROUND-5 ROTATION PLAN (do this at the start of r05): the entries past

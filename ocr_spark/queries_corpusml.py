@@ -41,10 +41,12 @@ _WORDS_SQL = "list_filter(string_split({col}, ' '), x -> x != '')"
 # No doc-doc pairs are ever materialized, so there is no quadratic anywhere:
 # a gram shared by a million docs costs one counter row, and the join back
 # to positions is per-position (each position matches exactly one gram row).
-# Production knobs (documented, not needed at test scale): stride > 1 on
-# the position generator (k/2 finds every span ≥ 1.5k at half the index
-# size) and a document-frequency cap that routes stop-gram rows (boilerplate
-# shared by ~every page) to a bloom-filter side channel instead of the join.
+# Production knobs (implemented in functions/substr.py, exercised by
+# tests/test_corpusml.py): content-keyed gram sampling (md5 % sample_mod —
+# winnowing-style; a positional stride would miss phase-misaligned
+# cross-doc copies, which the tests demonstrate the content key survives)
+# and a document-frequency cap (max_df) that drops stop-grams (boilerplate
+# shared by ~every page) from the span output.
 
 SUBSTR_K = 16  # char k-gram width; duplicated spans are maximal runs >= K
 
@@ -81,48 +83,17 @@ FROM isl GROUP BY doc_id, island
 )
 def q_dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans: every maximal run of characters that
-    occurs >= 2 times corpus-wide, as (doc_id, span_start, span_len). See
-    the block comment above for the scale analysis (linear index, two
-    shuffles, zero doc-doc pairs)."""
-    d = t(spark, sf_dir, "documents").filter(
-        F.length("text") >= SUBSTR_K
+    occurs >= 2 times corpus-wide, as (doc_id, span_start, span_len). The
+    implementation (with the production sampling / stop-gram-cap knobs) lives
+    in functions/substr.substr_dup_spans; this entry pins the frozen oracle
+    parameters. See the block comment above for the scale analysis (linear
+    index, two shuffles, zero doc-doc pairs)."""
+    from ocr_spark.functions.substr import substr_dup_spans
+
+    return substr_dup_spans(
+        t(spark, sf_dir, "documents"),
+        k=SUBSTR_K, sample_mod=1, min_freq=2, max_df=None,
     )
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.expr(
-            f"explode(sequence(1, length(text) - {SUBSTR_K} + 1))"
-        ).alias("p"),
-    )
-    grams = pos.select(
-        "doc_id", "p",
-        F.md5(F.expr(f"substring(text, p, {SUBSTR_K})")).alias("g"),
-    )
-    dupg = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("g")
-    )
-    hits = grams.join(dupg, "g").select("doc_id", "p")
-    w = Window.partitionBy("doc_id").orderBy("p")
-    brk = hits.withColumn(
-        "b",
-        F.when(F.col("p") - F.lag("p").over(w) == 1, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    )
-    isl = brk.withColumn(
-        "island",
-        F.sum("b").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("p").cast("bigint").alias("span_start"),
-        (F.max("p") - F.min("p") + SUBSTR_K).cast("bigint").alias("span_len"),
-        F.count(F.lit(1)).alias("n_grams"),
-    ).select("doc_id", "span_start", "span_len", "n_grams")
 
 
 # --- CCNet-style perplexity-proxy quality score -------------------------------------
@@ -512,4 +483,253 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("adc_e6").asc(), "vec_id")
         .limit(10)
+    )
+
+
+# --- exact-substring dedup: the removal path ----------------------------------------
+# Spans are the diagnostic; the corpus ACTION is deletion with the
+# Lee-et-al keep-one-copy rule: every duplicated k-gram occurrence is
+# removable except the corpus-first one (min (doc_id, position), packed
+# into one scalar so DuckDB picks the identical winner). Removable
+# positions merge into disjoint intervals (gap <= k overlaps or abuts) and
+# each doc is reassembled from its kept segments — Spark folds a sorted
+# interval array with a JVM HOF; the oracle rebuilds the same segments
+# with lag() + ordered string_agg.
+
+_SUBSTR_CLEAN_SQL = None  # built below (needs POS_BASE)
+
+
+def _substr_clean_oracle() -> str:
+    from ocr_spark.functions.substr import POS_BASE
+
+    k = SUBSTR_K
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - {k} + 2)) AS p
+  FROM documents WHERE length(text) >= {k}
+), grams AS (
+  SELECT doc_id, p, md5(substr(text, p, {k})) AS g FROM pos
+), stats AS (
+  SELECT g, count(*) AS n, min(doc_id * {POS_BASE} + p) AS wkey
+  FROM grams GROUP BY g
+), removable AS (
+  SELECT gr.doc_id, gr.p
+  FROM grams gr JOIN stats s USING (g)
+  WHERE s.n >= 2 AND gr.doc_id * {POS_BASE} + gr.p <> s.wkey
+), brk AS (
+  SELECT doc_id, p,
+    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {k}
+         THEN 0 ELSE 1 END AS b
+  FROM removable
+), isl AS (
+  SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+), iv AS (
+  SELECT doc_id, min(p) AS s, max(p) + {k} AS e
+  FROM isl GROUP BY doc_id, island
+), pieces AS (
+  SELECT doc_id, s AS ord,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ps,
+    s AS pe
+  FROM iv
+  UNION ALL
+  SELECT doc_id, 9223372036854775807 AS ord, max(e) AS ps,
+    9223372036854775807 AS pe
+  FROM iv GROUP BY doc_id
+), rebuilt AS (
+  SELECT p.doc_id,
+    string_agg(substr(d.text, CAST(p.ps AS INT),
+      CAST(least(p.pe, length(d.text) + 1) - p.ps AS INT)), ''
+      ORDER BY p.ord) AS clean_text
+  FROM pieces p JOIN documents d USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  coalesce(r.clean_text, d.text) AS clean_text,
+  CAST(length(d.text) - length(coalesce(r.clean_text, d.text)) AS BIGINT)
+    AS removed_chars
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus under exact-substring dedup (keep the corpus-first
+    occurrence of every duplicated 16-gram run, delete the rest). Scale
+    shape = substr_dup_spans plus one per-gram winner aggregate and a
+    per-doc sorted-interval fold — still linear, still zero doc-doc
+    pairs."""
+    from ocr_spark.functions.substr import substr_dedup_clean
+
+    return substr_dedup_clean(
+        t(spark, sf_dir, "documents"), k=SUBSTR_K, min_freq=2
+    )
+
+
+def _register_substr_clean() -> None:
+    register("dedup_substr_clean", _substr_clean_oracle())(
+        q_dedup_substr_clean
+    )
+
+
+_register_substr_clean()
+
+
+# --- substring dedup at the production knobs ----------------------------------------
+# Grades functions/substr.py's two 100-TB knobs end-to-end: content-keyed
+# gram sampling at 1/4 rate (md5-derived — phase-independent, so cross-doc
+# copies at different offsets still collide) and the stop-gram
+# document-frequency cap. The oracle mirrors the sampling predicate via
+# DuckDB's hex-literal cast and the gap-merge island rule (gap <= 2k+mod).
+
+_SUBSTR_PROD_MOD = 4
+_SUBSTR_PROD_MAXDF = 64
+_SUBSTR_PROD_GAP = 2 * SUBSTR_K + _SUBSTR_PROD_MOD
+
+
+@register(
+    "dedup_substr_prod",
+    f"""
+WITH pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, length(text) - {SUBSTR_K} + 2)) AS p
+  FROM documents WHERE length(text) >= {SUBSTR_K}
+), grams AS (
+  SELECT doc_id, p, md5(substr(text, p, {SUBSTR_K})) AS g FROM pos
+), sampled AS (
+  SELECT doc_id, p, g FROM grams
+  WHERE CAST('0x' || substr(g, 1, 8) AS BIGINT) % {_SUBSTR_PROD_MOD} = 0
+), dupg AS (
+  SELECT g FROM sampled GROUP BY g
+  HAVING count(*) >= 2 AND count(*) <= {_SUBSTR_PROD_MAXDF}
+), hits AS (
+  SELECT doc_id, p FROM sampled JOIN dupg USING (g)
+), brk AS (
+  SELECT doc_id, p,
+    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+           <= {_SUBSTR_PROD_GAP}
+         THEN 0 ELSE 1 END AS b
+  FROM hits
+), isl AS (
+  SELECT doc_id, p,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+  CAST(max(p) - min(p) + {SUBSTR_K} AS BIGINT) AS span_len,
+  CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+""",
+)
+def q_dedup_substr_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring duplicate spans at the production settings: 1/4
+    content-keyed gram sampling + document-frequency cap 64. Same linear
+    plan as dedup_substr_spans with two extra Filters."""
+    from ocr_spark.functions.substr import substr_dup_spans
+
+    return substr_dup_spans(
+        t(spark, sf_dir, "documents"),
+        k=SUBSTR_K,
+        sample_mod=_SUBSTR_PROD_MOD,
+        min_freq=2,
+        max_df=_SUBSTR_PROD_MAXDF,
+    )
+
+
+# --- bigram collocations by PMI ------------------------------------------------------
+# Corpus-level collocation mining (the classic PMI ranking): bigram counts
+# vs unigram expectations, integer-quantized log-ratio, top-20. Scale: one
+# groupBy over bigrams + two broadcast joins against the (Zipf-bounded)
+# unigram table; the final top-k is TakeOrderedAndProject. Every count is
+# exact-integer; the single float op is one ln() per surviving bigram with
+# an identical expression tree in both engines.
+
+_COLL_MIN_COUNT = 5
+
+
+@register(
+    "text_collocations",
+    f"""
+WITH m AS (
+  SELECT doc_id, {_WORDS_SQL.format(col='lower(text)')} AS ws FROM documents
+), wlist AS (
+  SELECT doc_id, unnest(ws) AS w FROM m
+), uni AS (
+  SELECT w, count(*) AS c FROM wlist GROUP BY w
+), nw AS (
+  SELECT sum(c) AS n FROM uni
+), bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM m WHERE len(ws) >= 2)
+), bgc AS (
+  SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY w1, w2
+), nb AS (
+  SELECT sum(cxy) AS n FROM bgc
+)
+SELECT b.w1, b.w2, CAST(b.cxy AS BIGINT) AS cxy,
+  CAST(round(ln(
+    (CAST(b.cxy AS DOUBLE) * CAST(nw.n AS DOUBLE) * CAST(nw.n AS DOUBLE))
+    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(nb.n AS DOUBLE))
+  ) * 10000, 0) AS BIGINT) AS pmi_e4
+FROM bgc b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN nw CROSS JOIN nb
+WHERE b.cxy >= {_COLL_MIN_COUNT}
+ORDER BY pmi_e4 DESC, b.w1, b.w2
+LIMIT 20
+""",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    (count >= {_COLL_MIN_COUNT}). See block comment for the scale shape."""
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.expr(_WORDS_SPARK.format(col="lower(text)")).alias("ws"),
+    )
+    wlist = m.select("doc_id", F.explode("ws").alias("w"))
+    uni = wlist.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nw = uni.agg(F.sum("c").alias("n"))
+    bg = (
+        m.filter(F.size("ws") >= 2)
+        .select(
+            "ws",
+            F.explode(F.expr("sequence(1, size(ws) - 1)")).alias("i"),
+        )
+        .select(
+            F.expr("element_at(ws, i)").alias("w1"),
+            F.expr("element_at(ws, i + 1)").alias("w2"),
+        )
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    nb = bgc.agg(F.sum("cxy").alias("nb_n"))
+    pmi = F.round(
+        F.log(
+            (F.col("cxy").cast("double")
+             * F.col("n").cast("double") * F.col("n").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double")
+               * F.col("nb_n").cast("double"))
+        ) * 10000,
+        0,
+    ).cast("bigint")
+    return (
+        bgc.filter(F.col("cxy") >= _COLL_MIN_COUNT)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c1"))), "w1"
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c2"))), "w2"
+        )
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", F.col("cxy").cast("bigint").alias("cxy"),
+            pmi.alias("pmi_e4"),
+        )
+        .orderBy(F.col("pmi_e4").desc(), "w1", "w2")
+        .limit(20)
     )

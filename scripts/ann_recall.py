@@ -71,6 +71,29 @@ def measure(e, probe_mod: int) -> dict[str, dict]:
     ]:
         cand = ann.ivf_candidates(e, cent, probes, nprobe)
         grade(name, cand, ann.score_topk(e, probes, cand, 10))
+
+    # product quantization: ADC scores EVERY vector (candidate_frac 1.0)
+    # but from m-byte codes + an integer LUT — the win is 32x compression,
+    # not candidate pruning; pq_rerank is the production shortlist+exact
+    # pattern where candidate_frac is the shortlist size.
+    cb_seed = ann.pq_seed_codebooks(e).cache()
+    cb_tr = ann.pq_train_codebooks(e).cache()
+    for cb, name in [(cb_seed, "pq_adc_m8ks4_seeded"),
+                     (cb_tr, "pq_adc_m8ks4_trained")]:
+        settings[name] = {
+            "recall_at_10": ann.recall_at_k(
+                ann.pq_adc_topk(e, cb, probes, 10), truth, 10
+            ),
+            "candidate_frac": 1.0,
+        }
+    for sl in (50, 100):
+        settings[f"pq_rerank{sl}_m8ks4_trained"] = {
+            "recall_at_10": ann.recall_at_k(
+                ann.pq_rerank_topk(e, cb_tr, probes, 10, shortlist=sl),
+                truth, 10,
+            ),
+            "candidate_frac": round(sl / (n_vec - 1), 4),
+        }
     settings["_meta"] = {"n_vectors": n_vec, "n_probes": n_probes}
     return settings
 
@@ -140,6 +163,22 @@ deterministic sample, never a full scan) beats seeded centroids at equal
 nprobe. At 10^12 vectors the same plans hold: bucket/list equi-joins
 (shuffle on the key), broadcast centroid/plane constants, per-probe
 window top-k.
+
+The pq_* rows are product quantization (`pq_seed_codebooks` /
+`pq_train_codebooks` / `pq_adc_topk` / `pq_rerank_topk`; the registry
+`sim_ann_pq` pins the seeded m=8/ks=4 skeleton to its DuckDB oracle): ADC
+scores every vector, so candidate_frac reads 1.0, but the scoring pass
+touches only m-byte codes + a broadcast integer lookup table — a 32x
+bandwidth cut at D=64 float32, which is the PQ win; the rerank row is the
+production pattern (ADC shortlist, exact cosine re-rank) where
+candidate_frac is the shortlist size. ADC ranks by L2 while the truth is
+cosine top-10, so PQ recall also absorbs the metric gap — highest on the
+clustered corpus, like everything else here. The production recall lever
+at fixed code size is SHORTLIST DEPTH (the two rerank rows), not ks:
+measured, going ks=4 -> 16 at m=8 barely moves clustered recall while
+shortlist 50 -> 100 roughly doubles it — with n three orders of magnitude
+larger, the same ~percent-scale shortlist is thousands deep and ks=256
+byte codes are the standard setting.
 
 Why two corpora: the driver's synthetic embeddings are near-isotropic (no
 cluster structure) — the worst case for hyperplane LSH, where buckets are

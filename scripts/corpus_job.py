@@ -8,11 +8,14 @@ Usage (same launch mode as extract_job.py)::
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
         scripts/corpus_job.py <out_dir> [n_pages] [budget] [pages_location] \\
-        [--full-cc]
+        [--full-cc] [--substr-clean]
 
 ``--full-cc`` upgrades near-dedup clustering from the one-round star pass
 to full connected components (fixpoint label propagation over the
-doc–bucket graph, ocr_spark/functions/graph.py).
+doc–bucket graph, ocr_spark/functions/graph.py). ``--substr-clean`` adds a
+within-doc exact-substring deletion stage after near-dedup (keep the
+corpus-first occurrence of every duplicated >=16-char run,
+ocr_spark/functions/substr.py).
 
 With no ``pages_location`` the job generates ``n_pages`` deterministic
 synthetic pages (ocr_spark.gen.corpus_pages — a diversity-controlled
@@ -51,6 +54,7 @@ def run_corpus_job(
     budget: int = PACK_BUDGET_DEFAULT,
     pages_location: str | None = None,
     full_cc: bool = False,
+    substr_clean: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -106,6 +110,10 @@ def run_corpus_job(
         # (fixpoint label propagation, functions/graph.py) instead of the
         # one-round star pass — a few extra linear rounds, no plan blow-up
         full_cc=full_cc,
+        # --substr-clean: within-doc exact-substring deletion after
+        # near-dedup (keep the corpus-first occurrence of every
+        # duplicated >=16-char run; functions/substr.py)
+        substr_clean=substr_clean,
     )
 
     # one pass per funnel stage count; the persisted stages ("3_exact",
@@ -159,6 +167,7 @@ def run_corpus_job(
             "num_perms": PROD_NUM_PERMS,
             "bands": PROD_BANDS,
             "full_cc": full_cc,
+            "substr_clean": substr_clean,
         },
         "stage_sec": stage_sec,
         "wall_sec": round(time.perf_counter() - t0, 3),
@@ -170,8 +179,10 @@ def run_corpus_job(
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--full-cc"]
+    flags = {"--full-cc", "--substr-clean"}
+    argv = [a for a in sys.argv[1:] if a not in flags]
     full_cc = "--full-cc" in sys.argv[1:]
+    substr_clean = "--substr-clean" in sys.argv[1:]
     if not argv:
         print(__doc__)
         sys.exit(2)
@@ -185,7 +196,8 @@ def main() -> None:
     spark = build_session(app_name="ocr-spark-corpus")
     try:
         print(json.dumps(run_corpus_job(
-            spark, out_dir, n_pages, budget, pages_location, full_cc
+            spark, out_dir, n_pages, budget, pages_location, full_cc,
+            substr_clean,
         )))
     finally:
         spark.stop()

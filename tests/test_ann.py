@@ -161,3 +161,70 @@ def test_trained_centroids_shape(emb):
     assert sorted(trained) == sorted(seeded) == list(range(8))
     assert all(len(v) == ann.DIM for v in trained.values())
     assert any(trained[c] != seeded[c] for c in trained)
+
+
+# --- product quantization ------------------------------------------------
+
+
+def test_pq_reproduces_registry_query(spark, emb):
+    """pq_seed_codebooks + pq_adc_topk with probe = vec 0 reproduce the
+    DuckDB-oracled registry entry sim_ann_pq row-for-row."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_corpusml  # noqa: F401  (registers)
+
+    probes = emb.where("vec_id = 0").selectExpr(
+        "vec_id AS probe_id", "embedding AS probe"
+    )
+    cb = ann.pq_seed_codebooks(emb)
+    lib = sorted(
+        (r.vec_id, r.adc_e6)
+        for r in ann.pq_adc_topk(emb, cb, probes, 10).collect()
+    )
+    reg = sorted(
+        (r.vec_id, r.adc_e6)
+        for r in QUERIES["sim_ann_pq"](spark, SF_ORACLE).collect()
+    )
+    assert lib == reg
+
+
+def test_pq_codebook_shapes(emb):
+    """m*ks codewords of dim/m floats each, for seeded AND trained; the
+    Lloyd iteration moves at least one codeword off its seed."""
+    for cb in (ann.pq_seed_codebooks(emb), ann.pq_train_codebooks(emb)):
+        rows = cb.collect()
+        assert len(rows) == 8 * 4
+        assert all(len(r.cvec) == 8 for r in rows)
+    seeded = {(r.m, r.code_id): list(r.cvec)
+              for r in ann.pq_seed_codebooks(emb).collect()}
+    trained = {(r.m, r.code_id): list(r.cvec)
+               for r in ann.pq_train_codebooks(emb).collect()}
+    assert any(seeded[k] != trained[k] for k in seeded)
+
+
+def test_pq_training_and_rerank_buy_recall(emb, probes, truth):
+    """The two PQ levers, measured (deterministic corpus, fixed numbers
+    with margin): one Lloyd iteration per subspace roughly doubles ADC
+    recall on the isotropic table (0.072 -> 0.14 measured), and the
+    production shortlist+exact-rerank pattern beats raw ADC."""
+    cs, ct = ann.pq_seed_codebooks(emb), ann.pq_train_codebooks(emb)
+    r_seed = ann.recall_at_k(ann.pq_adc_topk(emb, cs, probes, 10), truth, 10)
+    r_trained = ann.recall_at_k(ann.pq_adc_topk(emb, ct, probes, 10), truth, 10)
+    r_rerank = ann.recall_at_k(
+        ann.pq_rerank_topk(emb, ct, probes, 10, shortlist=50), truth, 10
+    )
+    assert r_trained >= r_seed + 0.05
+    assert r_rerank >= r_trained + 0.1
+
+
+def test_pq_clustered_rerank_is_exact(spark, clustered):
+    """On the clustered corpus the 50-deep ADC shortlist contains the whole
+    true top-10: rerank recall 1.0 at a 10% candidate fraction (measured,
+    deterministic)."""
+    probes = ann.default_probes(clustered, 20).cache()
+    truth = ann.brute_force_topk(clustered, probes, 10).cache()
+    ct = ann.pq_train_codebooks(clustered)
+    r = ann.recall_at_k(
+        ann.pq_rerank_topk(clustered, ct, probes, 10, shortlist=50),
+        truth, 10,
+    )
+    assert r >= 0.95

@@ -52,27 +52,57 @@ def _write_embeddings(tmp_path, vecs):
 # --- exact-substring duplicate spans -------------------------------------------------
 
 
-def _ref_substr_spans(texts: dict[int, str], k: int) -> set[tuple]:
-    """Independent reference: brute-force k-gram counting + island scan.
-    Returns {(doc_id, span_start, span_len, n_grams)} with 1-based starts."""
+def _ref_substr_spans(
+    texts: dict[int, str],
+    k: int,
+    sample_mod: int = 1,
+    min_freq: int = 2,
+    max_df: int | None = None,
+    max_gap: int | None = None,
+) -> set[tuple]:
+    """Independent reference: brute-force k-gram counting + island scan,
+    with the content-keyed (md5 % sample_mod) sampling and the gap-merge
+    rule mirrored. Returns {(doc_id, span_start, span_len, n_grams)} with
+    1-based starts."""
+    gap = (
+        max_gap
+        if max_gap is not None
+        else (1 if sample_mod == 1 else 2 * k + sample_mod)
+    )
+
+    def sampled(g: str) -> bool:
+        if sample_mod == 1:
+            return True
+        h = hashlib.md5(g.encode()).hexdigest()
+        return int(h[:8], 16) % sample_mod == 0
+
     counts: dict[str, int] = {}
     for text in texts.values():
         for i in range(len(text) - k + 1):
             g = text[i : i + k]
-            counts[g] = counts.get(g, 0) + 1
+            if sampled(g):
+                counts[g] = counts.get(g, 0) + 1
+
+    def dup(g: str) -> bool:
+        return (
+            sampled(g)
+            and counts[g] >= min_freq
+            and (max_df is None or counts[g] <= max_df)
+        )
+
     out = set()
     for doc_id, text in texts.items():
         dup_pos = [
             i + 1
             for i in range(len(text) - k + 1)
-            if counts[text[i : i + k]] >= 2
+            if dup(text[i : i + k])
         ]
         if not dup_pos:
             continue
         start = prev = dup_pos[0]
         n = 1
         for p in dup_pos[1:]:
-            if p == prev + 1:
+            if p - prev <= gap:
                 prev = p
                 n += 1
             else:
@@ -130,6 +160,73 @@ def test_substr_spans_random_corpus_matches_reference(spark, tmp_path):
     }
     assert got == _ref_substr_spans(docs, cm.SUBSTR_K)
     assert got  # the corpus really exercises the operator
+
+
+def _docs_df(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def test_substr_spans_content_sampling_is_phase_independent(spark):
+    """sample_mod s shrinks the index ~s-fold via a CONTENT key (md5 of
+    the gram), so the two copies of a shared run sample identical grams
+    even though they sit at DIFFERENT offsets in their docs — the case a
+    positional stride provably misses. Output equals the sampling-aware
+    reference exactly, and the phase-misaligned shared run is detected in
+    both docs at every tested rate."""
+    from ocr_spark.functions.substr import substr_dup_spans
+
+    rng = random.Random(7)
+    words = ["aa", "bb", "ab", "cab"]
+    docs = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(0, 50)))
+        for i in range(25)
+    }
+    shared = "XSHARED-RUN-THAT-IS-LONG-ENOUGH-TO-SURVIVE-SAMPLING-X"
+    docs[100] = "qwertyuiopzzz" + shared + "poiuytrewq"  # offset 14
+    docs[101] = shared + "mnbvcxz"                       # offset 1
+    for mod in (2, 4, 8):
+        got = {
+            tuple(r)
+            for r in substr_dup_spans(
+                _docs_df(spark, docs), k=16, sample_mod=mod
+            ).collect()
+        }
+        assert got == _ref_substr_spans(docs, 16, sample_mod=mod)
+        # the phase-misaligned shared run is detected in BOTH docs
+        assert any(r[0] == 100 for r in got)
+        assert any(r[0] == 101 for r in got)
+
+
+def test_substr_spans_max_df_drops_stop_grams(spark):
+    """max_df reroutes boilerplate shared by ~every doc out of the span
+    output while genuinely-duplicated rare runs survive."""
+    from ocr_spark.functions.substr import substr_dup_spans
+
+    boiler = "COPYRIGHT-2026-ALL-RIGHTS-RESERVED-FOOTER"
+    rare = "THE-RARE-DUPLICATED-PAYLOAD-SENTENCE"
+    # per-doc unique-letter prefixes: every gram straddling the
+    # prefix|boiler boundary contains the doc's letter, so the only grams
+    # shared across the 20 docs are the pure-boiler ones (count 20)
+    # (lowercase, so no prefix run can self-extend into the boiler text)
+    docs = {i: chr(97 + i) * 16 + boiler for i in range(20)}
+    docs[50] = "aquickpayloadone" + rare
+    docs[51] = rare + "anotherpayloadtw"
+    df = _docs_df(spark, docs)
+    capped = {
+        tuple(r)
+        for r in substr_dup_spans(df, k=16, max_df=5).collect()
+    }
+    assert capped == _ref_substr_spans(docs, 16, max_df=5)
+    # boilerplate docs produce no spans under the cap; the rare dup stays
+    assert not any(r[0] < 20 for r in capped)
+    assert any(r[0] == 50 for r in capped) and any(
+        r[0] == 51 for r in capped
+    )
+    # without the cap the boilerplate dominates the output
+    uncapped = substr_dup_spans(df, k=16).collect()
+    assert sum(1 for r in uncapped if r[0] < 20) == 20
 
 
 # --- perplexity proxy ----------------------------------------------------------------
@@ -350,3 +447,194 @@ def test_pq_codes_compress(spark, tmp_path):
     assert all(r["adc_e6"] >= 0 for r in out)
     adcs = [r["adc_e6"] for r in out]
     assert adcs == sorted(adcs)
+
+
+# --- exact-substring dedup: removal path ---------------------------------------------
+
+
+def _ref_clean(texts: dict[int, str], k: int) -> dict[int, str]:
+    """Independent reference for substr_dedup_clean: per-gram corpus-first
+    winner, removable positions, gap<=k interval merge, segment rebuild."""
+    counts: dict[str, int] = {}
+    winner: dict[str, tuple] = {}
+    for doc_id in sorted(texts):
+        text = texts[doc_id]
+        for i in range(len(text) - k + 1):
+            g = text[i : i + k]
+            counts[g] = counts.get(g, 0) + 1
+            if g not in winner:
+                winner[g] = (doc_id, i + 1)
+    out = {}
+    for doc_id, text in texts.items():
+        rem = [
+            i + 1
+            for i in range(len(text) - k + 1)
+            if counts[text[i : i + k]] >= 2
+            and winner[text[i : i + k]] != (doc_id, i + 1)
+        ]
+        if not rem:
+            out[doc_id] = text
+            continue
+        intervals = []
+        start = prev = rem[0]
+        for p in rem[1:]:
+            if p - prev <= k:
+                prev = p
+            else:
+                intervals.append((start, prev + k))
+                start = prev = p
+        intervals.append((start, prev + k))
+        cur, acc = 1, []
+        for s, e in intervals:
+            acc.append(text[cur - 1 : s - 1])
+            cur = e
+        acc.append(text[cur - 1 :])
+        out[doc_id] = "".join(acc)
+    return out
+
+
+def test_substr_clean_keeps_first_occurrence(spark, tmp_path):
+    shared = "THE-SHARED-RUN-KEEP-FIRST-COPY-ONLY-XYZ"
+    a = "abcdefghijklmnopqrstuvwxyz"
+    c = "0987654321!@#$%^&*()_+=-[]"
+    docs = {
+        0: a + shared + a.upper(),
+        1: c + shared,                      # whole run removed
+        2: "no-duplicates-here-at-all-ok",  # untouched
+    }
+    sf = _write_documents(
+        tmp_path, [(i, t, "en", "s") for i, t in docs.items()]
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["removed_chars"])
+        for r in QUERIES["dedup_substr_clean"](spark, sf).collect()
+    }
+    assert got[0] == (docs[0], 0)           # first copy kept verbatim
+    assert got[1] == (c, len(shared))       # exactly the run deleted
+    assert got[2] == (docs[2], 0)
+    ref = _ref_clean(docs, cm.SUBSTR_K)
+    assert {i: v[0] for i, v in got.items()} == ref
+
+
+def test_substr_clean_within_doc_repeat(spark, tmp_path):
+    run = "REPEATED-PAYLOAD-BLOCK-123456"
+    docs = {0: run + "-middle-filler-" + run + "tail"}
+    sf = _write_documents(
+        tmp_path, [(0, docs[0], "en", "s")]
+    )
+    got = QUERIES["dedup_substr_clean"](spark, sf).collect()[0]
+    assert got["clean_text"] == _ref_clean(docs, cm.SUBSTR_K)[0]
+    # the second copy is gone, the first remains
+    assert got["clean_text"].startswith(run)
+    assert got["clean_text"].count(run) == 1
+
+
+def test_substr_clean_random_corpus_matches_reference(spark, tmp_path):
+    rng = random.Random(99)
+    words = ["aa", "bb", "ab", "ba", "abc"]
+    docs = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(0, 40)))
+        for i in range(30)
+    }
+    sf = _write_documents(
+        tmp_path, [(i, t, "en", "s") for i, t in docs.items()]
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in QUERIES["dedup_substr_clean"](spark, sf).collect()
+    }
+    assert got == _ref_clean(docs, cm.SUBSTR_K)
+    # and the output is partitioning-invariant: rebuild folds a SORTED array
+    from ocr_spark.functions.substr import substr_dedup_clean
+
+    df = _docs_df(spark, docs).repartition(13)
+    got2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in substr_dedup_clean(df, k=cm.SUBSTR_K).collect()
+    }
+    assert got2 == got
+
+
+# --- funnel integration: the substr_clean stage ---------------------------------------
+
+
+def test_funnel_substr_clean_stage(spark):
+    from ocr_spark.operators.corpus import QualityThresholds, funnel_stages
+
+    permissive = QualityThresholds(
+        min_words=1, top_num=1, top_den=1, div_num=0, div_den=1,
+        wl_lo_num=0, wl_lo_den=1, wl_hi_num=1000, wl_hi_den=1,
+    )
+    shared = "THE COMMON QUOTED SENTENCE EVERYBODY COPIES VERBATIM"
+    rng = random.Random(3)
+    rows = []
+    for i in range(1, 7):  # ids 1..6: all in the train split (eval_mod 50)
+        base = " ".join(f"w{i}x{j}q{rng.randint(0, 9)}" for j in range(30))
+        text = base + " " + shared if i in (2, 5) else base
+        rows.append((i, text, "en", f"s{i % 2}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    stages = funnel_stages(docs, th=permissive, substr_clean=True)
+    assert "4b_substr" in stages
+    n4 = {
+        r["doc_id"]: r["text"]
+        for r in stages["4_near"].select("doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: r["text"]
+        for r in stages["4b_substr"].select("doc_id", "text").collect()
+    }
+    # the stage applies exactly the keep-first-occurrence clean rule to
+    # the near-dedup survivors
+    assert got == _ref_clean(n4, cm.SUBSTR_K)
+    # the copied sentence survives exactly once corpus-wide
+    assert sum(t.count(shared) for t in got.values()) == 1
+    # downstream stages consume the CLEANED text
+    clean5 = {
+        r["doc_id"]: r["text"]
+        for r in stages["5_clean"].select("doc_id", "text").collect()
+    }
+    assert all(clean5[i] == got[i] for i in clean5)
+    # opt-in: the default funnel has no such stage
+    assert "4b_substr" not in funnel_stages(docs, th=permissive)
+
+
+# --- collocations ----------------------------------------------------------------------
+
+
+def test_collocations_pmi_reference(spark, tmp_path):
+    rng = random.Random(5)
+    filler = [f"f{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(filler) for _ in range(20)]
+        # plant a strong collocation: "hong kong" appears together often
+        if i % 3 == 0:
+            pos = rng.randint(0, len(words) - 2)
+            words[pos : pos + 2] = ["hong", "kong"]
+        rows.append((i, " ".join(words), "en", "s"))
+    sf = _write_documents(tmp_path, rows)
+    out = QUERIES["text_collocations"](spark, sf).collect()
+    assert len(out) <= 20
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("hong", "kong")
+    # independent PMI reference for the winning pair
+    texts = [r[1] for r in rows]
+    uni: dict[str, int] = {}
+    bg: dict[tuple, int] = {}
+    for t_ in texts:
+        ws = t_.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    nw = sum(uni.values())
+    nb = sum(bg.values())
+    cxy = bg[("hong", "kong")]
+    pmi = math.log(
+        (float(cxy) * float(nw) * float(nw))
+        / (float(uni["hong"]) * float(uni["kong"]) * float(nb))
+    )
+    assert top["pmi_e4"] == int(math.floor(pmi * 10000 + 0.5))
+    assert top["cxy"] == cxy

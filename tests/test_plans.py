@@ -199,3 +199,49 @@ def test_quality_filter_partial_agg_no_python(spark):
     # partial-then-final aggregation around the explode's exchange
     assert plan.count("HashAggregate") >= 4  # 2 agg levels x partial+final
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_substr_spans_linear_plan(spark):
+    """Substring dedup (PLANS.md): exactly the gram-count Exchange and the
+    doc_id island-window Exchange — no doc-doc join, no single-partition
+    funnel, no nested loop."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_corpusml  # noqa: F401
+
+    plan = _plan(QUERIES["dedup_substr_spans"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # two hash-partition shuffles: gram counts, then doc_id for the window
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    # one shuffle keyed on the gram hash, one on the doc id (aliased _id)
+    assert re.search(r"hashpartitioning\(g#", plan)
+    assert re.search(r"hashpartitioning\(_id#", plan)
+
+
+def test_substr_clean_no_single_partition(spark):
+    """The removal path (PLANS.md): intervals collect + rebuild join add
+    no single-partition stage and no extra gram scan beyond the spans
+    shape."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_corpusml  # noqa: F401
+
+    plan = _plan(QUERIES["dedup_substr_clean"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # winner agg rides the same gram Exchange: still two hash shuffles
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+
+
+def test_pq_all_joins_broadcast_topk_no_global_sort(spark):
+    """PQ ANN (PLANS.md): codebook/LUT joins are broadcast, the top-10 is
+    TakeOrderedAndProject — never a global Sort, never a shuffled join."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_corpusml  # noqa: F401
+
+    plan = _plan(QUERIES["sim_ann_pq"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3
