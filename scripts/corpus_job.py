@@ -153,8 +153,9 @@ def run_corpus_job(
     ).collect()[0]
     stage_sec["readback"] = round(time.perf_counter() - ts, 3)
 
-    for df in (stages["3_exact"], stages["4_near"], stages["5_clean"]):
-        df.unpersist()
+    for key in ("3_exact", "4_near", "4b_substr", "5_clean"):
+        if key in stages:
+            stages[key].unpersist()
 
     report = {
         "out": out_path,

@@ -202,3 +202,24 @@ def test_corpus_job_end_to_end(spark, tmp_path):
     rep2 = run_corpus_job(spark, str(tmp_path), n_pages=600, budget=512)
     assert rep2["funnel"] == rep["funnel"]
     assert ids1 == ids(spark.read.parquet(rep2["out"]))
+
+
+def test_corpus_job_substr_clean_flag(spark, tmp_path):
+    """--substr-clean end-to-end: the 4b stage appears in the funnel, edits
+    text without dropping docs, and the job stays self-consistent."""
+    from scripts.corpus_job import run_corpus_job
+
+    rep = run_corpus_job(
+        spark, str(tmp_path), n_pages=400, budget=512, substr_clean=True
+    )
+    assert rep["minhash"]["substr_clean"] is True
+    f = rep["funnel"]
+    assert "4b_substr" in f
+    # the stage edits text but never drops a doc
+    assert f["4b_substr"] == f["4_near"]
+    # funnel stays monotone through the new stage
+    order = ["1_train", "2_quality", "3_exact", "4_near", "4b_substr",
+             "5_clean", "6_sampled"]
+    counts = [f[k] for k in order]
+    assert counts == sorted(counts, reverse=True)
+    assert rep["kept_rows"] > 0 and rep["kept_tokens"] > 0
