@@ -20,11 +20,20 @@ Pipeline (all linear in corpus size, two shuffles, zero doc–doc pairs):
    (1-1/sample_mod)^(L-k+1);
 3. duplicated grams: a count window over the gram partition keeps the
    positions whose gram occurs >= min_freq times — ONE shuffle of the
-   position rows and one scan (the groupBy + join-back formulation costs
-   an extra pass; measured 3.6x slower at sf0.1). When ``max_df`` is set,
-   count <= max_df: the stop-gram cap that drops boilerplate shared by
-   ~every page (navigation chrome, license footers) from the span
-   output, the standard web-scale hygiene knob;
+   position rows and one scan (measured at sf0.1: 3.74s vs 7.91s for
+   groupBy + join-back even with single-pass gram generation, because the
+   join formulation recomputes the gram lineage for both branches).
+   SKEW NOTE: the window co-locates every occurrence of a gram in one
+   partition, so the per-task bound is the corpus max gram frequency —
+   a boilerplate stop-gram shared by d docs costs one task sorting d
+   rows, and AQE cannot split a window partition (it can split a skewed
+   join probe). At web scale run with ``sample_mod`` (shrinks every
+   gram's row count by the sampling rate uniformly — content-keyed, so
+   the mega-gram's partition shrinks mod-fold) and budget the stop-gram
+   tail; the hot-gram case is pinned timing-free in
+   tests/test_corpusml.py. When ``max_df`` is set, count <= max_df: the
+   stop-gram cap that drops boilerplate shared by ~every page from the
+   span output, the standard web-scale hygiene knob;
 4. islands: nearby duplicated offsets grouped with a lag + running-sum
    window per doc — ONE Exchange keyed by doc id. At sample_mod == 1
    "nearby" means gap == 1 (exact maximal runs); under sampling the

@@ -638,3 +638,37 @@ def test_collocations_pmi_reference(spark, tmp_path):
     )
     assert top["pmi_e4"] == int(math.floor(pmi * 10000 + 0.5))
     assert top["cxy"] == cxy
+
+
+def test_substr_spans_hot_stop_gram_bounded(spark):
+    """The skew case the module docstring documents: ONE boilerplate gram
+    shared by every doc (the window's worst partition = corpus max gram
+    frequency). Semantics stay exact — every doc reports the boilerplate
+    span — and max_df removes the whole population from the output."""
+    from ocr_spark.functions.substr import substr_dup_spans
+
+    boiler = "SAME-FOOTER-16CH"  # exactly one shared 16-gram per doc
+    assert len(boiler) == 16
+    n = 5000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # md5 prefix: unique and aperiodic per doc, so the ONLY duplicated
+        # 16-gram corpus-wide is the boilerplate itself
+        f"concat(md5(cast(id AS STRING)), '{boiler}') AS text",
+    )
+    out = substr_dup_spans(docs, k=16).collect()
+    # text = 32 md5 chars + the 16-char boiler => chars 33..48. Short hex
+    # tails before the boundary also collide across docs (16 symbols), so
+    # a span may extend a few chars left of 33 — but every doc reports
+    # EXACTLY ONE island, it always covers the full boilerplate, and it
+    # never grows beyond the boundary-collision slack.
+    assert len(out) == n
+    for r in out:
+        assert r["span_start"] <= 33
+        assert r["span_start"] - 1 + r["span_len"] == 48  # covers boiler end
+        assert 16 <= r["span_len"] <= 16 + 8
+        assert r["n_grams"] == r["span_len"] - 15
+    # the DF cap drops the freq-5000 pure-boiler gram; only the rarer
+    # straddle grams remain, so no span can reach the last boiler char
+    capped = substr_dup_spans(docs, k=16, max_df=1000).collect()
+    assert all(r["span_start"] - 1 + r["span_len"] <= 47 for r in capped)
