@@ -686,7 +686,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      queries_corpusml block (dedup_substr_spans, dedup_substr_clean,
 #      dedup_substr_prod, text_ppl_proxy, text_gopher_rules,
 #      text_collocations, pipe_mix_domains, pipe_shuffle_shard,
-#      sim_ann_pq) — head 47, 3 tail bonus regrades;
+#      sim_ann_pq, tokenizer_bpe_merges, tokenizer_bpe_encode) —
+#      head 49 + scan_counts = exactly the 50-cap; the registry is FULL
+#      for r04, nothing more may be added ahead of the tail this round;
 #   6. everything r03-graded goes to the tail list.
 #
 # ROUND-5 ROTATION PLAN (do this at the start of r05): the entries past

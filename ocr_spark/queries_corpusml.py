@@ -732,3 +732,40 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_e4").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# --- BPE tokenizer training ----------------------------------------------------------
+# The corpus's own tokenizer (Sennrich-et-al byte-pair encoding), trained
+# distributed: see functions/bpe.py for the full scale analysis (one
+# corpus-wide word-frequency shuffle, then iterative pair-count argmax
+# rounds over the vocabulary table with the CC-fixpoint persist
+# discipline). No SQL oracle can express the iterative argmax — these two
+# rows are rows-only BY DESIGN; semantics are pinned against an
+# independent pure-Python reference BPE in tests/test_bpe.py.
+
+_BPE_MERGES = 10
+
+
+@register("tokenizer_bpe_merges", None)
+def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges trained on the documents table: (rank, left,
+    right, freq). Deterministic (integer counts, lexicographic argmax
+    tie-break)."""
+    from ocr_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(t(spark, sf_dir, "documents"), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank long, left string, right string, freq long",
+    )
+
+
+@register("tokenizer_bpe_encode", None)
+def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc encoded with the 10 trained merges (Arrow-batched
+    iterator UDF): (doc_id, n_words, n_tokens)."""
+    from ocr_spark.functions.bpe import bpe_encode, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(d, _BPE_MERGES)
+    return bpe_encode(d, merges).select("doc_id", "n_words", "n_tokens")
