@@ -672,3 +672,120 @@ def test_substr_spans_hot_stop_gram_bounded(spark):
     # straddle grams remain, so no span can reach the last boiler char
     capped = substr_dup_spans(docs, k=16, max_df=1000).collect()
     assert all(r["span_start"] - 1 + r["span_len"] <= 47 for r in capped)
+
+
+# --- seeded fuzz differential over unicode-ish text ------------------------------------
+# One Spark job per operator over a 120-doc random corpus (per-example
+# hypothesis jobs would pay session overhead 120x), compared against the
+# pure-Python references. Alphabet includes astral-plane symbols (code
+# points beyond the BMP) to pin the cross-engine length/substring
+# contract — Spark, DuckDB and Python all count CODE POINTS (probed) —
+# but avoids case-mapping exotica (lower() divergence is a different,
+# uncaught contract).
+
+
+def _fuzz_texts(n: int = 120) -> dict[int, str]:
+    rng = random.Random(2026)
+    alphabet = (
+        "abcdefghijKLMNOP0123456789-#.* "
+        "\n\U0001D11Eé世界"
+    )
+    out = {}
+    for i in range(n):
+        ln = rng.randint(0, 60)
+        out[i] = "".join(rng.choice(alphabet) for _ in range(ln))
+    out[n] = ""  # empty doc
+    out[n + 1] = "- bullet line...\n- another...\nsame\nsame"
+    return out
+
+
+def _half_up(x: float) -> int:
+    return int(math.floor(x + 0.5))
+
+
+def _ref_gopher(texts: dict[int, str]) -> dict[int, tuple]:
+    import re as _re
+
+    out = {}
+    for i, t in texts.items():
+        ws = [w for w in t.split(" ") if w != ""]
+        ls = t.split("\n")
+        nw, nl = max(len(ws), 1), max(len(ls), 1)
+        n_words = len(ws)
+        mean_wlen = _half_up(sum(len(w) for w in ws) * 100.0 / nw)
+        symbol = _half_up(
+            sum(1 for w in ws if "#" in w or "..." in w) * 10000.0 / nw
+        )
+        alpha = _half_up(
+            sum(1 for w in ws if _re.search("[a-zA-Z]", w)) * 10000.0 / nw
+        )
+        bullet = _half_up(
+            sum(1 for l in ls if l.startswith("- ") or l.startswith("* "))
+            * 10000.0 / nl
+        )
+        ellipsis = _half_up(
+            sum(1 for l in ls if l.endswith("...")) * 10000.0 / nl
+        )
+        dup = _half_up((len(ls) - len(set(ls))) * 10000.0 / nl)
+        ok = (
+            50 <= n_words <= 100000
+            and 300 <= mean_wlen <= 1000
+            and symbol <= 1000
+            and alpha >= 8000
+            and bullet <= 9000
+            and ellipsis <= 3000
+            and dup <= 3000
+        )
+        out[i] = (
+            n_words, mean_wlen, symbol, alpha, bullet, ellipsis, dup,
+            1 if ok else 0,
+        )
+    return out
+
+
+def _ref_ppl(texts: dict[int, str]) -> dict[int, tuple]:
+    counts: dict[str, int] = {}
+    for t in texts.values():
+        for w in t.lower().split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    n = sum(counts.values())
+    out = {}
+    for i, t in texts.items():
+        ws = [w for w in t.lower().split(" ") if w]
+        if not ws:
+            continue  # empty docs produce no row (explode of empty array)
+        out[i] = (
+            len(ws),
+            sum(_half_up(math.log(n / counts[w]) * 10000) for w in ws),
+        )
+    return out
+
+
+def test_fuzz_differential_unicode_corpus(spark, tmp_path):
+    texts = _fuzz_texts()
+    sf = _write_documents(
+        tmp_path, [(i, t, "en", "s") for i, t in texts.items()]
+    )
+    # gopher
+    got_g = {
+        r["doc_id"]: (
+            r["n_words"], r["mean_wlen_e2"], r["symbol_e4"], r["alpha_e4"],
+            r["bullet_e4"], r["ellipsis_e4"], r["dup_line_e4"],
+            r["gopher_pass"],
+        )
+        for r in QUERIES["text_gopher_rules"](spark, sf).collect()
+    }
+    assert got_g == _ref_gopher(texts)
+    # ppl proxy
+    got_p = {
+        r["doc_id"]: (r["n_words"], r["sum_nll_e4"])
+        for r in QUERIES["text_ppl_proxy"](spark, sf).collect()
+    }
+    assert got_p == _ref_ppl(texts)
+    # substring spans (code-point offsets must agree even past the BMP)
+    got_s = {
+        tuple(r)
+        for r in QUERIES["dedup_substr_spans"](spark, sf).collect()
+    }
+    assert got_s == _ref_substr_spans(texts, cm.SUBSTR_K)
