@@ -249,6 +249,74 @@ def main() -> None:
         scan_detail,
     ))
 
+    sections.append((
+        "pipe_pack_hashed (round 4 — token packing on the hashed shard key)",
+        "ONE Exchange total, keyed on the derived `pack_shard = "
+        "pmod(hash(id), P)`: scan → project (shard + token count, pure JVM) "
+        "→ Exchange → Sort → running-sum Window → aggregates. Parallelism "
+        "is `num_shards` regardless of any data column's cardinality; no "
+        "SinglePartition window anywhere (pinned in tests/test_plans.py). "
+        "At 100 TB the single shuffle moves (id, shard, n_tokens) — three "
+        "columns, not the text.",
+        tree_of(q["pipe_pack_hashed"](spark, sf)),
+    ))
+
+    sections.append((
+        "sim_ann_ivf_trained (round 4 — trained-centroid IVF)",
+        "Every pass over the big embeddings table joins against a BROADCAST "
+        "side: training assignment against the 8 seed centroids, final "
+        "assignment against the trained table, scoring against the probe "
+        "row. The only SortMergeJoin is seeds⟕trained-means — an 8-row × "
+        "≤8-row join. Shuffles are confined to tiny-key aggregations "
+        "((list_id, dim) means and the per-vec argmin regroup); nothing "
+        "shuffles the embeddings by a data-dependent key.",
+        tree_of(q["sim_ann_ivf_trained"](spark, sf)),
+    ))
+
+    sections.append((
+        "dedup_substr_spans (round 4 — exact-substring duplicate spans)",
+        "Lee-et-al substring dedup as a rolling k-gram inverted index: "
+        "EXACTLY two shuffles, one scan, never a doc–doc pair. Gram hashes "
+        "are built per doc as ONE array transform before the posexplode "
+        "(the text is never replicated across position rows); the dup test "
+        "is `count(*) OVER (PARTITION BY g)` — replacing the groupBy + "
+        "join-back formulation measured 15.0s → 4.1s at sf0.1 (the join "
+        "recomputes the gram lineage for both branches). Skew note: the "
+        "window co-locates a gram's occurrences, so the per-task bound is "
+        "the corpus max gram frequency — run with the content-keyed "
+        "sample_mod at web scale; the hot-gram case is pinned timing-free "
+        "in tests/test_corpusml.py.",
+        tree_of(q["dedup_substr_spans"](spark, sf)),
+    ))
+
+    sections.append((
+        "dedup_substr_clean (round 4 — the substring-dedup removal path)",
+        "substr_dup_spans' two shuffles plus: the corpus-first-occurrence "
+        "winner (`row_number() OVER (PARTITION BY g ORDER BY doc_id, p)` — "
+        "rides the SAME gram Exchange as the count window; never a packed "
+        "doc_id*BASE+p scalar, which overflows on production 64-bit hash "
+        "ids — the corpus_job e2e test caught exactly that), a per-doc "
+        "interval collect, and ONE join back to documents for the segment "
+        "rebuild (broadcast at test scale; statistics pick a doc_id hash "
+        "join when the interval side outgrows it). The rebuild is a JVM "
+        "`aggregate` fold over the sorted interval array — per-row, no "
+        "extra shuffle, partitioning-invariant (pinned in "
+        "tests/test_corpusml.py).",
+        tree_of(q["dedup_substr_clean"](spark, sf)),
+    ))
+
+    sections.append((
+        "sim_ann_pq (round 4 — product-quantization ANN)",
+        "All THREE joins are broadcast (codebook KS·M rows, probe LUT KS·M "
+        "rows); the final top-10 is TakeOrderedAndProject — no global "
+        "sort. The two Exchanges are the per-(vec, subspace) argmin "
+        "regroup and the per-vec integer ADC sum. At scale the codes "
+        "table is M bytes/vector (32× compression at D=64 float32): the "
+        "scoring pass reads codes + a broadcast integer LUT, touching no "
+        "float vectors at all.",
+        tree_of(q["sim_ann_pq"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

@@ -85,9 +85,12 @@ def test_all_queries_have_callables():
     q, o = _pairs()
     assert len(q) >= 30
     missing_oracle = [k for k in q if k not in o]
-    # only the explicitly approximate/streaming ops may lack an oracle
+    # only the explicitly approximate/streaming/iterative ops may lack an
+    # oracle (tokenizer_*: BPE's iterative argmax is not one SQL query —
+    # gated by tests/test_bpe.py's reference implementation instead)
     assert all(
-        k.startswith(("agg_approx", "stream_", "gen_", "scan_pages", "resume_"))
+        k.startswith(("agg_approx", "stream_", "gen_", "scan_pages",
+                      "resume_", "tokenizer_"))
         for k in missing_oracle
     ), missing_oracle
 
