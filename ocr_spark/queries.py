@@ -691,12 +691,14 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      for r04, nothing more may be added ahead of the tail this round;
 #   6. everything r03-graded goes to the tail list.
 #
-# ROUND-5 ROTATION PLAN (do this at the start of r05): the entries past
-# the r04 cap are the tail of this file's _R03_DRIVER_GRADED list. Build
-# _PRIORITY_R05 = [those tail entries, in CORRECTNESS_r04 order from
-# position 51 on], then extract_wrapped, then anything new in r05; demote
-# this round's head to the tail list. Verify with
-# `list(all_queries())[:50]` before committing.
+# ROUND-5 ROTATION PLAN (do this at the start of r05): the r04 head is
+# EXACTLY the 50-cap (35 rotation + 14 corpus-block-2 + scan_counts), so
+# the entries missing an r04 row are precisely _R03_DRIVER_GRADED minus
+# scan_counts — 46 entries, all r03-green. Build _PRIORITY_R05 = [those
+# 46, in this file's order], then extract_wrapped, then anything new in
+# r05 (that leaves ~3 bonus slots for the freshest r04 head entries if
+# nothing new lands). Demote this round's head to the tail list. Verify
+# with `list(all_queries())[:50]` before committing.
 _PRIORITY_R04 = [
     # (1) changed after its last driver grading — grade first
     "join_cross",
