@@ -464,6 +464,59 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
               "y1": 80},
          ]}).encode(),
          "en"),
+        # --- late-round-4 charset edge family (append-only; pins the
+        # precedence and label-table contracts the first charset family
+        # left implicit).
+        ("charset-bom-beats-meta",
+         # BOM has absolute precedence: a contradicting meta declaration
+         # inside the document must be ignored
+         b"\xef\xbb\xbf" + ("<html><head><meta charset=gbk></head><body>"
+                            "<p>bom wins over the lying meta label "
+                            + _salad(rng, "en", 25, 0.5)
+                            + "</p></body></html>").encode("utf-8"),
+         "en"),
+        ("charset-bom-utf32le",
+         # \xff\xfe\x00\x00 must hit the UTF-32 arm, NOT the UTF-16 arm
+         # whose BOM is its 2-byte prefix (the _BOMS ordering contract)
+         b"\xff\xfe\x00\x00" + (
+             "<html><body><p>utf thirty two little endian page "
+             + _salad(rng, "en", 25, 0.5) + "</p></body></html>"
+         ).encode("utf-32-le"),
+         "en"),
+        ("charset-in-comment",
+         # the frozen algorithm scans the RAW first KiB: a declaration
+         # inside an HTML comment still matches (documented, pinned —
+         # browsers' prescan behaves the same way)
+         ("<html><head><!-- <meta charset=windows-1251> --></head><body>"
+          "<p>Комментарий всё равно объявляет кодировку "
+          + _salad(rng, "en", 25, 0.5) + "</p></body></html>").encode(
+             "windows-1251"),
+         "en"),
+        ("charset-utf16-label-ignored",
+         # utf-16 labels are deliberately ABSENT from the label table
+         # (BOM-gated only): the bytes are valid UTF-8, so the probe arm
+         # decodes them correctly despite the bogus declaration
+         ("<html><head><meta charset=utf-16></head><body><p>"
+          "label says utf sixteen but the bytes are plain utf8 "
+          + _salad(rng, "en", 25, 0.5) + "</p></body></html>").encode(
+             "utf-8"),
+         "en"),
+        ("charset-spaced-quoted",
+         # regex tolerance: whitespace around '=' and a quoted UPPERCASE
+         # label (the 1 KiB window is lowercased before matching)
+         ("<html><head><meta http-equiv='Content-Type' content='text/html;"
+          " charset = \"GBK\"'></head><body><p>宽容解析引号与空格 "
+          + _salad(rng, "zh", 30, 0.6) + "</p></body></html>").encode(
+             "gbk"),
+         "zh"),
+        ("charset-first-decl-wins",
+         # two contradicting declarations in the window: the FIRST match
+         # is taken (regex search order), the second is dead text
+         ("<html><head><meta charset=windows-1251><meta charset=gbk>"
+          "</head><body><p>Первое объявление побеждает "
+          + _salad(rng, "en", 25, 0.5) + "</p></body></html>").encode(
+             "windows-1251"),
+         "en"),
     ]
     return cases
 
