@@ -154,6 +154,59 @@ def exact_keepers(
     )
 
 
+def drop_common_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    max_df: int = 3,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """CCNet/RefinedWeb line-level boilerplate removal: a LINE that appears
+    in >= max_df distinct documents (within ``group_col`` — usually the host
+    — or corpus-wide when None) is boilerplate (cookie banner, nav bar,
+    share-button text) and is removed; each document is reassembled in
+    original line order. Lines shorter than ``min_line_chars`` are kept
+    unconditionally — tiny fragments ('', '-', '1') collide by accident, not
+    by template.
+
+    Returns one row per input doc: (id_col, <text_col> rewritten,
+    n_lines, n_dropped). Shape: explode to (group, line) -> one
+    count-distinct shuffle for document frequency -> join back on the same
+    key (the Exchange is reused) -> one groupBy id to reassemble. State is
+    the line-frequency table, linear in the corpus; nothing quadratic. The
+    driver-graded fixed-word-window variant over the newline-free documents
+    table is queries_webgraph.dedup_lines_boiler.
+    """
+    gcol = F.col(group_col) if group_col else F.lit("")
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        gcol.alias("_g"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    freq = (
+        lines.filter(F.length("_line") >= min_line_chars)
+        .groupBy("_g", "_line")
+        .agg(F.countDistinct("_id").alias("_df"))
+    )
+    j = lines.join(freq, ["_g", "_line"], "left").withColumn(
+        "_drop",
+        (F.col("_df").isNotNull()) & (F.col("_df") >= max_df),
+    )
+    # array_sort on (_pos, ...) structs restores line order after the
+    # unordered collect_list; _pos is unique per doc so the order is total
+    return j.groupBy("_id").agg(
+        F.expr(
+            "array_join(transform(filter(array_sort(collect_list("
+            "struct(_pos, _drop, _line))), x -> NOT x._drop),"
+            " x -> x._line), '\\n')"
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum(F.when(F.col("_drop"), 1)), F.lit(0))
+        .cast("bigint").alias("n_dropped"),
+    ).withColumnRenamed("_id", id_col)
+
+
 def near_keepers(
     docs: DataFrame,
     text_col: str = "text",

@@ -747,6 +747,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_textml  # noqa: F401
     from ocr_spark import queries_pipeline  # noqa: F401
     from ocr_spark import queries_corpusml  # noqa: F401
+    from ocr_spark import queries_webgraph  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

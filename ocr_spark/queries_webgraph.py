@@ -1,0 +1,485 @@
+"""Corpus-preparation operators, block 3: the web-graph and learned-quality
+family — the remaining famous components of a Common-Crawl-scale pipeline.
+
+- host/link-graph PageRank (the classic URL-importance prior used for crawl
+  scheduling and corpus weighting), run to a fixed iteration count in
+  all-integer arithmetic so the DuckDB oracle matches bit-for-bit;
+- CCNet/RefinedWeb-style boilerplate segment dedup: segments that repeat
+  across >= DF documents of the same source are boilerplate (cookie banners,
+  nav text) and are removed while the document is reassembled in order;
+- DSIR importance weights (Xie et al. 2023): hashed-unigram log-likelihood
+  ratio between a target domain and the raw corpus, used to importance-sample
+  pretraining data toward a target distribution;
+- a trained logistic-regression quality classifier (the fastText-style
+  learned filter from CCNet/LLaMA pipelines) — batch gradient descent over
+  hashed bag-of-words features expressed entirely in DataFrame ops, weights
+  and scores integer-quantized per iteration so Spark and DuckDB agree
+  exactly.
+
+Cross-engine determinism (same discipline as the sibling modules): every
+cross-row SUM is over BIGINTs quantized per-row first; divisions that can see
+negative numerators use floor() on an exact double quotient (Spark `div`
+truncates toward zero while DuckDB `//` floors — they differ below zero, so
+neither is used on signed values); the sigmoid is the rational fast-sigmoid
+0.5 + (s/2)/(1+|s|) — only +,*,/,abs, all IEEE-exact in both engines —
+rather than exp(), whose last-ulp behavior is libm-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+
+_WORDS_SPARK = "filter(split({col}, ' '), x -> x != '')"
+_WORDS_SQL = "list_filter(string_split({col}, ' '), x -> x != '')"
+
+
+# --- link-graph PageRank ------------------------------------------------------------
+# PageRank over the bipartite part<->supplier co-occurrence graph derived
+# from lineitem (distinct (l_partkey, l_suppkey) pairs, both directions, so
+# every node has out-degree >= 1 and there is no dangling mass to shepherd).
+# At corpus scale the same loop runs over the host link graph emitted by
+# extract_links/graph_hostlinks.
+#
+# All-integer update rule (rank fixed-point e6, per-node mass 1.0 = 1e6):
+#   r_{k+1}(v) = 150000 + (85 * sum_{u->v} (r_k(u) div outdeg(u))) div 100
+# Integer division truncates identically in both engines because every
+# operand is non-negative; the sum is a BIGINT sum, so partial-aggregation
+# order can never change a bit — the oracle is exact, not approximate.
+#
+# Scale shape: edges+outdeg are computed once and persisted; each iteration
+# is one shuffle on dst (the contribution aggregation) plus one small join
+# back to the node list. Ranks never leave the cluster; no collect. At 1000
+# executors the edge table is hash-partitioned on src so the per-iteration
+# join to ranks (also on node id) co-locates after the first exchange, and
+# AQE coalesces the tiny rank-side partitions.
+
+PR_ITERS = 5
+PR_TELEPORT_E6 = 150_000  # 0.15 * 1e6
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+_PR_SUPP_OFFSET = 1_000_000  # disjoint node-id spaces for the two sides
+
+
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""
+r{k} AS (
+  SELECT n.node,
+    CAST({PR_TELEPORT_E6} + ({PR_DAMP_NUM} * coalesce(s.s, 0))
+         // {PR_DAMP_DEN} AS BIGINT) AS r
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r // e.od) AS s
+    FROM ed e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT l_partkey AS src,
+    l_suppkey + {_PR_SUPP_OFFSET} AS dst
+  FROM lineitem
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.od FROM e JOIN deg d ON d.src = e.src),
+n AS (SELECT DISTINCT src AS node FROM e),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+{",".join(steps)}
+SELECT node AS node_id, r AS rank_e6 FROM {prev}
+"""
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey") + _PR_SUPP_OFFSET).cast("bigint").alias("dst"),
+    ).distinct()
+    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # one persisted edge+degree relation reused by every iteration; the
+    # checkpoint-free loop is fine at 5 rounds (lineage depth is bounded)
+    ed = e.join(deg, "src").persist()
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(ed["dst"].alias("node"), F.expr("r div od").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(PR_TELEPORT_E6)
+                + F.expr(
+                    f"({PR_DAMP_NUM} * coalesce(s, 0)) div {PR_DAMP_DEN}"
+                )
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("node_id"), F.col("r").alias("rank_e6")
+    )
+
+
+# --- boilerplate segment dedup (CCNet / RefinedWeb line dedup) ----------------------
+# CCNet hashes every LINE of every page and drops lines seen in many pages —
+# that single pass removes cookie banners, nav bars and share buttons better
+# than any per-page heuristic. The driver's documents table has no newlines,
+# so the graded query segments on fixed word windows; the \n-line variant for
+# real extracted pages is operators/corpus.py:drop_common_lines, exercised by
+# tests over generated pages.
+#
+# Shape: explode to (source, segment) -> one count-distinct shuffle for the
+# document frequency -> join back (same key, Exchange reused) -> one groupBy
+# doc_id to reassemble. Nothing quadratic; the frequency table is the only
+# state and it is linear in the corpus.
+
+BOILER_SEG_W = 2   # words per segment (driver texts are short; lines IRL)
+BOILER_DF = 3      # a segment in >= DF docs of one source is boilerplate
+
+
+@register(
+    "dedup_lines_boiler",
+    f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL.format(col='text')} AS ws
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, source,
+    unnest(range(0, CAST(ceil(len(ws) / {BOILER_SEG_W}.0) AS INT))) AS pos,
+    ws
+  FROM w
+),
+s2 AS (
+  SELECT doc_id, source, pos,
+    array_to_string(
+      list_slice(ws, pos * {BOILER_SEG_W} + 1,
+                 pos * {BOILER_SEG_W} + {BOILER_SEG_W}), ' ') AS seg
+  FROM seg
+),
+f AS (
+  SELECT source, seg, count(DISTINCT doc_id) AS df
+  FROM s2 GROUP BY source, seg
+),
+j AS (
+  SELECT s.doc_id, s.pos, s.seg, f.df
+  FROM s2 s JOIN f ON f.source = s.source AND f.seg = s.seg
+)
+SELECT doc_id,
+  coalesce(array_to_string(
+    list(seg ORDER BY pos) FILTER (WHERE df < {BOILER_DF}), ' '), '')
+    AS kept_text,
+  CAST(count(*) AS BIGINT) AS n_seg,
+  CAST(coalesce(sum(CASE WHEN df >= {BOILER_DF} THEN 1 END), 0) AS BIGINT)
+    AS n_drop
+FROM j GROUP BY doc_id
+""",
+)
+def q_dedup_lines_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = BOILER_SEG_W
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size({_WORDS_SPARK.format(col='text')}"
+                f") / {w}.0)) - 1), i -> array_join(slice("
+                f"{_WORDS_SPARK.format(col='text')}, i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    )
+    freq = segs.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    j = segs.join(freq, ["source", "seg"])
+    # array_sort on (pos, seg, df) structs restores document order after the
+    # unordered collect_list; pos is unique per doc so the order is total
+    return j.groupBy("doc_id").agg(
+        F.expr(
+            f"coalesce(array_join(transform(filter(array_sort("
+            f"collect_list(struct(pos, df, seg))), x -> x.df < {BOILER_DF}),"
+            f" x -> x.seg), ' '), '')"
+        ).alias("kept_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") >= BOILER_DF, 1)), F.lit(0)
+        ).cast("bigint").alias("n_drop"),
+    )
+
+
+# --- DSIR importance weights --------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): estimate
+# unigram distributions over a HASHED vocabulary for a target domain and for
+# the raw pool, weight every raw document by sum_w log(p_target(w)/p_raw(w)),
+# then keep the top slice. Hashing bounds the model at B buckets regardless
+# of corpus vocabulary, which is what makes this a one-scan map-side job at
+# 100 TB: the two distributions are a broadcastable B-row table.
+#
+# Determinism: the per-BUCKET log-ratio is rounded to e4 once (a per-row,
+# order-independent quantization), and the per-document weight is the exact
+# BIGINT sum of those quantized ratios over the document's tokens.
+
+DSIR_B = 256          # hashed vocabulary size
+DSIR_TARGET_LANG = "en"
+_DSIR_BUCKET_SQL = (
+    "(ascii(substr(md5({w}), 1, 1)) * 256 + ascii(substr(md5({w}), 2, 1)))"
+    f" % {DSIR_B}"
+)
+
+
+@register(
+    "pipe_dsir",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    unnest({_WORDS_SQL.format(col='text')}) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL.format(w='w')} AS j FROM tok
+),
+cnt AS (
+  SELECT j,
+    1 + coalesce(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 END), 0)
+      AS ct,
+    1 + count(*) AS cr
+  FROM b GROUP BY j
+),
+tot AS (
+  SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt
+),
+lam AS (
+  SELECT j,
+    CAST(round(ln((CAST(ct AS DOUBLE) * tr) / (CAST(cr AS DOUBLE) * tt))
+               * 10000, 0) AS BIGINT) AS lam_e4
+  FROM cnt, tot
+)
+SELECT b.doc_id,
+  CAST(sum(lam.lam_e4) AS BIGINT) AS weight_e4,
+  CAST(count(*) AS BIGINT) AS n_tokens
+FROM b JOIN lam ON lam.j = b.j
+GROUP BY b.doc_id
+""",
+)
+def q_pipe_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang",
+        F.explode(F.expr(_WORDS_SPARK.format(col="text"))).alias("w"),
+    )
+    b = tok.select(
+        "doc_id", "lang",
+        F.expr(_DSIR_BUCKET_SQL.format(w="w")).alias("j"),
+    )
+    cnt = b.groupBy("j").agg(
+        (1 + F.coalesce(
+            F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)), F.lit(0)
+        )).alias("ct"),
+        (1 + F.count(F.lit(1))).alias("cr"),
+    )
+    tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "j",
+        F.expr(
+            "CAST(round(ln((CAST(ct AS DOUBLE) * tr) /"
+            " (CAST(cr AS DOUBLE) * tt)) * 10000, 0) AS BIGINT)"
+        ).alias("lam_e4"),
+    )
+    # lam is B rows — broadcast it so scoring is a map-only pass
+    return (
+        b.join(F.broadcast(lam), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lam_e4").cast("bigint").alias("weight_e4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# --- trained logistic-regression quality classifier ---------------------------------
+# The CCNet/LLaMA-pipeline "learned quality filter": logistic regression over
+# hashed bag-of-words features. Training IS the query — K batch-GD steps
+# expressed as DataFrame joins/aggregations, so the whole fit is one Catalyst
+# plan and the oracle replays the identical integer state machine in SQL.
+#
+# Integer state machine (w in e6 fixed point, B buckets, N docs):
+#   z      = sum_{j in doc} w[j]                      (BIGINT)
+#   s      = z / 1e6                                  (exact double)
+#   p      = 0.5 + (s/2)/(1+|s|)                      (rational fast sigmoid)
+#   err_e6 = round((p - y) * 1e6)                     (per-doc quantization)
+#   g[j]   = sum over docs containing j of err_e6     (BIGINT)
+#   w[j]  -= floor((g[j] * LR_NUM) / (LR_DEN * N))    (floor: g is signed)
+# floor() over an exact double quotient is used instead of integer division
+# because Spark's `div` truncates toward zero while DuckDB's `//` floors —
+# they disagree on negatives. The quotient operands stay < 2^53 so the
+# double math is exact in both engines.
+
+LR_B = 64           # hashed feature buckets
+LR_ITERS = 3
+LR_NUM, LR_DEN = 3, 10   # learning rate 0.3
+LR_LABEL_CHARS = 300     # y = 1 iff n_chars >= this (median-ish split)
+_LR_BUCKET_SQL = (
+    "(ascii(substr(md5({w}), 1, 1)) * 256 + ascii(substr(md5({w}), 2, 1)))"
+    f" % {LR_B}"
+)
+# Two portability traps live in this expression, both found the hard way:
+# 1. floor(), not round(): the rational sigmoid over the coarse integer z
+#    grid lands on EXACT .5 ties at e6 (w after step 1 is a multiple of 300)
+#    and the engines break ties differently — Spark's round is decimal
+#    HALF_UP while DuckDB's double round is nearbyint (half-to-even). floor
+#    has no tie case: an exactly-integer value floors to itself in both.
+# 2. 1e6-style literals, never 1000000.0: a plain decimal literal parses as
+#    DECIMAL in BOTH engines, silently switching the whole expression to
+#    decimal arithmetic whose scale rules differ between them (observed as
+#    last-digit drift). Scientific notation is a DOUBLE literal in both, and
+#    all-double +,*,/,abs are IEEE-correctly-rounded, hence bit-identical.
+_LR_SIG = "(5e-1 + (CAST(z AS DOUBLE) / 1e6 / 2) / (1e0 + abs(CAST(z AS DOUBLE) / 1e6)))"
+_LR_ERR_SQL = f"CAST(floor(({_LR_SIG} - y) * 1e6) AS BIGINT)"
+_LR_P_SQL = f"CAST(floor({_LR_SIG} * 1e6) AS BIGINT)"
+
+
+def _lr_feats_sql() -> str:
+    return f"""
+f AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN n_chars >= {LR_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+    {_LR_BUCKET_SQL.format(w='w')} AS j
+  FROM (
+    SELECT doc_id, n_chars, unnest({_WORDS_SQL.format(col='text')}) AS w
+    FROM documents
+  )
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM f),
+w0 AS (SELECT unnest(range(0, {LR_B})) AS j, CAST(0 AS BIGINT) AS w)
+"""
+
+
+def _lr_step_sql(k: int) -> str:
+    return f"""
+z{k} AS (
+  SELECT f.doc_id, f.y, coalesce(sum(w.w), 0) AS z
+  FROM f LEFT JOIN w{k} w ON w.j = f.j
+  GROUP BY f.doc_id, f.y
+),
+e{k} AS (SELECT doc_id, {_LR_ERR_SQL} AS err FROM z{k}),
+g{k} AS (
+  SELECT f.j, sum(e.err) AS g
+  FROM f JOIN e{k} e ON e.doc_id = f.doc_id
+  GROUP BY f.j
+),
+w{k + 1} AS (
+  SELECT w.j,
+    CAST(w.w - floor(CAST(coalesce(g.g, 0) * {LR_NUM} AS DOUBLE)
+         / ({LR_DEN}e0 * (SELECT n FROM nd))) AS BIGINT) AS w
+  FROM w{k} w LEFT JOIN g{k} g ON g.j = w.j
+)"""
+
+
+def _lr_weights_oracle() -> str:
+    steps = ",".join(_lr_step_sql(k) for k in range(LR_ITERS))
+    return f"""
+WITH {_lr_feats_sql().strip()},
+{steps}
+SELECT j AS bucket, w AS w_e6 FROM w{LR_ITERS}
+"""
+
+
+def _lr_score_oracle() -> str:
+    steps = ",".join(_lr_step_sql(k) for k in range(LR_ITERS))
+    k = LR_ITERS
+    return f"""
+WITH {_lr_feats_sql().strip()},
+{steps},
+zf AS (
+  SELECT f.doc_id, f.y, coalesce(sum(w.w), 0) AS z
+  FROM f LEFT JOIN w{k} w ON w.j = f.j
+  GROUP BY f.doc_id, f.y
+)
+SELECT doc_id, {_LR_P_SQL} AS p_e6,
+  CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+  CAST(y AS BIGINT) AS label
+FROM zf
+"""
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= LR_LABEL_CHARS, 1).otherwise(0).alias("y"),
+        F.explode(F.expr(_WORDS_SPARK.format(col="text"))).alias("w"),
+    )
+    return tok.select(
+        "doc_id", "y", F.expr(_LR_BUCKET_SQL.format(w="w")).alias("j")
+    ).distinct()
+
+
+def _lr_train(spark: SparkSession, sf_dir: str):
+    """Returns (feats, nd, weights) after LR_ITERS integer-GD steps.
+
+    feats is persisted — it is rescanned 2x per iteration (forward pass +
+    gradient) and once more for scoring. weights stays a B-row DataFrame the
+    whole time (broadcast-joined), never collected to the driver.
+    """
+    feats = _lr_feats(spark, sf_dir).persist()
+    nd = feats.agg(F.countDistinct("doc_id").alias("n"))
+    w = spark.range(LR_B).select(
+        F.col("id").cast("bigint").alias("j"),
+        F.lit(0).cast("bigint").alias("w"),
+    )
+    for _ in range(LR_ITERS):
+        z = (
+            feats.join(F.broadcast(w), "j", "left")
+            .groupBy("doc_id", "y")
+            .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("z"))
+        )
+        err = z.select("doc_id", F.expr(_LR_ERR_SQL).alias("err"))
+        g = (
+            feats.join(err, "doc_id")
+            .groupBy("j")
+            .agg(F.sum("err").alias("g"))
+        )
+        w = (
+            w.join(g, "j", "left")
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "j",
+                F.expr(
+                    f"CAST(w - floor(CAST(coalesce(g, 0) * {LR_NUM} AS DOUBLE)"
+                    f" / ({LR_DEN}e0 * n)) AS BIGINT)"
+                ).alias("w"),
+            )
+        )
+    return feats, w
+
+
+@register("quality_lr_weights", _lr_weights_oracle())
+def q_quality_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, w = _lr_train(spark, sf_dir)
+    return w.select(F.col("j").alias("bucket"), F.col("w").alias("w_e6"))
+
+
+@register("quality_lr_score", _lr_score_oracle())
+def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, w = _lr_train(spark, sf_dir)
+    z = (
+        feats.join(F.broadcast(w), "j", "left")
+        .groupBy("doc_id", "y")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("z"))
+    )
+    return z.select(
+        "doc_id",
+        F.expr(_LR_P_SQL).alias("p_e6"),
+        F.when(F.col("z") > 0, 1).otherwise(0).cast("bigint").alias("pred"),
+        F.col("y").cast("bigint").alias("label"),
+    )
