@@ -72,6 +72,11 @@ HEADLINE = [
     "pipe_shuffle_shard",   # corpus prep: seeded training-order shuffle
     "dedup_substr_prod",    # training-data: substring spans at production knobs
     "text_collocations",    # training-data: PMI bigram collocations
+    # late round-4 web-graph & learned-quality block
+    "extract_links",        # webtext: SPEC §5 outlink product (real parse)
+    "dedup_lines_boiler",   # webtext: CCNet line/segment boilerplate dedup
+    "pipe_dsir",            # corpus prep: DSIR importance weights (2-scan)
+    "quality_lr_score",     # corpus prep: trained LR quality filter (3 GD steps)
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

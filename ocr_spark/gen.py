@@ -517,6 +517,56 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
           + _salad(rng, "en", 25, 0.5) + "</p></body></html>").encode(
              "windows-1251"),
          "en"),
+        # --- SPEC §5 outlink torture (appended round 4; earlier goldens
+        # unchanged) -----------------------------------------------------
+        ("links-basic",
+         ("<html><body><p>the of a " + _salad(rng, "en", 30, 0.5)
+          + ' see <a href="https://partner.example/x?y=1">the partner page'
+            '</a> and <a href="/relative/path">a local one</a>.</p>'
+            "</body></html>").encode(),
+         "en"),
+        ("links-discards",
+         (b'<p><a href="javascript:alert(1)">js</a>'
+          b'<a href="#top">frag</a><a href="mailto:a@b.c">mail</a>'
+          b'<a href="tel:+15551234">tel</a><a href="DATA:text/plain,x">d</a>'
+          b'<a href="">empty</a><a href>bare</a><a>none</a>'
+          b'<a href="https://kept.example/only">the only kept one</a></p>'),
+         "en"),
+        ("links-nested-implicit-close",
+         (b'<p><a href="https://outer.example/1">outer text '
+          b'<a href="https://inner.example/2">inner</a> tail after</a></p>'),
+         "en"),
+        ("links-whitespace-href",
+         ("<p><a href=\" \thttps://sp.example/a\n \">tab newline soup"
+          "</a><a href='/ke\tpt\npath'>inner ws removed</a></p>").encode(),
+         "en"),
+        ("links-unquoted-and-case",
+         b'<p><a HREF=/UNQUOTED-caps id=z>the unquoted one</a>'
+         b'<a href = "/spaced/eq" >spaced equals</a></p>',
+         "en"),
+        ("links-selfclose-and-unterminated",
+         b'<p><a href="/void"/>after the void '
+         b'<a href="/runs-to-eof">to the end of the document',
+         "en"),
+        ("links-in-skip-regions",
+         b'<script><a href="/in-script">x</a></script>'
+         b'<template><a href="/in-template">y</a></template>'
+         b'<p><a href="/visible">the visible one</a></p>',
+         "en"),
+        ("links-entity-href",
+         # &#47; decodes to '/' in the attribute value; &amp; to '&';
+         # entity-decoded scheme (ma&#105;lto:) must still be discarded
+         b'<p><a href="/a&#47;b?x=1&amp;y=2">entity href</a>'
+         b'<a href="ma&#105;lto:no@no">hidden mailto</a></p>',
+         "en"),
+        ("links-anchor-across-blocks",
+         # anchor text spans a block boundary: blocks flush at <p>, the
+         # anchor keeps accumulating until </a>
+         b'<div><a href="/span">first part<p>second part</p>third</a></div>',
+         "en"),
+        ("links-nav-farm",
+         _nav(rng, n_links=40).encode(),
+         "en"),
     ]
     return cases
 

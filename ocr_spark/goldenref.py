@@ -26,8 +26,10 @@ from ocr_spark.spec import (
     LEN_SHORT,
     MAX_BLOCKS,
     MAX_LINK_DENSITY,
+    MAX_LINKS,
     PUNCT,
     SEP,
+    SKIP_SCHEMES,
     SKIP_TAGS,
     STOP_GOOD,
     STOP_NEAR,
@@ -141,8 +143,30 @@ def _sniff_decode(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
+def _href_norm(value):
+    """SPEC.md §5.3–5.5, reference impl: manual char scan (no regex)."""
+    if value is None:
+        return None
+    kept = []
+    for ch in value.strip(" \t\n\r\f\v"):
+        if ch not in "\t\n\r":
+            kept.append(ch)
+    s = "".join(kept)
+    if s == "" or s[0] == "#":
+        return None
+    if s[0].isascii() and s[0].isalpha():
+        i = 1
+        while i < len(s) and (
+            (s[i].isascii() and s[i].isalnum()) or s[i] in "+.-"
+        ):
+            i += 1
+        if i < len(s) and s[i] == ":" and s[:i].lower() in SKIP_SCHEMES:
+            return None
+    return s
+
+
 class _GoldenHTML(HTMLParser):
-    """Event recorder for the SPEC.md §1 tokenizer rules (reference impl)."""
+    """Event recorder for the SPEC.md §1/§5 tokenizer rules (reference impl)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -153,6 +177,23 @@ class _GoldenHTML(HTMLParser):
         self.frag_link_len = 0
         self.block_ctx: tuple[str, int] | None = None
         self.raw_blocks: list[tuple[str, int, str, int]] = []
+        self.links: list[dict] = []
+        self.open_href = None
+        self.open_anchor: list[str] = []
+
+    def _close_link(self) -> None:
+        if self.open_href is None:
+            return
+        if len(self.links) < MAX_LINKS:
+            self.links.append(
+                {
+                    "link_id": len(self.links),
+                    "href": self.open_href,
+                    "anchor": _normalize("".join(self.open_anchor)),
+                }
+            )
+        self.open_href = None
+        self.open_anchor = []
 
     def _emit(self) -> None:
         if self.fragments:
@@ -171,6 +212,16 @@ class _GoldenHTML(HTMLParser):
             self.n_skip += 1
         if tag == "a":
             self.n_anchor += 1
+            if self.n_skip == 0:
+                self._close_link()
+                href = None
+                for name, val in attrs:
+                    if name == "href":
+                        href = val
+                        break
+                norm = _href_norm(href)
+                if norm is not None:
+                    self.open_href = norm
         if tag not in VOID_TAGS:
             self.open_tags.append(tag)
 
@@ -179,8 +230,11 @@ class _GoldenHTML(HTMLParser):
             self._emit()
         if tag in SKIP_TAGS and self.n_skip:
             self.n_skip -= 1
-        if tag == "a" and self.n_anchor:
-            self.n_anchor -= 1
+        if tag == "a":
+            if self.n_anchor:
+                self.n_anchor -= 1
+            if self.n_skip == 0:
+                self._close_link()
         for i in range(len(self.open_tags) - 1, -1, -1):
             if self.open_tags[i] == tag:
                 self.open_tags = self.open_tags[:i]
@@ -189,10 +243,23 @@ class _GoldenHTML(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         if tag in BLOCK_TAGS:
             self._emit()
+        if tag == "a" and self.n_skip == 0:
+            self._close_link()
+            href = None
+            for name, val in attrs:
+                if name == "href":
+                    href = val
+                    break
+            norm = _href_norm(href)
+            if norm is not None:
+                self.open_href = norm
+                self._close_link()
 
     def handle_data(self, data):
         if self.n_skip or data == "":
             return
+        if self.open_href is not None:
+            self.open_anchor.append(data)
         if self.block_ctx is None and data.strip() != "":
             enclosing = "body"
             for t in self.open_tags[::-1]:
@@ -292,6 +359,7 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
     stops = stopword_set(lang)
     kind = "empty"
     blocks: list[dict] = []
+    links: list[dict] = []
     if html:
         decoded = _sniff_decode(html)
         obj = None
@@ -323,6 +391,8 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
             except Exception:
                 pass
             p._emit()
+            p._close_link()
+            links = p.links
             for i, (tag, depth, text, link_len) in enumerate(
                 p.raw_blocks[:MAX_BLOCKS]
             ):
@@ -358,4 +428,5 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
         "text_sha256": hashlib.sha256(extracted_text.encode("utf-8")).hexdigest(),
         "n_blocks": len(blocks),
         "n_content_blocks": len(content),
+        "links": links,
     }

@@ -87,6 +87,25 @@ def sniff_decode(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
+# SPEC.md §5.4–5.5 href normalization. A scheme prefix per RFC 3986.
+_SCHEME_RX = re.compile(r"([A-Za-z][A-Za-z0-9+.\-]*):")
+_HREF_STRIP = " \t\n\r\f\v"  # ASCII whitespace (not full Unicode str.strip)
+_HREF_DEL = {9: None, 10: None, 13: None}  # TAB/LF/CR removed anywhere
+
+
+def _norm_href(value: str | None) -> str | None:
+    """Normalize a raw href attribute value; None = not a web outlink."""
+    if value is None:
+        return None
+    v = value.strip(_HREF_STRIP).translate(_HREF_DEL)
+    if not v or v[0] == "#":
+        return None
+    m = _SCHEME_RX.match(v)
+    if m and m.group(1).lower() in spec.SKIP_SCHEMES:
+        return None
+    return v
+
+
 class _BlockParser(HTMLParser):
     """HTMLParser subclass implementing the SPEC.md §1 event rules."""
 
@@ -100,6 +119,9 @@ class _BlockParser(HTMLParser):
         "ctx_depth",
         "blocks",
         "stopset",
+        "links",
+        "link_href",
+        "link_buf",
     )
 
     def __init__(self) -> None:
@@ -116,8 +138,11 @@ class _BlockParser(HTMLParser):
         self.ctx_depth = 0
         self.blocks: list[dict] = []
         self.stopset = stopset
+        self.links: list[dict] = []
+        self.link_href: str | None = None
+        self.link_buf: list[str] = []
 
-    # --- event handlers (SPEC.md §1) --------------------------------------
+    # --- event handlers (SPEC.md §1, §5) -----------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in spec.BLOCK_TAGS:
             self._flush()
@@ -125,6 +150,14 @@ class _BlockParser(HTMLParser):
             self.skip_depth += 1
         if tag == "a":
             self.anchor_depth += 1
+            if self.skip_depth == 0:
+                # SPEC §5.2: any <a> start implicitly closes the open link
+                self._finalize_link()
+                href = _norm_href(next(
+                    (v for k, v in attrs if k == "href"), None
+                ))
+                if href is not None:
+                    self.link_href = href
         if tag not in spec.VOID_TAGS:
             self.stack.append(tag)
 
@@ -133,8 +166,11 @@ class _BlockParser(HTMLParser):
             self._flush()
         if tag in spec.SKIP_TAGS and self.skip_depth > 0:
             self.skip_depth -= 1
-        if tag == "a" and self.anchor_depth > 0:
-            self.anchor_depth -= 1
+        if tag == "a":
+            if self.anchor_depth > 0:
+                self.anchor_depth -= 1
+            if self.skip_depth == 0:
+                self._finalize_link()
         stack = self.stack
         if tag in stack:
             # pop up to and including the last occurrence (implicit closes)
@@ -144,10 +180,21 @@ class _BlockParser(HTMLParser):
     def handle_startendtag(self, tag: str, attrs) -> None:
         if tag in spec.BLOCK_TAGS:
             self._flush()
+        if tag == "a" and self.skip_depth == 0:
+            # SPEC §5.6: <a href=x/> opens and finalizes immediately
+            self._finalize_link()
+            href = _norm_href(next(
+                (v for k, v in attrs if k == "href"), None
+            ))
+            if href is not None:
+                self.link_href = href
+                self._finalize_link()
 
     def handle_data(self, data: str) -> None:
         if self.skip_depth > 0 or not data:
             return
+        if self.link_href is not None:
+            self.link_buf.append(data)
         if self.ctx_tag is None and not data.isspace():
             tag = "body"
             for t in reversed(self.stack):
@@ -159,6 +206,21 @@ class _BlockParser(HTMLParser):
         self.buf.append(data)
         if self.anchor_depth > 0:
             self.link_chars += len(" ".join(data.split()))
+
+    # --- link emission (SPEC.md §5) -----------------------------------------
+    def _finalize_link(self) -> None:
+        if self.link_href is None:
+            return
+        if len(self.links) < spec.MAX_LINKS:
+            self.links.append(
+                {
+                    "link_id": len(self.links),
+                    "href": self.link_href,
+                    "anchor": " ".join("".join(self.link_buf).split()),
+                }
+            )
+        self.link_href = None
+        self.link_buf = []
 
     # --- block emission ----------------------------------------------------
     def _flush(self) -> None:
@@ -299,6 +361,39 @@ _SIMPLE_TAG = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?=[\t\n\r\f />])"
     r"((?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*?)(/?)>"
 )
+
+# Strict attribute item for the fast path, parsed ONLY for <a> tags (the
+# other tags' attributes are semantically ignored). Deliberately a SUBSET of
+# html.parser's attrfind_tolerant: names must start with a letter, values
+# must be cleanly quoted or quote/space/=-free. Anything the subset can't
+# fully consume bails the document to html.parser — the same discipline the
+# rest of the fast path uses for every ambiguity (fast and slow must agree
+# byte-for-byte, so the fast path only handles what it can prove).
+_FAST_ATTR = re.compile(
+    r"\s+([a-zA-Z][a-zA-Z0-9_:.\-]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+)
+
+
+def _fast_attrs(raw: str) -> list[tuple[str, str | None]] | None:
+    """Parse a fast-path attribute string; None = bail to html.parser.
+
+    The fast path guarantees `raw` contains no '&' (charrefs bail earlier),
+    so values need no unescaping — html.parser would produce the same text.
+    """
+    out: list[tuple[str, str | None]] = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        m = _FAST_ATTR.match(raw, pos)
+        if m is None:
+            return None if raw[pos:].strip() else out
+        name, val = m.group(1), m.group(2)
+        if val is not None and val[:1] in ('"', "'"):
+            val = val[1:-1]
+        out.append((name.lower(), val))
+        pos = m.end()
+    return out
 # html.parser gives only <script>/<style> CDATA treatment
 _CDATA_ELEMS = frozenset(("script", "style"))
 _CDATA_CLOSE = {
@@ -363,9 +458,21 @@ def _fast_scan(decoded: str, h: _BlockParser) -> bool:
             # attribute value (NOT self-closing) — bail on that ambiguity
             if "=" in attrs and attrs.rstrip()[-1:] not in ('"', "'"):
                 return False
-            h.handle_startendtag(name, ())
+            if name == "a" and attrs.strip():
+                parsed = _fast_attrs(attrs)
+                if parsed is None:
+                    return False
+                h.handle_startendtag(name, parsed)
+            else:
+                h.handle_startendtag(name, ())
         else:
-            h.handle_starttag(name, ())
+            if name == "a" and attrs.strip():
+                parsed = _fast_attrs(attrs)
+                if parsed is None:
+                    return False
+                h.handle_starttag(name, parsed)
+            else:
+                h.handle_starttag(name, ())
             if name in _CDATA_ELEMS:
                 if not _CDATA_FAST:
                     return False  # html.parser CDATA rules changed: bail
@@ -388,14 +495,14 @@ def parse_payload(
     lang: str | None,
     parser: _BlockParser | None = None,
     force_slow: bool = False,
-) -> tuple[str, list[dict]]:
-    """Parse one page payload → (kind, blocks). SPEC.md §0 dispatch.
+) -> tuple[str, list[dict], list[dict]]:
+    """Parse one page payload → (kind, blocks, links). SPEC.md §0 dispatch.
 
     ``force_slow`` disables the fast-path tokenizer (used by the
     differential tests that prove the two tokenizers agree).
     """
     if not html:
-        return "empty", []
+        return "empty", [], []
     stopset = spec.stopword_set(lang)
     decoded = sniff_decode(html)
     stripped = decoded.lstrip()
@@ -409,14 +516,15 @@ def parse_payload(
             and obj.get("kind") == "pdf"
             and isinstance(obj.get("blocks"), list)
         ):
-            return "pdf", _pdf_blocks(obj, stopset)
+            return "pdf", _pdf_blocks(obj, stopset), []
     if parser is None:
         parser = _BlockParser()
     parser.reset()  # HTMLParser internal state
     parser._reset_doc(stopset)
     if not force_slow and _fast_scan(decoded, parser):
         parser._flush()
-        return "html", parser.blocks
+        parser._finalize_link()
+        return "html", parser.blocks, parser.links
     parser.reset()  # discard any partial fast-path events
     parser._reset_doc(stopset)
     try:
@@ -427,21 +535,24 @@ def parse_payload(
         # a pathological page yields whatever was flushed so far.
         pass
     parser._flush()
-    return "html", parser.blocks
+    parser._finalize_link()
+    return "html", parser.blocks, parser.links
 
 
 def parse_batch(
     htmls: list[bytes | None], langs: list[str | None]
-) -> tuple[list[str], list[list[dict]]]:
+) -> tuple[list[str], list[list[dict]], list[list[dict]]]:
     """Parse an Arrow batch of payloads; reuses one parser instance."""
     parser = _BlockParser()
     kinds: list[str] = []
     blocks: list[list[dict]] = []
+    links: list[list[dict]] = []
     for html, lang in zip(htmls, langs):
-        k, b = parse_payload(html, lang, parser)
+        k, b, ln = parse_payload(html, lang, parser)
         kinds.append(k)
         blocks.append(b)
-    return kinds, blocks
+        links.append(ln)
+    return kinds, blocks, links
 
 
 _BLOCK_FIELDS = (
@@ -452,16 +563,21 @@ _BLOCK_FIELDS = (
 
 def parse_batch_columnar(
     htmls: list[bytes | None], langs: list[str | None]
-) -> tuple[list[str], list[int], dict[str, list], list[bool]]:
+) -> tuple[
+    list[str], list[int], dict[str, list], list[bool],
+    list[int], list[str], list[str],
+]:
     """Parse a batch into FLAT columns + list offsets for zero-inference
     Arrow construction.
 
     ``pa.array`` over list-of-dicts walks Python objects with per-value type
     dispatch; building primitive columns + ``StructArray.from_arrays`` +
     ``ListArray.from_arrays`` measured ~2x faster end-to-end in the
-    mapInArrow worker. Returns (kinds, offsets, columns, bbox_is_null) where
-    offsets has len(htmls)+1 entries and each columns[f] is the concatenation
-    of field f over all blocks of all documents in order.
+    mapInArrow worker. Returns (kinds, offsets, columns, bbox_is_null,
+    link_offsets, hrefs, anchors) where offsets/link_offsets have
+    len(htmls)+1 entries and each flat column is the concatenation over all
+    documents in order (links per SPEC.md §5; link_id is implicit — the
+    position within a document's slice).
     """
     parser = _BlockParser()
     kinds: list[str] = []
@@ -469,6 +585,9 @@ def parse_batch_columnar(
     cols: dict[str, list] = {f: [] for f in _BLOCK_FIELDS}
     cols.update({"x0": [], "y0": [], "x1": [], "y1": []})
     bbox_null: list[bool] = []
+    link_offsets: list[int] = [0]
+    hrefs: list[str] = []
+    anchors: list[str] = []
     appenders = [(f, cols[f].append) for f in _BLOCK_FIELDS]
     x0a, y0a, x1a, y1a = (
         cols["x0"].append, cols["y0"].append, cols["x1"].append,
@@ -476,11 +595,17 @@ def parse_batch_columnar(
     )
     bna = bbox_null.append
     n = 0
+    nl = 0
     for html, lang in zip(htmls, langs):
-        kind, blocks = parse_payload(html, lang, parser)
+        kind, blocks, links = parse_payload(html, lang, parser)
         kinds.append(kind)
         n += len(blocks)
         offsets.append(n)
+        nl += len(links)
+        link_offsets.append(nl)
+        for lk in links:
+            hrefs.append(lk["href"])
+            anchors.append(lk["anchor"])
         for b in blocks:
             for f, app in appenders:
                 app(b[f])
@@ -492,4 +617,4 @@ def parse_batch_columnar(
                 bna(False)
                 x0a(bbox["x0"]); y0a(bbox["y0"])
                 x1a(bbox["x1"]); y1a(bbox["y1"])
-    return kinds, offsets, cols, bbox_null
+    return kinds, offsets, cols, bbox_null, link_offsets, hrefs, anchors

@@ -41,7 +41,9 @@ PARSED_DDL = (
     " blocks array<struct<block_id: int, tag: string, depth: int,"
     " text: string, text_len: int, n_words: int, n_link_chars: int,"
     " link_density: double, char_density: double, stopword_density: double,"
-    " bbox: struct<x0: double, y0: double, x1: double, y1: double>>>"
+    " bbox: struct<x0: double, y0: double, x1: double, y1: double>>>,"
+    # SPEC.md §5 outlinks; link_id is the array position (posexplode emits it)
+    " links array<struct<href: string, anchor: string>>"
 )
 
 SPANS_DDL = (
@@ -113,7 +115,9 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
 
     htmls = batch.column("html").to_pylist()
     langs = batch.column("lang").to_pylist()
-    kinds, offsets, cols, bbox_null = parse_batch_columnar(htmls, langs)
+    (
+        kinds, offsets, cols, bbox_null, link_offsets, hrefs, anchors,
+    ) = parse_batch_columnar(htmls, langs)
 
     bytes_in = pc.coalesce(
         pc.cast(pc.binary_length(batch.column("html")), pa.int64()),
@@ -138,6 +142,16 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
     blocks_arr = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), struct_arr
     )
+    links_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(hrefs, type=pa.string()),
+            pa.array(anchors, type=pa.string()),
+        ],
+        names=["href", "anchor"],
+    )
+    links_arr = pa.ListArray.from_arrays(
+        pa.array(link_offsets, type=pa.int32()), links_struct
+    )
     return pa.RecordBatch.from_arrays(
         [
             batch.column("url"),
@@ -147,10 +161,11 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
             bytes_in,
             pa.array(kinds, type=pa.string()),
             blocks_arr,
+            links_arr,
         ],
         names=[
             "url", "warc_ts", "lang", "part_id", "bytes_in", "kind",
-            "blocks",
+            "blocks", "links",
         ],
     )
 
@@ -348,6 +363,34 @@ def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
         "n_blocks",
         "n_content_blocks",
         "part_id",
+    )
+
+
+def extract_outlinks(
+    df: DataFrame,
+    num_parts: int = DEFAULT_NUM_PARTS,
+) -> DataFrame:
+    """SPEC.md §5 outlink product: one row per (page, link), document order.
+
+    The classic Common-Crawl side product (the WAT link graph): hrefs are as
+    written (normalized per §5.4) — host attribution/resolution is the
+    relational stage ``queries_webgraph.link_host_expr``. Same plan shape as
+    extraction: one mapInArrow hop, then a JVM-side posexplode — narrow
+    end-to-end, no shuffle.
+    """
+    parsed = parse_pages(df, num_parts)
+    return parsed.select(
+        "url",
+        "warc_ts",
+        "part_id",
+        F.posexplode("links").alias("link_id", "_l"),
+    ).select(
+        "url",
+        "warc_ts",
+        "part_id",
+        "link_id",
+        F.col("_l.href").alias("href"),
+        F.col("_l.anchor").alias("anchor"),
     )
 
 

@@ -692,13 +692,18 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   6. everything r03-graded goes to the tail list.
 #
 # ROUND-5 ROTATION PLAN (do this at the start of r05): the r04 head is
-# EXACTLY the 50-cap (35 rotation + 14 corpus-block-2 + scan_counts), so
-# the entries missing an r04 row are precisely _R03_DRIVER_GRADED minus
-# scan_counts — 46 entries, all r03-green. Build _PRIORITY_R05 = [those
-# 46, in this file's order], then extract_wrapped, then anything new in
-# r05 (that leaves ~3 bonus slots for the freshest r04 head entries if
-# nothing new lands). Demote this round's head to the tail list. Verify
-# with `list(all_queries())[:50]` before committing.
+# EXACTLY the 50-cap (35 rotation + 14 corpus-block-2 + extract_links),
+# so the entries missing an r04 row are (a) the 6 LATE round-4 webgraph
+# entries past the cap (graph_hostlinks, graph_pagerank,
+# dedup_lines_boiler, pipe_dsir, quality_lr_weights,
+# quality_lr_score — brand new, NEVER
+# driver-graded; they must lead _PRIORITY_R05) and (b) _R03_DRIVER_GRADED
+# minus scan_counts — 46 entries, all r03-green. Build _PRIORITY_R05 =
+# [the 6 late entries, then those 46 in this file's order], then
+# extract_wrapped (that fills the 50-cap: 6 + 43 fit; the lowest-risk
+# r03-green fn_* rows can yield slots if anything new lands in r05).
+# Demote this round's head to the tail list. Verify with
+# `list(all_queries())[:50]` before committing.
 _PRIORITY_R04 = [
     # (1) changed after its last driver grading — grade first
     "join_cross",

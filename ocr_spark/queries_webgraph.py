@@ -27,13 +27,166 @@ rather than exp(), whose last-ulp behavior is libm-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.queries import register, t
 
 _WORDS_SPARK = "filter(split({col}, ' '), x -> x != '')"
 _WORDS_SQL = "list_filter(string_split({col}, ' '), x -> x != '')"
+
+
+# --- outlink extraction (SPEC.md §5) --------------------------------------------------
+# The driver-graded face of operators/extract.extract_outlinks: wrap each
+# document in a synthetic page carrying five anchors (two absolute partner
+# links, one content-derived relative link, plus a javascript: and a #fragment
+# candidate that §5 discards), run the REAL mapInArrow parse, and let the
+# oracle reconstruct the three surviving links per document from first
+# principles. This grades the whole chain — attribute capture, href
+# normalization, discard rules, anchor-text normalization, link_id order —
+# not just the relational tail.
+
+_LINK_WRAP_DOC = """
+the synthetic page for doc_id D (url https://s{D%5}.src.example/d/D):
+  <a href="https://h{D%7}.partner.example/x/D">partner D</a>      (kept, 0)
+  <a href="javascript:void(0)">skip</a> <a href="#top">top</a>    (discarded)
+  <a href="/w/D?ref=1">{first word of text, sanitized}</a>        (kept, 1)
+  <a href="//h{(D+3)%7}.partner.example/y?d=D">next D</a>         (kept, 2)
+"""
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    word = F.regexp_replace(
+        F.expr(f"element_at({_WORDS_SPARK.format(col='text')}, 1)"),
+        "[^a-z0-9]", "",
+    )
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".src.example/d/"), did,
+        ).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><p>See <a href="https://h'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('.partner.example/x/'), did,
+                F.lit('">partner '), did,
+                F.lit('</a> <a href="javascript:void(0)">skip</a>'
+                      ' <a href="#top">top</a>'
+                      ' <a href="/w/'), did,
+                F.lit('?ref=1">'), word,
+                F.lit('</a> <a href="//h'),
+                ((F.col("doc_id") + 3) % 7).cast("string"),
+                F.lit('.partner.example/y?d='), did,
+                F.lit('">next '), did, F.lit("</a></p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+
+
+_LINKS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+    'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.src.example/d/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    regexp_replace(
+      list_extract({_WORDS_SQL.format(col='text')}, 1),
+      '[^a-z0-9]', '', 'g') AS w1
+  FROM documents
+)
+SELECT url, CAST(0 AS INT) AS link_id,
+  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.partner.example/x/'
+    || CAST(doc_id AS VARCHAR) AS href,
+  'partner ' || CAST(doc_id AS VARCHAR) AS anchor
+FROM d
+UNION ALL
+SELECT url, CAST(1 AS INT) AS link_id,
+  '/w/' || CAST(doc_id AS VARCHAR) || '?ref=1' AS href,
+  w1 AS anchor
+FROM d
+UNION ALL
+SELECT url, CAST(2 AS INT) AS link_id,
+  '//h' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.partner.example/y?d='
+    || CAST(doc_id AS VARCHAR) AS href,
+  'next ' || CAST(doc_id AS VARCHAR) AS anchor
+FROM d
+"""
+
+
+@register("extract_links", _LINKS_ORACLE)
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.extract import extract_outlinks
+
+    links = extract_outlinks(_link_pages(spark, sf_dir))
+    return links.select("url", "link_id", "href", "anchor")
+
+
+def link_host_expr(href: Column, src_host: Column) -> Column:
+    """SPEC §5.8 downstream host attribution, pure JVM expressions:
+    absolute URLs contribute their authority's host (userinfo/port
+    stripped), protocol-relative ('//host/...') likewise, everything else
+    (relative paths, queries, fragments survived by §5) resolves to the
+    source page's host. Hosts are lowercased. (IPv6 bracket literals are out
+    of scope for the frozen rule.)"""
+    abs_host = F.regexp_extract(
+        href, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1
+    )
+    rel_host = F.regexp_extract(
+        href, r"^//(?:[^/?#@]*@)?([^/?#:]*)", 1
+    )
+    return F.when(
+        href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), F.lower(abs_host)
+    ).when(href.startswith("//"), F.lower(rel_host)).otherwise(src_host)
+
+
+_HOSTLINKS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    's' || CAST(doc_id % 5 AS VARCHAR) || '.src.example' AS src_host
+  FROM documents
+),
+e AS (
+  SELECT src_host,
+    'h' || CAST(doc_id % 7 AS VARCHAR) || '.partner.example' AS dst_host
+  FROM d
+  UNION ALL
+  SELECT src_host, src_host AS dst_host FROM d
+  UNION ALL
+  SELECT src_host,
+    'h' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.partner.example' AS dst_host
+  FROM d
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host
+"""
+
+
+@register("graph_hostlinks", _HOSTLINKS_ORACLE)
+def q_graph_hostlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: the WAT-style aggregation feeding
+    graph_pagerank at corpus scale. The oracle derives the expected edges
+    from first principles (doc_id arithmetic), so the Spark-side regex host
+    resolution is verified against an independent derivation."""
+    from ocr_spark.operators.extract import extract_outlinks
+
+    links = extract_outlinks(_link_pages(spark, sf_dir))
+    src_host = F.lower(
+        F.regexp_extract(
+            F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1
+        )
+    )
+    e = links.select(
+        src_host.alias("src_host"),
+        link_host_expr(F.col("href"), src_host).alias("dst_host"),
+    )
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links")
+    )
 
 
 # --- link-graph PageRank ------------------------------------------------------------
@@ -96,6 +249,17 @@ SELECT node AS node_id, r AS rank_e6 FROM {prev}
 
 @register("graph_pagerank", _pagerank_oracle())
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative, so EAGER per-round materialization (the
+    functions/graph.py contract): each round's ranks are persisted and
+    counted, the previous round's cache is dropped immediately, and the
+    RETURNED frame is the final round's persisted ranks — callers running
+    this repeatedly in one session should ``.unpersist()`` the result. A
+    fully-lazy 5-round plan re-derives the edge relation once per rank
+    reference (measured 64 parquet scans and 4x the wall time at sf0.01);
+    at corpus scale it would re-shuffle the edge list every round.
+    """
+    from pyspark import StorageLevel
+
     li = t(spark, sf_dir, "lineitem")
     e0 = li.select(
         F.col("l_partkey").cast("bigint").alias("src"),
@@ -103,11 +267,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # one persisted edge+degree relation reused by every iteration; the
-    # checkpoint-free loop is fine at 5 rounds (lineage depth is bounded)
-    ed = e.join(deg, "src").persist()
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    # both cached relations are pre-hash-partitioned on their join keys
+    # (ed on src == ranks.node; nodes on node == contrib.node), so each
+    # round's two joins reuse the cached distribution instead of
+    # re-exchanging the edge list every iteration — at host-graph scale the
+    # per-round shuffles are the contribution aggregation only
+    ed = (
+        e.join(deg, "src").repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node")).distinct()
+        .repartition("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    prev = None
     for _ in range(PR_ITERS):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
@@ -123,7 +298,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"({PR_DAMP_NUM} * coalesce(s, 0)) div {PR_DAMP_DEN}"
                 )
             ).cast("bigint").alias("r"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()  # materialize the round; bounds recompute depth at 1
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    ed.unpersist()
+    nodes.unpersist()
     return ranks.select(
         F.col("node").alias("node_id"), F.col("r").alias("rank_e6")
     )
@@ -281,12 +462,16 @@ def q_pipe_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.expr(_DSIR_BUCKET_SQL.format(w="w")).alias("j"),
     )
+    # cnt is the whole model (B rows) and is referenced twice (totals +
+    # ratios): persist it so the corpus is scanned once for counting and
+    # once for scoring — never a third time. B rows; the cache cost is nil
+    # (callers composing repeatedly can unpersist via the catalog).
     cnt = b.groupBy("j").agg(
         (1 + F.coalesce(
             F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)), F.lit(0)
         )).alias("ct"),
         (1 + F.count(F.lit(1))).alias("cr"),
-    )
+    ).persist()
     tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     lam = cnt.crossJoin(F.broadcast(tot)).select(
         "j",
@@ -425,18 +610,26 @@ def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lr_train(spark: SparkSession, sf_dir: str):
-    """Returns (feats, nd, weights) after LR_ITERS integer-GD steps.
+    """Returns (feats, weights) after LR_ITERS integer-GD steps.
 
-    feats is persisted — it is rescanned 2x per iteration (forward pass +
-    gradient) and once more for scoring. weights stays a B-row DataFrame the
-    whole time (broadcast-joined), never collected to the driver.
+    Training is iterative, so it follows the eager-materialization contract
+    (functions/graph.py, q_graph_pagerank): feats is persisted and counted
+    once (it is scanned 2x per iteration — forward pass + gradient — plus
+    once for scoring), and each round's B-row weight table is persisted,
+    counted and the previous round dropped, so no round ever re-executes an
+    earlier round's aggregations through lineage. Weights never leave the
+    cluster (broadcast-joined, never collected). The returned frames stay
+    persisted — callers composing repeatedly should unpersist them.
     """
-    feats = _lr_feats(spark, sf_dir).persist()
+    from pyspark import StorageLevel
+
+    feats = _lr_feats(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     nd = feats.agg(F.countDistinct("doc_id").alias("n"))
     w = spark.range(LR_B).select(
         F.col("id").cast("bigint").alias("j"),
         F.lit(0).cast("bigint").alias("w"),
     )
+    prev = None
     for _ in range(LR_ITERS):
         z = (
             feats.join(F.broadcast(w), "j", "left")
@@ -459,7 +652,11 @@ def _lr_train(spark: SparkSession, sf_dir: str):
                     f" / ({LR_DEN}e0 * n)) AS BIGINT)"
                 ).alias("w"),
             )
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        w.count()  # materialize the round; bounds recompute depth at 1
+        if prev is not None:
+            prev.unpersist()
+        prev = w
     return feats, w
 
 

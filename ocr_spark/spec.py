@@ -17,6 +17,11 @@ from __future__ import annotations
 SEP = "\n"  # joins content blocks into extracted_text (byte-identity gate)
 MAX_BLOCKS = 2000  # per-document block cap (spill/skew guard at 100 TB)
 
+# --- outlinks (SPEC.md §5) -------------------------------------------------
+MAX_LINKS = 1000  # per-document outlink cap (link-farm guard)
+# hrefs with these schemes are not web outlinks and are discarded
+SKIP_SCHEMES = frozenset(("javascript", "mailto", "data", "tel"))
+
 # --- classification thresholds (SPEC.md §2) ------------------------------
 MAX_LINK_DENSITY = 0.33
 LEN_SHORT = 20

@@ -37,6 +37,7 @@ def main() -> None:
                 "spans": g["spans"],
                 "n_blocks": g["n_blocks"],
                 "n_content_blocks": g["n_content_blocks"],
+                "links": g["links"],
             }
         )
     OUT.parent.mkdir(parents=True, exist_ok=True)

@@ -317,6 +317,73 @@ def main() -> None:
         tree_of(q["sim_ann_pq"](spark, sf)),
     ))
 
+    from ocr_spark.operators.extract import extract_outlinks
+    from ocr_spark.queries_webgraph import _link_pages
+
+    sections.append((
+        "extract_outlinks (round 4 — SPEC §5 outlink product)",
+        "Same flagship shape as extraction: zero `Exchange`, exactly one "
+        "`MapInArrow` hop, then a JVM-side `Generate` (posexplode) — the "
+        "WAT-style link product is embarrassingly parallel and its "
+        "throughput scales with input splits exactly like extracted text.",
+        tree_of(extract_outlinks(_link_pages(spark, sf))),
+    ))
+
+    sections.append((
+        "graph_hostlinks (round 4 — host-level link graph)",
+        "The host attribution (absolute/protocol-relative/relative href "
+        "resolution) is pure JVM regex projection on top of the narrow "
+        "outlink plan; the ONLY Exchange is the partial+final count "
+        "aggregation on (src_host, dst_host). Nothing quadratic; the edge "
+        "aggregate is linear in extracted links.",
+        tree_of(q["graph_hostlinks"](spark, sf)),
+    ))
+
+    sections.append((
+        "graph_pagerank (round 4 — iterative, eager rounds)",
+        "Iterative algorithms follow the functions/graph.py contract: each "
+        "round is materialized (persist + count) and the previous round's "
+        "cache dropped, so recompute depth stays 1 — a fully-lazy 5-round "
+        "plan measured 64 redundant parquet scans. The cached edge relation "
+        "is pre-hash-partitioned on src (and the node list on node), so a "
+        "round's joins reuse the cached distribution; per round the only "
+        "shuffle is the contribution aggregation. The plan below is the "
+        "RETURNED final round: a projection over the in-memory relation.",
+        tree_of(q["graph_pagerank"](spark, sf)),
+    ))
+
+    sections.append((
+        "pipe_dsir (round 4 — importance weights)",
+        "The hashed-unigram model (256 rows) is computed once (persisted) "
+        "and BROADCAST back for scoring, so the corpus is scanned exactly "
+        "twice (count pass, score pass) and the scoring side never "
+        "shuffles except the per-doc weight sum — the DSIR shape that "
+        "holds at 100 TB.",
+        tree_of(q["pipe_dsir"](spark, sf)),
+    ))
+
+    sections.append((
+        "quality_lr_score (round 4 — trained LR quality filter)",
+        "Training runs inside the plan builder with eager rounds (see "
+        "graph_pagerank note): the feature relation is cached once, each "
+        "GD step joins it against a BROADCAST 64-row weight table and "
+        "aggregates gradients (two linear shuffles per step), and each "
+        "step's weights are materialized so steps never re-execute "
+        "predecessors. Scoring below is one broadcast join + one per-doc "
+        "aggregation over the cached features.",
+        tree_of(q["quality_lr_score"](spark, sf)),
+    ))
+
+    sections.append((
+        "dedup_lines_boiler (round 4 — CCNet line dedup)",
+        "Three Exchanges, all linear: the (source, segment) frequency "
+        "aggregation, the join back of frequencies to segments (same key — "
+        "the Exchange is reused), and the per-doc reassembly groupBy. "
+        "Cluster sizes never materialize as pairs; a segment shared by a "
+        "million docs costs one frequency tag per occurrence.",
+        tree_of(q["dedup_lines_boiler"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

@@ -60,19 +60,19 @@ TRICKY = [
 
 
 def _sig(html: bytes, lang: str | None):
-    kind, blocks = parse_payload(html, lang)
+    kind, blocks, links = parse_payload(html, lang)
     return kind, [
         (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
          b["stopword_density"]) for b in blocks
-    ]
+    ], links
 
 
 def _sig_slow(html: bytes, lang: str | None):
-    kind, blocks = parse_payload(html, lang, force_slow=True)
+    kind, blocks, links = parse_payload(html, lang, force_slow=True)
     return kind, [
         (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
          b["stopword_density"]) for b in blocks
-    ]
+    ], links
 
 
 def test_tricky_constructs_agree():

@@ -40,6 +40,25 @@ def test_goldenref_is_stable(golden_records):
         g = regen[(rec["url"], rec["warc_ts"])]
         assert g["extracted_text"] == rec["extracted_text"], rec["url"]
         assert g["text_sha256"] == rec["text_sha256"], rec["url"]
+        assert g["links"] == rec["links"], rec["url"]
+
+
+def test_links_exact(spark, fixture_df, golden_records):
+    """SPEC §5 gate: pipeline outlinks == golden reference, per url, exact
+    (href bytes, anchor bytes, link_id order)."""
+    from ocr_spark.operators.extract import extract_outlinks
+
+    got: dict = {}
+    for r in extract_outlinks(fixture_df).collect():
+        got.setdefault((r.url, r.warc_ts.isoformat()), []).append(
+            (r.link_id, r.href, r.anchor)
+        )
+    for rec in golden_records:
+        want = [
+            (lk["link_id"], lk["href"], lk["anchor"]) for lk in rec["links"]
+        ]
+        have = sorted(got.get((rec["url"], rec["warc_ts"]), []))
+        assert have == want, rec["url"]
 
 
 def test_rowcount(extracted, golden_records):
