@@ -94,15 +94,25 @@ _HREF_DEL = {9: None, 10: None, 13: None}  # TAB/LF/CR removed anywhere
 
 
 def _norm_href(value: str | None) -> str | None:
-    """Normalize a raw href attribute value; None = not a web outlink."""
+    """Normalize a raw href attribute value; None = not a web outlink.
+
+    Hot path (runs per anchor): the strip/translate/scheme work is guarded
+    by cheap membership checks so the overwhelmingly common clean relative
+    href ('/path') costs two `in` scans and one index.
+    """
     if value is None:
         return None
-    v = value.strip(_HREF_STRIP).translate(_HREF_DEL)
+    v = value
+    if v[:1] in _HREF_STRIP or v[-1:] in _HREF_STRIP:
+        v = v.strip(_HREF_STRIP)
+    if "\t" in v or "\n" in v or "\r" in v:
+        v = v.translate(_HREF_DEL)
     if not v or v[0] == "#":
         return None
-    m = _SCHEME_RX.match(v)
-    if m and m.group(1).lower() in spec.SKIP_SCHEMES:
-        return None
+    if ":" in v:
+        m = _SCHEME_RX.match(v)
+        if m and m.group(1).lower() in spec.SKIP_SCHEMES:
+            return None
     return v
 
 
@@ -152,10 +162,14 @@ class _BlockParser(HTMLParser):
             self.anchor_depth += 1
             if self.skip_depth == 0:
                 # SPEC §5.2: any <a> start implicitly closes the open link
-                self._finalize_link()
-                href = _norm_href(next(
-                    (v for k, v in attrs if k == "href"), None
-                ))
+                if self.link_href is not None:
+                    self._finalize_link()
+                href = None
+                for k, v in attrs:
+                    if k == "href":
+                        href = v
+                        break
+                href = _norm_href(href)
                 if href is not None:
                     self.link_href = href
         if tag not in spec.VOID_TAGS:
@@ -212,15 +226,18 @@ class _BlockParser(HTMLParser):
         if self.link_href is None:
             return
         if len(self.links) < spec.MAX_LINKS:
+            buf = self.link_buf
+            anchor = " ".join("".join(buf).split()) if buf else ""
             self.links.append(
                 {
                     "link_id": len(self.links),
                     "href": self.link_href,
-                    "anchor": " ".join("".join(self.link_buf).split()),
+                    "anchor": anchor,
                 }
             )
         self.link_href = None
-        self.link_buf = []
+        if self.link_buf:
+            self.link_buf = []
 
     # --- block emission ----------------------------------------------------
     def _flush(self) -> None:
@@ -375,12 +392,19 @@ _FAST_ATTR = re.compile(
 )
 
 
+# the overwhelmingly common anchor shape gets a single-regex fast path
+_ONLY_HREF = re.compile(r"\s+href\s*=\s*\"([^\"<]*)\"\s*$")
+
+
 def _fast_attrs(raw: str) -> list[tuple[str, str | None]] | None:
     """Parse a fast-path attribute string; None = bail to html.parser.
 
     The fast path guarantees `raw` contains no '&' (charrefs bail earlier),
     so values need no unescaping — html.parser would produce the same text.
     """
+    m = _ONLY_HREF.match(raw)
+    if m is not None:
+        return [("href", m.group(1))]
     out: list[tuple[str, str | None]] = []
     pos = 0
     n = len(raw)

@@ -693,17 +693,17 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-5 ROTATION PLAN (do this at the start of r05): the r04 head is
 # EXACTLY the 50-cap (35 rotation + 14 corpus-block-2 + extract_links),
-# so the entries missing an r04 row are (a) the 6 LATE round-4 webgraph
+# so the entries missing an r04 row are (a) the 10 LATE round-4 webgraph
 # entries past the cap (graph_hostlinks, graph_pagerank,
-# dedup_lines_boiler, pipe_dsir, quality_lr_weights,
-# quality_lr_score — brand new, NEVER
-# driver-graded; they must lead _PRIORITY_R05) and (b) _R03_DRIVER_GRADED
-# minus scan_counts — 46 entries, all r03-green. Build _PRIORITY_R05 =
-# [the 6 late entries, then those 46 in this file's order], then
-# extract_wrapped (that fills the 50-cap: 6 + 43 fit; the lowest-risk
-# r03-green fn_* rows can yield slots if anything new lands in r05).
-# Demote this round's head to the tail list. Verify with
-# `list(all_queries())[:50]` before committing.
+# dedup_lines_boiler, pipe_dsir, quality_lr_weights, quality_lr_score,
+# pipe_url_filter, pipe_host_filter, graph_anchor_text, text_normalize —
+# brand new, NEVER driver-graded; they must lead _PRIORITY_R05) and (b)
+# _R03_DRIVER_GRADED minus scan_counts — 46 entries, all r03-green. Build
+# _PRIORITY_R05 = [the 10 late entries, then as many of those 46 as fit in
+# this file's order], then extract_wrapped — the handful of r03-green fn_*
+# rows that fall past the cap rotate forward in r06 (they are the
+# lowest-risk rows in the registry). Demote this round's head to the tail
+# list. Verify with `list(all_queries())[:50]` before committing.
 _PRIORITY_R04 = [
     # (1) changed after its last driver grading — grade first
     "join_cross",

@@ -16,6 +16,12 @@ family — the remaining famous components of a Common-Crawl-scale pipeline.
   and scores integer-quantized per iteration so Spark and DuckDB agree
   exactly.
 
+Block 3b (same file): the host-level curation moves — UT1-style URL
+blocklists (broadcast dim join + map-side path regex), RefinedWeb host
+quality gating (whole low-quality hosts drop together), anchor-text
+aggregation over the real parsed link product, and CCNet-style text
+normalization applied before dedup.
+
 Cross-engine determinism (same discipline as the sibling modules): every
 cross-row SUM is over BIGINTs quantized per-row first; divisions that can see
 negative numerators use floor() on an exact double quotient (Spark `div`
@@ -30,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.queries import register, t
+from ocr_spark.queries import _LANG_CASE_SQL, register, t
 
 _WORDS_SPARK = "filter(split({col}, ' '), x -> x != '')"
 _WORDS_SQL = "list_filter(string_split({col}, ' '), x -> x != '')"
@@ -679,4 +685,266 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_LR_P_SQL).alias("p_e6"),
         F.when(F.col("z") > 0, 1).otherwise(0).cast("bigint").alias("pred"),
         F.col("y").cast("bigint").alias("label"),
+    )
+
+
+# --- block 3b: host-level curation & corpus hygiene -----------------------------------
+# The curation moves a Common-Crawl pipeline makes at the URL/host level
+# (before and around per-document filtering): URL blocklists, host-quality
+# gating (RefinedWeb drops whole hosts, not just documents), anchor-text
+# aggregation (the classic relevance/label signal carried by the link
+# graph), and CCNet-style text normalization applied before dedup.
+
+# UT1-style blocklist: banned hosts (a broadcast dimension join — the real
+# list is ~MBs, still broadcastable) + banned path segments (map-side rlike).
+URL_BLOCK_HOSTS = ("h2.example.com", "h5.example.com")
+URL_BLOCK_PATH_RX = "/(ads|tracker)/"
+_URL_CATS = ("news", "ads", "blog", "tracker", "docs")
+_CATS_SQL = "[" + ", ".join(f"'{c}'" for c in _URL_CATS) + "]"
+_CATS_SPARK = "array(" + ", ".join(f"'{c}'" for c in _URL_CATS) + ")"
+
+
+@register(
+    "pipe_url_filter",
+    f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+      || list_extract({_CATS_SQL}, CAST(doc_id % 5 AS INT) + 1)
+      || '/' || CAST(doc_id AS VARCHAR) AS url,
+    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+)
+SELECT doc_id, url,
+  CASE WHEN host IN ('{URL_BLOCK_HOSTS[0]}', '{URL_BLOCK_HOSTS[1]}')
+         THEN 'host'
+       WHEN regexp_matches(url, '{URL_BLOCK_PATH_RX}') THEN 'path'
+       ELSE 'kept' END AS verdict
+FROM u
+""",
+)
+def q_pipe_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist screen: banned hosts via a BROADCAST anti-ish join
+    (left join + verdict, so the row survives with its reason), banned path
+    segments via a map-side regex. One narrow pass; the blocklist is the
+    only state and it broadcasts."""
+    d = t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/"),
+            F.expr(f"element_at({_CATS_SPARK}, CAST(doc_id % 5 AS INT) + 1)"),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    block = spark.createDataFrame(
+        [(h,) for h in URL_BLOCK_HOSTS], ["bhost"]
+    )
+    j = u.join(F.broadcast(block), u["host"] == block["bhost"], "left")
+    return j.select(
+        "doc_id",
+        "url",
+        F.when(F.col("bhost").isNotNull(), "host")
+        .when(F.col("url").rlike(URL_BLOCK_PATH_RX), "path")
+        .otherwise("kept")
+        .alias("verdict"),
+    )
+
+
+# RefinedWeb-style host gating: a HOST whose mean per-doc quality is below
+# the gate is dropped wholesale (spam farms are host-shaped, not
+# document-shaped). Quality = per-doc stopword density quantized e4 BEFORE
+# the per-host integer mean, so the gate decision is bit-exact.
+HOST_Q_GATE_E4 = 360
+
+
+@register(
+    "pipe_host_filter",
+    f"""
+WITH q AS (
+  SELECT doc_id, source,
+    CAST(floor(len(list_filter({_WORDS_SQL.format(col='text')},
+        w -> list_contains({_LANG_CASE_SQL}, lower(w)))) * 1e4
+      / len({_WORDS_SQL.format(col='text')})) AS BIGINT) AS d_e4
+  FROM documents
+),
+h AS (
+  SELECT source, CAST(sum(d_e4) // count(*) AS BIGINT) AS host_q_e4
+  FROM q GROUP BY source
+)
+SELECT q.doc_id, q.source, h.host_q_e4
+FROM q JOIN h ON h.source = q.source
+WHERE h.host_q_e4 >= {HOST_Q_GATE_E4}
+""",
+)
+def q_pipe_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality gate: per-doc density e4 -> per-source integer
+    mean (one agg Exchange) -> join back on the same key (Exchange reused)
+    -> gate. Whole sources drop together; nothing quadratic."""
+    from ocr_spark.queries import _LANG_CASE_SPARK
+
+    d = t(spark, sf_dir, "documents")
+    d = d.withColumn("stops", F.expr(_LANG_CASE_SPARK))
+    q = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(floor(size(filter({_WORDS_SPARK.format(col='text')},"
+            f" w -> array_contains(stops, lower(w)))) * 1e4"
+            f" / size({_WORDS_SPARK.format(col='text')})) AS BIGINT)"
+        ).alias("d_e4"),
+    )
+    h = q.groupBy("source").agg(
+        F.expr("CAST(sum(d_e4) div count(*) AS BIGINT)").alias("host_q_e4")
+    )
+    return (
+        q.join(h, "source")
+        .filter(F.col("host_q_e4") >= HOST_Q_GATE_E4)
+        .select("doc_id", "source", "host_q_e4")
+    )
+
+
+# Anchor-text aggregation: what the web CALLS a page is a quality/topic
+# signal (the classic use of the WAT link graph). Top-K anchor tokens per
+# destination host, graded end-to-end through the REAL parse.
+ANCHOR_TOP_K = 5
+
+
+@register(
+    "graph_anchor_text",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+    's' || CAST(doc_id % 5 AS VARCHAR) || '.src.example' AS src_host,
+    regexp_replace(list_extract({_WORDS_SQL.format(col='text')}, 1),
+                   '[^a-z0-9]', '', 'g') AS w1
+  FROM documents
+),
+a AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.partner.example' AS dst_host,
+    'partner ' || CAST(doc_id AS VARCHAR) AS anchor FROM d
+  UNION ALL
+  SELECT src_host AS dst_host, w1 AS anchor FROM d
+  UNION ALL
+  SELECT 'h' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.partner.example',
+    'next ' || CAST(doc_id AS VARCHAR) FROM d
+),
+tok AS (
+  SELECT dst_host, unnest(string_split(anchor, ' ')) AS token FROM a
+  WHERE anchor != ''
+),
+cnt AS (
+  SELECT dst_host, token, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY dst_host, token
+),
+rk AS (
+  SELECT dst_host, token, n,
+    row_number() OVER (PARTITION BY dst_host ORDER BY n DESC, token) AS r
+  FROM cnt
+)
+SELECT dst_host, token, n, CAST(r AS INT) AS rank
+FROM rk WHERE r <= {ANCHOR_TOP_K}
+""",
+)
+def q_graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.extract import extract_outlinks
+
+    links = extract_outlinks(_link_pages(spark, sf_dir))
+    src_host = F.lower(
+        F.regexp_extract(
+            F.col("url"),
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1,
+        )
+    )
+    tok = (
+        links.filter(F.col("anchor") != "")
+        .select(
+            link_host_expr(F.col("href"), src_host).alias("dst_host"),
+            F.explode(F.split("anchor", " ")).alias("token"),
+        )
+    )
+    cnt = tok.groupBy("dst_host", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), "token")
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANCHOR_TOP_K)
+        .select("dst_host", "token", "n", "rank")
+    )
+
+
+# CCNet-style normalization applied before dedup: lowercase, unify curly
+# quotes/dashes, hash digits to 0, strip ASCII punctuation, collapse
+# whitespace. The driver corpus is already clean [a-z0-9 ], so the graded
+# query first WRAPS each text in deterministic noise (case, curly quotes,
+# em-dash, digits, punctuation) derived from doc_id — the normalizer is
+# exercised on every rule, and the oracle applies the identical frozen
+# regex chain. CJK/unicode letters are preserved (only ASCII punctuation
+# and the named typographic marks are touched). The Spark side is built
+# with the PYTHON column API (patterns never pass through the SQL string
+# parser); the DuckDB side escapes quotes per SQL rules — embedding this
+# character class in a Spark SQL literal would mangle the backslashes.
+_NORM_STEPS = (
+    ("[\u201c\u201d]", '"'),
+    ("[\u2018\u2019]", "'"),
+    ("[\u2013\u2014]", "-"),
+    ("[0-9]", "0"),
+    ("[!#$%&()*+,./:;<=>?@\\[\\]^_`{|}~\"'-]", " "),
+    ("\\s+", " "),
+)
+
+
+def _norm_duck(col: str) -> str:
+    expr = col
+    for pat, rep in _NORM_STEPS:
+        pq = pat.replace("'", "''")
+        rq = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pq}', '{rq}', 'g')"
+    return f"trim(lower({expr}))"
+
+
+def _norm_spark(col: Column) -> Column:
+    expr = col
+    for pat, rep in _NORM_STEPS:
+        expr = F.regexp_replace(expr, pat, rep)
+    return F.trim(F.lower(expr))
+
+
+_NOISY_DUCK = (
+    "'\u201cQ' || CAST(doc_id % 100 AS VARCHAR) || '\u201d \u2014 ' ||"
+    " upper(substr(text, 1, 8)) || '  (v' || CAST(doc_id % 10 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 7 AS VARCHAR) || '); ' || text"
+)
+
+
+def _noisy_spark(doc_id: Column, text: Column) -> Column:
+    return F.concat(
+        F.lit("\u201cQ"), (doc_id % 100).cast("string"),
+        F.lit("\u201d \u2014 "), F.upper(F.substring(text, 1, 8)),
+        F.lit("  (v"), (doc_id % 10).cast("string"), F.lit("."),
+        (doc_id % 7).cast("string"), F.lit("); "), text,
+    )
+
+
+@register(
+    "text_normalize",
+    f"""
+SELECT doc_id, {_norm_duck(_NOISY_DUCK)} AS norm_text,
+  md5({_norm_duck(_NOISY_DUCK)}) AS norm_md5
+FROM documents
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = _norm_spark(_noisy_spark(F.col("doc_id"), F.col("text")))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_md5"),
     )

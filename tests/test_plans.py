@@ -245,3 +245,72 @@ def test_pq_all_joins_broadcast_topk_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3
+
+
+def test_outlinks_plan_no_shuffle_single_python_hop(spark, fixture_df):
+    """SPEC §5 outlink product mirrors the flagship: narrow end-to-end,
+    exactly one JVM->Python hop, the explode JVM-side."""
+    from ocr_spark.operators.extract import extract_outlinks
+
+    plan = _plan(extract_outlinks(fixture_df))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_hostlinks_single_agg_exchange(spark):
+    """Host link-graph aggregation: the only shuffle is the partial+final
+    count on (src_host, dst_host); host attribution is JVM regex."""
+    from ocr_spark.queries_webgraph import q_graph_hostlinks
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(q_graph_hostlinks(spark, SF_SMALL))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_url_filter_broadcasts_blocklist(spark):
+    """The URL blocklist joins broadcast (the real list is MB-scale); the
+    corpus side is never shuffled."""
+    from ocr_spark.queries_webgraph import q_pipe_url_filter
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(q_pipe_url_filter(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+
+
+def test_dsir_broadcasts_model(spark):
+    """DSIR scoring: the B-row log-ratio model is broadcast back; the only
+    corpus-side Exchange is the per-doc weight aggregation."""
+    from ocr_spark.queries_webgraph import q_pipe_dsir
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(q_pipe_dsir(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # scoring side: exactly one Exchange on the doc_id aggregation path
+    # (the model-building side has its own two small aggs)
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_host_filter_reuses_group_key_exchange(spark):
+    """Per-source mean + join back on the same key: no third shuffle, no
+    Python."""
+    from ocr_spark.queries_webgraph import q_pipe_host_filter
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(q_pipe_host_filter(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # source-key aggregation + join; AQE may plan SMJ or broadcast — but
+    # never a nested loop and never a Python boundary
+    assert "NestedLoop" not in plan
+
+
+def test_text_normalize_stays_jvm_side(spark):
+    from ocr_spark.queries_webgraph import q_text_normalize
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(q_text_normalize(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "Python" not in plan

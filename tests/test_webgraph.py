@@ -302,3 +302,132 @@ def test_quality_lr_actually_learns(spark):
         sum(1 for r in rows if r.label == 0),
     ) / len(rows)
     assert acc > maj
+
+
+# --- block 3b: host-level curation & corpus hygiene -----------------------------------
+
+
+def test_pipe_url_filter_matches_python_reference(spark):
+    from ocr_spark.queries_webgraph import (
+        URL_BLOCK_HOSTS,
+        _URL_CATS,
+        q_pipe_url_filter,
+    )
+
+    rows = _duck(f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'")
+    expect = {}
+    for (doc_id,) in rows:
+        host = f"h{doc_id % 7}.example.com"
+        cat = _URL_CATS[doc_id % 5]
+        url = f"https://{host}/{cat}/{doc_id}"
+        if host in URL_BLOCK_HOSTS:
+            v = "host"
+        elif cat in ("ads", "tracker"):
+            v = "path"
+        else:
+            v = "kept"
+        expect[doc_id] = (url, v)
+    got = {
+        r.doc_id: (r.url, r.verdict)
+        for r in q_pipe_url_filter(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    assert {v for _, v in got.values()} == {"host", "path", "kept"}
+
+
+def test_pipe_host_filter_matches_python_reference(spark):
+    from ocr_spark import spec
+    from ocr_spark.queries_webgraph import HOST_Q_GATE_E4, q_pipe_host_filter
+
+    rows = _duck(
+        f"SELECT doc_id, source, lang, text FROM '{SF_SMALL}/documents.parquet'"
+    )
+    per_src: dict = {}
+    docs = []
+    for doc_id, source, lang, text in rows:
+        stops = spec.stopword_set(lang)
+        ws = _words(text)
+        ns = sum(1 for w in ws if w.lower() in stops)
+        d_e4 = math.floor(ns * 1e4 / len(ws))
+        per_src.setdefault(source, []).append(d_e4)
+        docs.append((doc_id, source, d_e4))
+    gate = {
+        s: sum(v) // len(v) for s, v in per_src.items()
+    }
+    expect = {
+        doc_id: (source, gate[source])
+        for doc_id, source, _ in docs
+        if gate[source] >= HOST_Q_GATE_E4
+    }
+    got = {
+        r.doc_id: (r.source, r.host_q_e4)
+        for r in q_pipe_host_filter(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    # the gate must actually gate: some sources kept, some dropped
+    kept_sources = {s for s, _ in got.values()}
+    assert 0 < len(kept_sources) < len(per_src)
+
+
+def test_graph_anchor_text_matches_python_reference(spark):
+    from ocr_spark.queries_webgraph import ANCHOR_TOP_K, q_graph_anchor_text
+
+    rows = _duck(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    )
+    cnt: dict = {}
+    for doc_id, text in rows:
+        w1 = "".join(
+            c for c in _words(text)[0] if c.isascii() and c.isalnum()
+        )
+        anchors = [
+            (f"h{doc_id % 7}.partner.example", f"partner {doc_id}"),
+            (f"s{doc_id % 5}.src.example", w1),
+            (f"h{(doc_id + 3) % 7}.partner.example", f"next {doc_id}"),
+        ]
+        for host, anchor in anchors:
+            if anchor == "":
+                continue
+            for tok in anchor.split(" "):
+                cnt[(host, tok)] = cnt.get((host, tok), 0) + 1
+    expect = set()
+    by_host: dict = {}
+    for (host, tok), n in cnt.items():
+        by_host.setdefault(host, []).append((-n, tok))
+    for host, items in by_host.items():
+        for r, (negn, tok) in enumerate(sorted(items)[:ANCHOR_TOP_K], 1):
+            expect.add((host, tok, -negn, r))
+    got = {
+        (r.dst_host, r.token, r.n, r.rank)
+        for r in q_graph_anchor_text(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_text_normalize_rules_and_idempotence(spark):
+    import re as _re
+
+    from ocr_spark.queries_webgraph import _NORM_STEPS, q_text_normalize
+
+    def norm(s: str) -> str:
+        for pat, rep in _NORM_STEPS:
+            s = _re.sub(pat, rep, s)
+        return s.lower().strip()
+
+    rows = _duck(f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'")
+    expect = {}
+    for doc_id, text in rows:
+        noisy = (
+            f"“Q{doc_id % 100}” — {text[:8].upper()}"
+            f"  (v{doc_id % 10}.{doc_id % 7}); {text}"
+        )
+        expect[doc_id] = norm(noisy)
+    got = {
+        r.doc_id: r.norm_text
+        for r in q_text_normalize(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    # normalization is idempotent and digit-free
+    for v in got.values():
+        assert norm(v) == v
+        assert not any(c.isdigit() and c != "0" for c in v)
