@@ -103,7 +103,7 @@ def test_pdf_payloads_never_crash_and_keep_all_text(boxes):
 def _random_doc(rng: random.Random) -> bytes:
     """Seeded adversarial html: random tag soup, entities, malformed bits."""
     tags = ["div", "p", "span", "a", "li", "ul", "table", "td", "script",
-            "style", "h1", "nav", "foo", "bar-baz", "br", "img"]
+            "style", "h1", "nav", "foo", "bar-baz", "br", "img", "a", "a"]
     out = []
     depth = 0
     for _ in range(rng.randint(1, 60)):
@@ -111,6 +111,20 @@ def _random_doc(rng: random.Random) -> bytes:
         if r < 0.35 and depth < 30:
             t = rng.choice(tags)
             attr = ' class="x" data-k="v"' if rng.random() < 0.3 else ""
+            if t == "a" and rng.random() < 0.8:
+                # fuzz the SPEC §5 href surface: quoted/unquoted/valueless,
+                # whitespace soup, discard schemes, fragments, self-closing
+                attr += rng.choice([
+                    ' href="/x/1"', " href=/unquoted", ' href=""',
+                    " href", ' href="#frag"', ' href="javascript:v(1)"',
+                    ' href="MAILTO:a@b"', ' href=" \t/ws\npath "',
+                    ' href="https://h.example/p?q=1"', ' HREF="/caps"',
+                    ' href="//proto.rel/x"', ' id="z" href="/second-attr"',
+                    ' href="tel:+1"', ' href="data:text/plain,x"',
+                ])
+                if rng.random() < 0.15:
+                    out.append(f"<{t}{attr}/>")
+                    continue
             out.append(f"<{t}{attr}>")
             depth += 1
         elif r < 0.55 and depth > 0:
@@ -198,6 +212,44 @@ def test_differential_fuzz_spark_equals_goldenref(spark):
         ], name
     # the cap actually engaged
     assert golden["max-blocks-overflow"]["n_blocks"] == spec.MAX_BLOCKS
+
+
+def test_differential_fuzz_links_spark_equals_goldenref(spark):
+    """SPEC §5 differential over the same adversarial corpus: the pipeline's
+    outlink product must equal the frozen reference's links exactly —
+    href bytes, anchor bytes, link_id order — including on tag soup,
+    junk-byte payloads and fuzzy href shapes."""
+    import datetime as dt
+
+    from ocr_spark.operators.extract import extract_outlinks
+    from ocr_spark.schemas import PAGES_SCHEMA
+
+    corpus = _adversarial_corpus()
+    golden = {
+        name: extract_document(name, html, lang)["links"]
+        for name, html, lang in corpus
+    }
+    rows = [
+        {
+            "url": name,
+            "warc_ts": dt.datetime(2024, 1, 1),
+            "html": html,
+            "text": None,
+            "lang": lang,
+        }
+        for name, html, lang in corpus
+    ]
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA).repartition(16)
+    got: dict = {name: [] for name, _, _ in corpus}
+    for r in extract_outlinks(df).collect():
+        got[r.url].append((r.link_id, r.href, r.anchor))
+    n_links = 0
+    for name, want in golden.items():
+        have = sorted(got[name])
+        expect = [(lk["link_id"], lk["href"], lk["anchor"]) for lk in want]
+        assert have == expect, name
+        n_links += len(expect)
+    assert n_links > 30  # the fuzz surface actually generated links
 
 
 # --- charset sniffer differential (SPEC.md §0 step 2 v2, round 4) ------------
