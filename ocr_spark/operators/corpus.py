@@ -154,6 +154,54 @@ def exact_keepers(
     )
 
 
+# RefinedWeb-style host gate: a host whose MEAN per-doc quality is below the
+# gate drops wholesale (spam farms are host-shaped). Quality = per-doc
+# stopword density quantized e4 BEFORE the per-host integer mean, so the
+# keep/drop decision is bit-exact across engines and partitionings.
+# (queries_webgraph.pipe_host_filter is the driver-graded face of this.)
+HOST_Q_GATE_E4 = 360
+
+
+def host_keepers(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    group_col: str = "source",
+    gate_e4: int = HOST_Q_GATE_E4,
+) -> DataFrame:
+    """Drop every document of a below-gate host. One aggregation Exchange
+    on the host key plus a join back on the same key (Exchange reused);
+    the host table is linear in distinct hosts."""
+    from ocr_spark.queries import _LANG_CASE_SPARK
+
+    words = f"filter(split({text_col}, ' '), x -> x != '')"
+    # _LANG_CASE_SPARK references the column literally as `lang`; project
+    # an alias rather than string-rewriting the expression
+    d = docs
+    if lang_col != "lang":
+        d = d.withColumn("lang", F.col(lang_col))
+    d = d.withColumn("_stops", F.expr(_LANG_CASE_SPARK))
+    if lang_col != "lang":
+        d = d.drop("lang")
+    d = d.withColumn(
+        "_d_e4",
+        F.expr(
+            f"CAST(floor(size(filter({words},"
+            f" w -> array_contains(_stops, lower(w)))) * 1e4"
+            f" / size({words})) AS BIGINT)"
+        ),
+    )
+    gate = d.groupBy(group_col).agg(
+        F.expr("CAST(sum(_d_e4) div count(*) AS BIGINT)").alias("_host_q_e4")
+    )
+    return (
+        d.join(gate, group_col)
+        .filter(F.col("_host_q_e4") >= gate_e4)
+        .drop("_stops", "_d_e4", "_host_q_e4")
+    )
+
+
 def drop_common_lines(
     docs: DataFrame,
     text_col: str = "text",
@@ -368,6 +416,9 @@ def funnel_stages(
     full_cc: bool = False,
     substr_clean: bool = False,
     substr_k: int = 16,
+    host_gate: bool = False,
+    line_dedup: bool = False,
+    group_col: str = "source",
 ) -> dict[str, DataFrame]:
     """The full stage chain as an ordered dict of survivor DataFrames.
     ``docs`` with id % eval_mod == 0 form the held-out eval split (screened
@@ -380,10 +431,35 @@ def funnel_stages(
     full dedup fixpoint before returning. ``substr_clean=True`` inserts a
     within-doc exact-substring deletion stage ("4b_substr") between
     near-dedup and the contamination screen (keep-first-occurrence rule,
-    functions/substr.substr_dedup_clean)."""
+    functions/substr.substr_dedup_clean). ``host_gate=True`` inserts
+    "1b_host" (RefinedWeb host curation — whole below-gate hosts drop
+    before per-document work, host_keepers). ``line_dedup=True`` inserts
+    "1c_lines" (CCNet common-line boilerplate removal grouped by
+    ``group_col``, rewriting ``text_col`` BEFORE dedup so shared banners
+    can't keep near-dup pages apart)."""
     train = docs.filter(F.col(id_col) % eval_mod != 0)
     ev = docs.filter(F.col(id_col) % eval_mod == 0)
-    q = quality_flags(train, text_col, id_col, th).filter(
+    hosted = None
+    if host_gate:
+        # RefinedWeb order: host-level gating FIRST — spam farms drop
+        # wholesale before any per-document work is spent on them
+        hosted = host_keepers(
+            train, text_col, id_col, lang_col, group_col
+        )
+    lined = None
+    if line_dedup:
+        # CCNet order: line-level boilerplate removal BEFORE doc-level
+        # dedup — stripping shared banners/navs is what makes otherwise
+        # distinct pages hash apart (and true dups hash together)
+        base = hosted if hosted is not None else train
+        rewritten = drop_common_lines(
+            base, text_col, id_col, group_col
+        ).select(id_col, text_col)
+        lined = base.drop(text_col).join(rewritten, id_col)
+    pre_q = lined if lined is not None else (
+        hosted if hosted is not None else train
+    )
+    q = quality_flags(pre_q, text_col, id_col, th).filter(
         F.col("flags") == 0
     )
     e = exact_keepers(q, text_col, id_col)
@@ -421,10 +497,16 @@ def funnel_stages(
     out = {
         "0_input": docs,
         "1_train": train,
+    }
+    if hosted is not None:
+        out["1b_host"] = hosted
+    if lined is not None:
+        out["1c_lines"] = lined
+    out.update({
         "2_quality": q,
         "3_exact": e,
         "4_near": n,
-    }
+    })
     if sub is not None:
         out["4b_substr"] = sub
     out["5_clean"] = c

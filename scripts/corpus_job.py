@@ -8,14 +8,18 @@ Usage (same launch mode as extract_job.py)::
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
         scripts/corpus_job.py <out_dir> [n_pages] [budget] [pages_location] \\
-        [--full-cc] [--substr-clean]
+        [--full-cc] [--substr-clean] [--host-gate] [--line-dedup]
 
 ``--full-cc`` upgrades near-dedup clustering from the one-round star pass
 to full connected components (fixpoint label propagation over the
 doc–bucket graph, ocr_spark/functions/graph.py). ``--substr-clean`` adds a
 within-doc exact-substring deletion stage after near-dedup (keep the
 corpus-first occurrence of every duplicated >=16-char run,
-ocr_spark/functions/substr.py).
+ocr_spark/functions/substr.py). ``--host-gate`` drops every document of a
+below-gate host BEFORE per-document work (RefinedWeb host curation;
+per-host integer-mean stopword density >= corpus.HOST_Q_GATE_E4).
+``--line-dedup`` rewrites documents with per-host common-line boilerplate
+removed BEFORE dedup (CCNet order; corpus.drop_common_lines).
 
 With no ``pages_location`` the job generates ``n_pages`` deterministic
 synthetic pages (ocr_spark.gen.corpus_pages — a diversity-controlled
@@ -55,6 +59,8 @@ def run_corpus_job(
     pages_location: str | None = None,
     full_cc: bool = False,
     substr_clean: bool = False,
+    host_gate: bool = False,
+    line_dedup: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -114,6 +120,10 @@ def run_corpus_job(
         # near-dedup (keep the corpus-first occurrence of every
         # duplicated >=16-char run; functions/substr.py)
         substr_clean=substr_clean,
+        # --host-gate / --line-dedup: host-level curation before the
+        # per-document funnel (RefinedWeb / CCNet order; see corpus.py)
+        host_gate=host_gate,
+        line_dedup=line_dedup,
     )
 
     # one pass per funnel stage count; the persisted stages ("3_exact",
@@ -170,6 +180,8 @@ def run_corpus_job(
             "full_cc": full_cc,
             "substr_clean": substr_clean,
         },
+        "host_gate": host_gate,
+        "line_dedup": line_dedup,
         "stage_sec": stage_sec,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
@@ -180,10 +192,12 @@ def run_corpus_job(
 
 
 def main() -> None:
-    flags = {"--full-cc", "--substr-clean"}
+    flags = {"--full-cc", "--substr-clean", "--host-gate", "--line-dedup"}
     argv = [a for a in sys.argv[1:] if a not in flags]
     full_cc = "--full-cc" in sys.argv[1:]
     substr_clean = "--substr-clean" in sys.argv[1:]
+    host_gate = "--host-gate" in sys.argv[1:]
+    line_dedup = "--line-dedup" in sys.argv[1:]
     if not argv:
         print(__doc__)
         sys.exit(2)
@@ -198,7 +212,7 @@ def main() -> None:
     try:
         print(json.dumps(run_corpus_job(
             spark, out_dir, n_pages, budget, pages_location, full_cc,
-            substr_clean,
+            substr_clean, host_gate, line_dedup,
         )))
     finally:
         spark.stop()

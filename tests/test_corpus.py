@@ -223,3 +223,65 @@ def test_corpus_job_substr_clean_flag(spark, tmp_path):
     counts = [f[k] for k in order]
     assert counts == sorted(counts, reverse=True)
     assert rep["kept_rows"] > 0 and rep["kept_tokens"] > 0
+
+
+def test_funnel_host_gate_and_line_dedup_stages(spark):
+    """The opt-in block-3 stages compose into the funnel in the documented
+    order and equal direct application of their operators."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.corpus import (
+        drop_common_lines,
+        funnel_stages,
+        host_keepers,
+    )
+
+    docs = _docs(spark)
+    stages = funnel_stages(docs, host_gate=True, line_dedup=True)
+    keys = list(stages)
+    assert keys.index("1b_host") == keys.index("1_train") + 1
+    assert keys.index("1c_lines") == keys.index("1b_host") + 1
+
+    train = stages["1_train"]
+    # 1b_host == host_keepers(train) exactly (same kept ids)
+    want_ids = {r.doc_id for r in host_keepers(train).select("doc_id").collect()}
+    got_ids = {r.doc_id for r in stages["1b_host"].select("doc_id").collect()}
+    assert got_ids == want_ids
+    # the gate actually gated at sf0.01 (some sources dropped, some kept)
+    all_src = {r.source for r in train.select("source").distinct().collect()}
+    kept_src = {
+        r.source for r in stages["1b_host"].select("source").distinct().collect()
+    }
+    assert 0 < len(kept_src) < len(all_src)
+
+    # 1c_lines: same rows as 1b_host, text rewritten per drop_common_lines
+    want_text = {
+        r.doc_id: r.text
+        for r in drop_common_lines(stages["1b_host"]).select(
+            "doc_id", "text"
+        ).collect()
+    }
+    got = {r.doc_id: r.text for r in stages["1c_lines"].collect()}
+    assert got == want_text
+
+    # downstream stages operate on the rewritten text: every kept doc's
+    # text must be one of the rewritten texts
+    q_ids = {r.doc_id for r in stages["2_quality"].select("doc_id").collect()}
+    assert q_ids <= set(got)
+
+
+def test_corpus_job_host_gate_line_dedup_flags(spark, tmp_path):
+    """e2e: the job runs with both new flags and reports the new stages."""
+    from scripts.corpus_job import run_corpus_job
+
+    rep = run_corpus_job(
+        spark, str(tmp_path / "corpus"), n_pages=400, budget=256,
+        host_gate=True, line_dedup=True,
+    )
+    assert rep["host_gate"] and rep["line_dedup"]
+    f = rep["funnel"]
+    assert "1b_host" in f and "1c_lines" in f
+    assert f["1b_host"] <= f["1_train"]
+    assert f["1c_lines"] == f["1b_host"]  # rewrite, not filter
+    assert f["2_quality"] <= f["1c_lines"]
+    assert rep["kept_rows"] >= 0
