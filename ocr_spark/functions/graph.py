@@ -92,3 +92,112 @@ def bucket_connected_components(
         f"connected components did not converge in {max_iter} rounds "
         "(bucket-hop diameter exceeds max_iter)"
     )
+
+
+# --- integer-exact PageRank ----------------------------------------------------------
+# The URL/host-importance prior of a crawl pipeline, with the same
+# cross-engine determinism contract as the rest of the engine: ranks live in
+# e6 fixed point, every per-round quantity is a BIGINT, and division is
+# integer division over non-negative operands — so a DuckDB (or plain
+# Python) replay of the state machine matches bit-for-bit, and the result
+# is independent of partitioning, task order and cluster size.
+#
+#   W(u)   = sum of u's out-edge weights (out-degree when unweighted)
+#   S(v)   = sum over edges u->v of (r_k(u) * w(u,v)) div W(u)
+#   share  = (sum of r_k(u) over dangling u) div N      (dangling mass)
+#   r_{k+1}(v) = teleport_e6 + (damp_num * (S(v) + share)) div damp_den
+#
+# Scale shape (host graph at corpus scale: ~1e8 nodes, ~1e10 edges): the
+# edge relation is computed once, hash-partitioned on src and cached; per
+# round the joins reuse that distribution, so the only real per-round
+# shuffle is the contribution aggregation on dst. Rounds are EAGER
+# (persist + count, drop the previous round) per this module's contract —
+# a lazy multi-round plan re-derives the edge relation once per rank
+# reference. The returned frame stays persisted; callers running repeatedly
+# in one session should .unpersist() it.
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    teleport_e6: int = 150_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank_e6).
+
+    Edges are taken AS GIVEN: pass multiplicities via ``weight_col``
+    (e.g. graph_hostlinks' n_links) or pre-distinct them for an unweighted
+    walk. Dangling nodes (no out-edges) redistribute their mass uniformly.
+    """
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ed = (
+        e.join(ow, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()  # also materializes the node cache
+    dangling = nodes.join(
+        ow.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("bigint").alias("r")
+    )
+    prev = None
+    for _ in range(iters):
+        dm = (
+            ranks.join(dangling, "node")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dm"))
+        )
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                ed["dst"].alias("node"),
+                F.expr("(r * w) div ow").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit(teleport_e6)
+                    + F.expr(
+                        f"({damp_num} * (coalesce(s, 0)"
+                        f" + (dm div {n_nodes}))) div {damp_den}"
+                    )
+                ).cast("bigint").alias("r"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ranks.count()  # materialize the round; recompute depth stays 1
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    ed.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    return ranks.select("node", F.col("r").alias("rank_e6"))

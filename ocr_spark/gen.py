@@ -571,6 +571,54 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
     return cases
 
 
+def web_pages(spark: SparkSession, n: int, n_hosts: int = 40) -> DataFrame:
+    """Deterministic multi-host crawl with CROSS-HOST anchors — the input
+    shape for the link-graph job (scripts/linkgraph_job.py). Pure column
+    expressions, seeded; no external data.
+
+    Each page lives on a host (host 0 is hot: ~20% of pages — link-graph
+    aggregation sees the same skew extraction does) and carries four
+    anchors: two absolute links to hash-derived partner hosts, one
+    relative link (resolves to the page's own host downstream) and one
+    javascript: candidate that SPEC §5 discards. ~1% NULL html exercises
+    the empty-payload path.
+    """
+    df = spark.range(n).withColumnRenamed("id", "i")
+    h = F.abs(F.xxhash64(F.col("i").cast("string"), F.lit(9)))
+    host = F.when(h % 10 < 2, F.lit(0)).otherwise(1 + (h % (n_hosts - 1)))
+    t1 = F.pmod(F.xxhash64(F.col("i"), F.lit(7)), F.lit(n_hosts))
+    t2 = F.pmod(F.xxhash64(F.col("i"), F.lit(13)), F.lit(n_hosts))
+    para = F.concat(
+        F.expr(
+            "repeat('the data of a page is in the table and the link of it "
+            "was for the crawl ', 1 + pmod(abs(xxhash64(i, 21)), 4))"
+        ),
+        F.lit("tail "),
+        F.col("i").cast("string"),
+    )
+    istr = F.col("i").cast("string")
+    html_str = F.concat(
+        F.lit("<html><body><p>"), para,
+        F.lit(' see <a href="https://w'), t1.cast("string"),
+        F.lit('.web.example/p/'), istr, F.lit('">partner '), istr,
+        F.lit('</a> and <a href="https://w'), t2.cast("string"),
+        F.lit('.web.example/q?d='), istr, F.lit('">next '), istr,
+        F.lit('</a> plus <a href="/local/'), istr,
+        F.lit('">a local page</a>'
+              ' <a href="javascript:void(0)">noise</a>.</p></body></html>'),
+    )
+    return df.select(
+        F.concat(F.lit("https://w"), host.cast("string"),
+                 F.lit(".web.example/p/"), istr).alias("url"),
+        (F.lit(_BASE_TS) + F.make_interval(secs=(h % 86400).cast("double"))
+         ).alias("warc_ts"),
+        F.when(h % 100 == 17, F.lit(None).cast("binary"))
+        .otherwise(F.encode(html_str, "UTF-8")).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
 def fixture_pages(seed: int = 42, n_template: int = 60) -> list[dict]:
     """The golden fixture corpus: list of pages rows (dicts)."""
     rng = random.Random(seed)

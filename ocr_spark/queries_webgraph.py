@@ -255,16 +255,13 @@ SELECT node AS node_id, r AS rank_e6 FROM {prev}
 
 @register("graph_pagerank", _pagerank_oracle())
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative, so EAGER per-round materialization (the
-    functions/graph.py contract): each round's ranks are persisted and
-    counted, the previous round's cache is dropped immediately, and the
-    RETURNED frame is the final round's persisted ranks — callers running
-    this repeatedly in one session should ``.unpersist()`` the result. A
-    fully-lazy 5-round plan re-derives the edge relation once per rank
-    reference (measured 64 parquet scans and 4x the wall time at sf0.01);
-    at corpus scale it would re-shuffle the edge list every round.
-    """
-    from pyspark import StorageLevel
+    """Delegates to functions/graph.pagerank (integer-exact, eager rounds,
+    co-partitioned edge cache — see its docstring for the contract). The
+    bidirectional edge set has no dangling nodes, so the shared dangling
+    term is identically zero and the chained-CTE oracle above replays the
+    exact state machine. The returned frame stays persisted — callers
+    running repeatedly in one session should .unpersist() it."""
+    from ocr_spark.functions.graph import pagerank
 
     li = t(spark, sf_dir, "lineitem")
     e0 = li.select(
@@ -272,48 +269,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") + _PR_SUPP_OFFSET).cast("bigint").alias("dst"),
     ).distinct()
     e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # both cached relations are pre-hash-partitioned on their join keys
-    # (ed on src == ranks.node; nodes on node == contrib.node), so each
-    # round's two joins reuse the cached distribution instead of
-    # re-exchanging the edge list every iteration — at host-graph scale the
-    # per-round shuffles are the contribution aggregation only
-    ed = (
-        e.join(deg, "src").repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = pagerank(
+        e, iters=PR_ITERS, teleport_e6=PR_TELEPORT_E6,
+        damp_num=PR_DAMP_NUM, damp_den=PR_DAMP_DEN,
     )
-    nodes = (
-        e.select(F.col("src").alias("node")).distinct()
-        .repartition("node")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
-    prev = None
-    for _ in range(PR_ITERS):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(ed["dst"].alias("node"), F.expr("r div od").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(PR_TELEPORT_E6)
-                + F.expr(
-                    f"({PR_DAMP_NUM} * coalesce(s, 0)) div {PR_DAMP_DEN}"
-                )
-            ).cast("bigint").alias("r"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        ranks.count()  # materialize the round; bounds recompute depth at 1
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    ed.unpersist()
-    nodes.unpersist()
-    return ranks.select(
-        F.col("node").alias("node_id"), F.col("r").alias("rank_e6")
-    )
+    return ranks.select(F.col("node").alias("node_id"), "rank_e6")
 
 
 # --- boilerplate segment dedup (CCNet / RefinedWeb line dedup) ----------------------

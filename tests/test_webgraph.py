@@ -431,3 +431,76 @@ def test_text_normalize_rules_and_idempotence(spark):
     for v in got.values():
         assert norm(v) == v
         assert not any(c.isdigit() and c != "0" for c in v)
+
+
+# --- shared weighted PageRank + link-graph job -----------------------------------------
+
+
+def _pagerank_py(edges, iters=5, teleport=150_000, dn=85, dd=100):
+    """Pure-python integer PageRank over [(src, dst, w)] with dangling."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    ow = {}
+    for s, _, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        dm = sum(r[n] for n in nodes if n not in ow)
+        share = dm // len(nodes)
+        s = {n: 0 for n in nodes}
+        for a, b, w in edges:
+            s[b] += (r[a] * w) // ow[a]
+        r = {n: teleport + (dn * (s[n] + share)) // dd for n in nodes}
+    return r
+
+
+def test_pagerank_weighted_dangling_matches_python_reference(spark):
+    from ocr_spark.functions.graph import pagerank
+
+    # b and d are dangling; the a->b edge carries weight 3
+    edges = [
+        ("a", "b", 3), ("a", "c", 1), ("c", "a", 2), ("c", "d", 2),
+        ("e", "a", 1),  # e has in-degree 0 (teleport-only + dangling share)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "n"])
+    got = {
+        r.node: r.rank_e6
+        for r in pagerank(df, iters=4, weight_col="n").collect()
+    }
+    assert got == _pagerank_py(edges, iters=4)
+    # dangling mass actually flowed: e is teleport + share only, > teleport
+    assert got["e"] > 150_000
+
+
+def test_pagerank_unweighted_ignores_weight_col(spark):
+    from ocr_spark.functions.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank_e6 for r in pagerank(df, iters=3).collect()}
+    want = _pagerank_py([(s, d, 1) for s, d in edges], iters=3)
+    assert got == want
+
+
+def test_linkgraph_job_end_to_end(spark, tmp_path):
+    from scripts.linkgraph_job import run_linkgraph_job
+
+    rep = run_linkgraph_job(spark, str(tmp_path / "lg"), n_pages=600, iters=3)
+    assert rep["n_links"] > 1500  # ~3 kept links per non-null page
+    assert rep["n_edges"] > 40
+    assert rep["n_hosts"] >= 40
+    assert len(rep["top_hosts"]) == 10
+    # the hot host (w0) must rank near the top of the host graph
+    hosts = [t["host"] for t in rep["top_hosts"]]
+    assert "w0.web.example" in hosts
+
+    # ranks equal the pure-python replay over the written edge table
+    edges = [
+        (r.src_host, r.dst_host, r.n_links)
+        for r in spark.read.parquet(str(tmp_path / "lg" / "edges")).collect()
+    ]
+    want = _pagerank_py(edges, iters=3)
+    got = {
+        r.node: r.rank_e6
+        for r in spark.read.parquet(str(tmp_path / "lg" / "ranks")).collect()
+    }
+    assert got == want
