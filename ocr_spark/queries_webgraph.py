@@ -908,3 +908,31 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+@register("stream_hostlinks", _HOSTLINKS_ORACLE)
+def q_stream_hostlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming link-graph maintenance as a driver-visible query: the
+    wrapped pages arrive as file micro-batches (maxFilesPerTrigger=1 over
+    a 3-file copy of the corpus), each batch's outlinks fold into
+    exactly-once host-edge deltas, and the returned totals must equal the
+    BATCH aggregation — the same first-principles oracle graph_hostlinks
+    uses. Additive deltas make the totals independent of how the file
+    source slices micro-batches."""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.incremental import (
+        hostlinks_totals,
+        incremental_hostlinks,
+    )
+
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-lg-")
+    src_dir = os.path.join(work, "src")
+    _link_pages(spark, sf_dir).repartition(3).write.parquet(src_dir)
+    out = os.path.join(work, "edges")
+    ckpt = os.path.join(work, "ckpt")
+    writer, _ = incremental_hostlinks(spark, src_dir, out, ckpt)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return hostlinks_totals(spark, out)

@@ -585,3 +585,73 @@ def incremental_dedup_minhash(
         .outputMode("append")
     )
     return writer, committer
+
+
+# --- incremental link-graph maintenance (SPEC §5 over the stream) -------------
+
+class _EdgeDeltaCommitter(_BatchCommitter):
+    """foreachBatch function: aggregate the micro-batch's outlinks to host
+    edge DELTAS (src_host, dst_host, n_links) and commit them to
+    ``data/batch_id=N`` under the standard exactly-once protocol
+    (_BatchCommitter). Totals are additive, so the accumulated graph is
+    the SUM over committed batch partitions — never a read-modify-write
+    of a totals table, which would reintroduce the lost-update window the
+    committer exists to close. Readers fold with ``hostlinks_totals``;
+    the batch_id layout compacts with compact_stream_output like every
+    other stream sink here.
+    """
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ocr_spark.queries_webgraph import link_host_expr
+
+        src_host = F.lower(
+            F.regexp_extract(
+                F.col("url"),
+                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1,
+            )
+        )
+        edges = (
+            batch_df.select(
+                src_host.alias("src_host"),
+                link_host_expr(F.col("href"), src_host).alias("dst_host"),
+            )
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+        )
+        super().__call__(edges, batch_id)
+
+
+def incremental_hostlinks(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+) -> tuple[DataStreamWriter, _EdgeDeltaCommitter]:
+    """Streaming link-graph maintenance: new page files → SPEC §5 outlink
+    parse (one Arrow hop, narrow) → per-batch host-edge deltas committed
+    exactly-once. The accumulated graph feeds functions/graph.pagerank
+    periodically (rank recompute is a batch job over the folded edges —
+    incremental PageRank is deliberately NOT attempted; the rank vector is
+    cheap to recompute and an incremental approximation would break the
+    engine's bit-exactness contract).
+    """
+    from ocr_spark.operators.extract import extract_outlinks
+
+    links = extract_outlinks(stream_pages(spark, pages_dir))
+    committer = _EdgeDeltaCommitter(out_dir, run_id)
+    writer = (
+        links.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer
+
+
+def hostlinks_totals(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the committed per-batch edge deltas into current totals."""
+    return (
+        spark.read.parquet(f"{out_dir}/data")
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").cast("bigint").alias("n_links"))
+    )

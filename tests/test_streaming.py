@@ -555,3 +555,60 @@ def test_incremental_full_cc_chain_across_batches(spark, tmp_path):
     # the default star/kept-only store keeps C too: the chain passes
     # through dropped B, whose keys the star store never records
     assert run_stream(False, "star") == {1, 3}
+
+
+def test_incremental_hostlinks_matches_batch(spark, tmp_path):
+    """Streaming link-graph maintenance: totals over the drained stream
+    equal the one-shot batch aggregation; restart adds nothing."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.gen import web_pages
+    from ocr_spark.operators.extract import extract_outlinks
+    from ocr_spark.queries_webgraph import link_host_expr
+    from ocr_spark.streaming.incremental import (
+        hostlinks_totals,
+        incremental_hostlinks,
+    )
+
+    pages = web_pages(spark, 300)
+    src = str(tmp_path / "pages_in")
+    # several files -> several micro-batch candidates
+    pages.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "edges_out")
+    ckpt = str(tmp_path / "ckpt")
+    writer, committer = incremental_hostlinks(spark, src, out, ckpt)
+    _drain(writer)
+    assert committer.committed()
+
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in hostlinks_totals(spark, out).collect()
+    }
+    src_host = F.lower(
+        F.regexp_extract(
+            F.col("url"),
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1,
+        )
+    )
+    want = {
+        (r.src_host, r.dst_host): r.n
+        for r in extract_outlinks(spark.read.parquet(src))
+        .select(
+            src_host.alias("src_host"),
+            link_host_expr(F.col("href"), src_host).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # restart with no new files: totals unchanged
+    writer2, _ = incremental_hostlinks(spark, src, out, ckpt)
+    _drain(writer2)
+    got2 = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in hostlinks_totals(spark, out).collect()
+    }
+    assert got2 == want
