@@ -23,10 +23,22 @@ def plan_of(df) -> str:
     )
 
 
-def tree_of(df) -> str:
-    """Just the plan tree (the part before the per-node details)."""
+def tree_of(df, max_lines: int | None = None) -> str:
+    """Just the plan tree (the part before the per-node details).
+
+    ``max_lines`` truncates plans whose printout embeds cached lineage
+    (InMemoryRelation prints its full child plan — an eagerly-materialized
+    iterative result would otherwise dump every round's subtree)."""
     full = plan_of(df)
-    return full.split("\n\n(1)")[0].rstrip()
+    tree = full.split("\n\n(1)")[0].rstrip()
+    if max_lines is not None:
+        lines = tree.splitlines()
+        if len(lines) > max_lines:
+            tree = "\n".join(lines[:max_lines]) + (
+                f"\n... ({len(lines) - max_lines} cached-lineage lines"
+                " truncated: InMemoryRelation prints the full child plan)"
+            )
+    return tree
 
 
 def main() -> None:
@@ -349,7 +361,7 @@ def main() -> None:
         "round's joins reuse the cached distribution; per round the only "
         "shuffle is the contribution aggregation. The plan below is the "
         "RETURNED final round: a projection over the in-memory relation.",
-        tree_of(q["graph_pagerank"](spark, sf)),
+        tree_of(q["graph_pagerank"](spark, sf), max_lines=12),
     ))
 
     sections.append((
@@ -371,7 +383,7 @@ def main() -> None:
         "step's weights are materialized so steps never re-execute "
         "predecessors. Scoring below is one broadcast join + one per-doc "
         "aggregation over the cached features.",
-        tree_of(q["quality_lr_score"](spark, sf)),
+        tree_of(q["quality_lr_score"](spark, sf), max_lines=16),
     ))
 
     sections.append((
