@@ -567,6 +567,20 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
         ("links-nav-farm",
          _nav(rng, n_links=40).encode(),
          "en"),
+        ("links-unicode-href",
+         # IRIs: non-ASCII hrefs and anchors are recorded as written
+         # (SPEC §5.8 — no percent-encoding, no IDNA; that is downstream)
+         ("<p><a href=\"https://例え.example/путь/ページ?q=café\">"
+          "ユニコード链接 текст</a>"
+          "<a href=\"/percent%20kept/%E2%9C%93\">pct</a></p>").encode(),
+         "ja"),
+        ("links-gbk-page",
+         # charset sniffing (§0) happens BEFORE link parsing: a GBK page's
+         # hrefs and anchors must decode through the declared codec
+         ("<html><head><meta charset=gbk></head><body><p>"
+          "<a href=\"/分类/新闻\">中文锚文本 的 链接</a> 其余正文 "
+          + _salad(rng, "zh", 20, 0.5) + "</p></body></html>").encode("gbk"),
+         "zh"),
     ]
     return cases
 
