@@ -65,7 +65,10 @@ from pyspark.sql import functions as F
 
 from ocr_spark.operators.extract import (
     DEFAULT_NUM_PARTS,
+    assemble,
     extract_pages,
+    label_blocks,
+    parse_pages,
     salted,
     with_part_id,
 )
@@ -265,6 +268,7 @@ def run_extract(
     stage_partitions: int | None = None,
     keep_staged: bool = False,
     data_location: str | None = None,
+    links_location: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job over ``pages`` into ``out_dir``.
 
@@ -273,6 +277,15 @@ def run_extract(
     write/read-back through the Iceberg runtime (ocr_spark.tables) while
     manifests/lineage stay in ``out_dir`` — the layout the design point
     uses the day a runtime jar is present.
+
+    ``links_location`` (optional) ALSO writes the SPEC §5 outlink product
+    (url, warc_ts, part_id, link_id, href, anchor) per batch, from the SAME
+    parse: the parsed relation is persisted for the batch and consumed by
+    both sinks, so requesting links never re-runs the Python parse (the
+    dominant cost at 100 TB — verified by the lineage input counts, which
+    would double on a second parse). Links commit under the same manifest:
+    a crash between the two writes leaves the batch uncommitted and the
+    rerun dynamically overwrites both part_id sets — idempotent.
 
     Returns ``{"run_id", "parts_done_before", "parts_done_now", "batches",
     "stage_sec"}`` — ``stage_sec`` holds wall seconds summed over batches for
@@ -326,6 +339,7 @@ def run_extract(
             started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             t0 = time.perf_counter()
             input_counts = spark.sparkContext.accumulator({}, _PartCountParam())
+            parsed = None
             try:
                 if multi_batch or len(todo) < num_parts:
                     # partition pruning on staged data; on the raw input this
@@ -333,9 +347,23 @@ def run_extract(
                     sub = pages.where(F.col("part_id").isin(batch))
                 else:
                     sub = pages  # full run, single batch: no filter at all
-                ex = extract_pages(sub, num_parts=num_parts,
-                                   repartition=repartition, stats=True,
-                                   input_counter=input_counts)
+                if links_location is None:
+                    ex = extract_pages(sub, num_parts=num_parts,
+                                       repartition=repartition, stats=True,
+                                       input_counter=input_counts)
+                else:
+                    # both products from ONE parse: persist the parsed
+                    # relation for the batch (bounded by batch size) and
+                    # feed the text sink and the link sink from the cache
+                    sub2 = sub
+                    if "part_id" not in sub2.columns:
+                        sub2 = with_part_id(sub2, num_parts)
+                    if repartition:
+                        sub2 = salted(sub2, repartition)
+                    parsed = parse_pages(
+                        sub2, num_parts, input_counter=input_counts
+                    ).persist()
+                    ex = assemble(label_blocks(parsed), stats=True)
                 # cluster output by part_id before the partitioned write:
                 # without it every task writes a file into every part dir
                 # (tasks x parts small files — measured 7x slower and 32x
@@ -351,7 +379,27 @@ def run_extract(
                     mode="overwrite_partitions",
                     partition_by=("part_id",),
                 )
+                if parsed is not None:
+                    links = parsed.select(
+                        "url",
+                        "warc_ts",
+                        "part_id",
+                        F.posexplode("links").alias("link_id", "_l"),
+                    ).select(
+                        "url", "warc_ts", "part_id", "link_id",
+                        F.col("_l.href").alias("href"),
+                        F.col("_l.anchor").alias("anchor"),
+                    )
+                    write_table(
+                        links.repartition(len(batch), "part_id"),
+                        links_location,
+                        mode="overwrite_partitions",
+                        partition_by=("part_id",),
+                    )
+                    parsed.unpersist()
             except Exception:
+                if parsed is not None:
+                    parsed.unpersist()
                 # record the failure in the metrics table, then surface it;
                 # the partitions stay uncommitted so a rerun redoes them
                 ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)

@@ -5,7 +5,7 @@ Usage (the launch mode the north_rule mandates)::
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
         scripts/extract_job.py <pages_location> <out_dir> <run_id> \\
-        [num_parts] [parts_per_batch] [data_location]
+        [num_parts] [parts_per_batch] [data_location] [--links]
 
 ``pages_location`` is a parquet directory or an ``iceberg:<catalog.db.tbl>``
 location (ocr_spark.tables); ``data_location`` (optional) sends the
@@ -15,7 +15,10 @@ idempotent per (out_dir): a killed run resumes at partition granularity
 from the checkpoint manifest, and a completed multi-batch run has read the
 raw input exactly once (staging — see ocr_spark.operators.runner). Prints
 one JSON line with run stats (incl. per-phase stage_sec timings) and
-per-partition lineage totals.
+per-partition lineage totals. ``--links`` ALSO writes the SPEC §5 outlink
+product to ``<out_dir>/links`` from the SAME per-batch parse (the parsed
+relation is cached and feeds both sinks — requesting links does not re-run
+the Python parse).
 """
 
 from __future__ import annotations
@@ -30,13 +33,15 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
-    if len(sys.argv) < 4:
+    if len([a for a in sys.argv[1:] if a != "--links"]) < 3:
         print(__doc__)
         sys.exit(2)
-    pages_loc, out_dir, run_id = sys.argv[1:4]
-    num_parts = int(sys.argv[4]) if len(sys.argv) > 4 else 64
-    parts_per_batch = int(sys.argv[5]) if len(sys.argv) > 5 else num_parts
-    data_location = sys.argv[6] if len(sys.argv) > 6 else None
+    args = [a for a in sys.argv[1:] if a != "--links"]
+    want_links = "--links" in sys.argv[1:]
+    pages_loc, out_dir, run_id = args[0:3]
+    num_parts = int(args[3]) if len(args) > 3 else 64
+    parts_per_batch = int(args[4]) if len(args) > 4 else num_parts
+    data_location = args[5] if len(args) > 5 else None
 
     from pyspark.sql import functions as F
 
@@ -56,6 +61,7 @@ def main() -> None:
             num_parts=num_parts,
             parts_per_batch=parts_per_batch,
             data_location=data_location,
+            links_location=(f"{out_dir}/links" if want_links else None),
         )
         lin = (
             read_lineage(spark, out_dir)

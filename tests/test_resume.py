@@ -167,3 +167,45 @@ def test_part_id_independent_of_partitioning(spark, fixture_df):
         for r in with_part_id(fixture_df.repartition(17), N_PARTS).collect()
     }
     assert a == b
+
+
+def test_run_with_links_sink_single_parse(spark, fixture_df, out_dir):
+    """links_location: both products from ONE parse per batch — link rows
+    equal the standalone outlink operator, and the lineage input counts
+    prove the parse did not run twice (a second parse would double the
+    attempt-keyed accumulator totals)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.extract import extract_outlinks
+    from ocr_spark.operators.runner import (
+        read_lineage, run_extract,
+    )
+
+    links_dir = f"{out_dir}/links"
+    res = run_extract(spark, fixture_df, out_dir, run_id="rl",
+                      num_parts=N_PARTS, parts_per_batch=3,
+                      links_location=links_dir)
+    assert res["parts_done_now"] == list(range(N_PARTS))
+
+    def key(rows):
+        return sorted(
+            (r.url, r.warc_ts.isoformat(), r.link_id, r.href, r.anchor)
+            for r in rows
+        )
+
+    written = spark.read.parquet(links_dir).collect()
+    direct = extract_outlinks(fixture_df, num_parts=N_PARTS).collect()
+    assert key(written) == key(direct)
+    assert len(written) > 0
+
+    # single-parse proof: summed lineage input_rows == input page count
+    lin = read_lineage(spark, out_dir).filter(F.col("status") == "ok")
+    total_in = lin.agg(F.sum("input_rows")).first()[0]
+    assert total_in == fixture_df.count()
+
+    # idempotent rerun: nothing left to do, links unchanged
+    res2 = run_extract(spark, fixture_df, out_dir, run_id="rl2",
+                       num_parts=N_PARTS, parts_per_batch=3,
+                       links_location=links_dir)
+    assert res2["parts_done_now"] == []
+    assert key(spark.read.parquet(links_dir).collect()) == key(direct)
