@@ -693,14 +693,14 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-5 ROTATION PLAN (do this at the start of r05): the r04 head is
 # EXACTLY the 50-cap (35 rotation + 14 corpus-block-2 + extract_links),
-# so the entries missing an r04 row are (a) the 11 LATE round-4 webgraph
+# so the entries missing an r04 row are (a) the 13 LATE round-4 webgraph
 # entries past the cap (graph_hostlinks, graph_pagerank,
 # dedup_lines_boiler, pipe_dsir, quality_lr_weights, quality_lr_score,
 # pipe_url_filter, pipe_host_filter, graph_anchor_text, text_normalize,
-# stream_hostlinks — brand new, NEVER driver-graded; they must lead
-# _PRIORITY_R05) and (b)
+# stream_hostlinks, quality_lr_prod, pipe_dsir_prod — brand new, NEVER
+# driver-graded; they must lead _PRIORITY_R05) and (b)
 # _R03_DRIVER_GRADED minus scan_counts — 46 entries, all r03-green. Build
-# _PRIORITY_R05 = [the 11 late entries, then as many of those 46 as fit in
+# _PRIORITY_R05 = [the 13 late entries, then as many of those 46 as fit in
 # this file's order], then extract_wrapped — the handful of r03-green fn_*
 # rows that fall past the cap rotate forward in r06 (they are the
 # lowest-risk rows in the registry). Demote this round's head to the tail

@@ -475,14 +475,10 @@ def q_pipe_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they disagree on negatives. The quotient operands stay < 2^53 so the
 # double math is exact in both engines.
 
-LR_B = 64           # hashed feature buckets
+LR_B = 64           # hashed feature buckets (driver-graded width)
 LR_ITERS = 3
 LR_NUM, LR_DEN = 3, 10   # learning rate 0.3
 LR_LABEL_CHARS = 300     # y = 1 iff n_chars >= this (median-ish split)
-_LR_BUCKET_SQL = (
-    "(ascii(substr(md5({w}), 1, 1)) * 256 + ascii(substr(md5({w}), 2, 1)))"
-    f" % {LR_B}"
-)
 # Two portability traps live in this expression, both found the hard way:
 # 1. floor(), not round(): the rational sigmoid over the coarse integer z
 #    grid lands on EXACT .5 ties at e6 (w after step 1 is a multiple of 300)
@@ -499,19 +495,26 @@ _LR_ERR_SQL = f"CAST(floor(({_LR_SIG} - y) * 1e6) AS BIGINT)"
 _LR_P_SQL = f"CAST(floor({_LR_SIG} * 1e6) AS BIGINT)"
 
 
-def _lr_feats_sql() -> str:
+def _lr_bucket_sql(b: int) -> str:
+    return (
+        "(ascii(substr(md5({w}), 1, 1)) * 256 + ascii(substr(md5({w}), 2, 1)))"
+        f" % {b}"
+    )
+
+
+def _lr_feats_sql(b: int = LR_B) -> str:
     return f"""
 f AS (
   SELECT DISTINCT doc_id,
     CASE WHEN n_chars >= {LR_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
-    {_LR_BUCKET_SQL.format(w='w')} AS j
+    {_lr_bucket_sql(b).format(w='w')} AS j
   FROM (
     SELECT doc_id, n_chars, unnest({_WORDS_SQL.format(col='text')}) AS w
     FROM documents
   )
 ),
 nd AS (SELECT count(DISTINCT doc_id) AS n FROM f),
-w0 AS (SELECT unnest(range(0, {LR_B})) AS j, CAST(0 AS BIGINT) AS w)
+w0 AS (SELECT unnest(range(0, {b})) AS j, CAST(0 AS BIGINT) AS w)
 """
 
 
@@ -536,20 +539,20 @@ w{k + 1} AS (
 )"""
 
 
-def _lr_weights_oracle() -> str:
-    steps = ",".join(_lr_step_sql(k) for k in range(LR_ITERS))
+def _lr_weights_oracle(b: int = LR_B, iters: int = LR_ITERS) -> str:
+    steps = ",".join(_lr_step_sql(k) for k in range(iters))
     return f"""
-WITH {_lr_feats_sql().strip()},
+WITH {_lr_feats_sql(b).strip()},
 {steps}
-SELECT j AS bucket, w AS w_e6 FROM w{LR_ITERS}
+SELECT j AS bucket, w AS w_e6 FROM w{iters}
 """
 
 
-def _lr_score_oracle() -> str:
-    steps = ",".join(_lr_step_sql(k) for k in range(LR_ITERS))
-    k = LR_ITERS
+def _lr_score_oracle(b: int = LR_B, iters: int = LR_ITERS) -> str:
+    steps = ",".join(_lr_step_sql(k) for k in range(iters))
+    k = iters
     return f"""
-WITH {_lr_feats_sql().strip()},
+WITH {_lr_feats_sql(b).strip()},
 {steps},
 zf AS (
   SELECT f.doc_id, f.y, coalesce(sum(w.w), 0) AS z
@@ -563,7 +566,7 @@ FROM zf
 """
 
 
-def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lr_feats(spark: SparkSession, sf_dir: str, b: int = LR_B) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -571,11 +574,12 @@ def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(_WORDS_SPARK.format(col="text"))).alias("w"),
     )
     return tok.select(
-        "doc_id", "y", F.expr(_LR_BUCKET_SQL.format(w="w")).alias("j")
+        "doc_id", "y", F.expr(_lr_bucket_sql(b).format(w="w")).alias("j")
     ).distinct()
 
 
-def _lr_train(spark: SparkSession, sf_dir: str):
+def _lr_train(spark: SparkSession, sf_dir: str, b: int = LR_B,
+              iters: int = LR_ITERS):
     """Returns (feats, weights) after LR_ITERS integer-GD steps.
 
     Training is iterative, so it follows the eager-materialization contract
@@ -589,14 +593,14 @@ def _lr_train(spark: SparkSession, sf_dir: str):
     """
     from pyspark import StorageLevel
 
-    feats = _lr_feats(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    feats = _lr_feats(spark, sf_dir, b).persist(StorageLevel.MEMORY_AND_DISK)
     nd = feats.agg(F.countDistinct("doc_id").alias("n"))
-    w = spark.range(LR_B).select(
+    w = spark.range(b).select(
         F.col("id").cast("bigint").alias("j"),
         F.lit(0).cast("bigint").alias("w"),
     )
     prev = None
-    for _ in range(LR_ITERS):
+    for _ in range(iters):
         z = (
             feats.join(F.broadcast(w), "j", "left")
             .groupBy("doc_id", "y")
@@ -936,3 +940,108 @@ def q_stream_hostlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return hostlinks_totals(spark, out)
+
+
+# Production widths for the learned-quality family, following the registry's
+# *_prod convention (dedup_minhash_prod, dedup_substr_prod): same state
+# machine, real knobs. B=1024 hashed buckets is fastText-order capacity for
+# a quality filter (collision rate ~vocab/B instead of ~vocab/64); one more
+# GD step. DSIR at B=2048 (the paper uses 10^4-10^5 hashed buckets at
+# full-web scale; the bucket table stays a broadcastable model at any of
+# these widths). Cost scales linearly in corpus tokens, not in B.
+LR_PROD_B = 1024
+LR_PROD_ITERS = 4
+
+
+@register(
+    "quality_lr_prod",
+    _lr_score_oracle(b=LR_PROD_B, iters=LR_PROD_ITERS),
+)
+def q_quality_lr_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, w = _lr_train(spark, sf_dir, b=LR_PROD_B, iters=LR_PROD_ITERS)
+    z = (
+        feats.join(F.broadcast(w), "j", "left")
+        .groupBy("doc_id", "y")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("z"))
+    )
+    return z.select(
+        "doc_id",
+        F.expr(_LR_P_SQL).alias("p_e6"),
+        F.when(F.col("z") > 0, 1).otherwise(0).cast("bigint").alias("pred"),
+        F.col("y").cast("bigint").alias("label"),
+    )
+
+
+DSIR_PROD_B = 2048
+
+
+@register(
+    "pipe_dsir_prod",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    unnest({_WORDS_SQL.format(col='text')}) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+    (ascii(substr(md5(w), 1, 1)) * 256 + ascii(substr(md5(w), 2, 1)))
+      % {DSIR_PROD_B} AS j
+  FROM tok
+),
+cnt AS (
+  SELECT j,
+    1 + coalesce(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 END), 0)
+      AS ct,
+    1 + count(*) AS cr
+  FROM b GROUP BY j
+),
+tot AS (
+  SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt
+),
+lam AS (
+  SELECT j,
+    CAST(round(ln((CAST(ct AS DOUBLE) * tr) / (CAST(cr AS DOUBLE) * tt))
+               * 10000, 0) AS BIGINT) AS lam_e4
+  FROM cnt, tot
+)
+SELECT b.doc_id,
+  CAST(sum(lam.lam_e4) AS BIGINT) AS weight_e4,
+  CAST(count(*) AS BIGINT) AS n_tokens
+FROM b JOIN lam ON lam.j = b.j
+GROUP BY b.doc_id
+""",
+)
+def q_pipe_dsir_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang",
+        F.explode(F.expr(_WORDS_SPARK.format(col="text"))).alias("w"),
+    )
+    bexpr = (
+        "(ascii(substr(md5(w), 1, 1)) * 256 + ascii(substr(md5(w), 2, 1)))"
+        f" % {DSIR_PROD_B}"
+    )
+    b = tok.select("doc_id", "lang", F.expr(bexpr).alias("j"))
+    cnt = b.groupBy("j").agg(
+        (1 + F.coalesce(
+            F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)), F.lit(0)
+        )).alias("ct"),
+        (1 + F.count(F.lit(1))).alias("cr"),
+    ).persist()
+    tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "j",
+        F.expr(
+            "CAST(round(ln((CAST(ct AS DOUBLE) * tr) /"
+            " (CAST(cr AS DOUBLE) * tt)) * 10000, 0) AS BIGINT)"
+        ).alias("lam_e4"),
+    )
+    return (
+        b.join(F.broadcast(lam), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lam_e4").cast("bigint").alias("weight_e4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
