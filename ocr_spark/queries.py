@@ -700,11 +700,14 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_hostlinks, quality_lr_prod, pipe_dsir_prod — brand new, NEVER
 # driver-graded; they must lead _PRIORITY_R05) and (b)
 # _R03_DRIVER_GRADED minus scan_counts — 46 entries, all r03-green. Build
-# _PRIORITY_R05 = [the 13 late entries, then as many of those 46 as fit in
-# this file's order], then extract_wrapped — the handful of r03-green fn_*
-# rows that fall past the cap rotate forward in r06 (they are the
-# lowest-risk rows in the registry). Demote this round's head to the tail
-# list. Verify with `list(all_queries())[:50]` before committing.
+# _PRIORITY_R05 = [the 13 late entries, then the 5 web-ingest entries added
+# after the round-close (scan_warc_roundtrip, scan_warc_gzip, web_cdx,
+# web_crawl_diff, pipe_robots_filter — also never driver-graded), then as
+# many of those 46 as fit in this file's order], then extract_wrapped — the
+# handful of r03-green fn_* rows that fall past the cap rotate forward in
+# r06 (they are the lowest-risk rows in the registry). Demote this round's
+# head to the tail list. Verify with `list(all_queries())[:50]` before
+# committing.
 _PRIORITY_R04 = [
     # (1) changed after its last driver grading — grade first
     "join_cross",
@@ -754,6 +757,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_pipeline  # noqa: F401
     from ocr_spark import queries_corpusml  # noqa: F401
     from ocr_spark import queries_webgraph  # noqa: F401
+    from ocr_spark import queries_webingest  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

@@ -1,0 +1,288 @@
+"""WARC ingestion source: Common-Crawl-style archive files → the pages table.
+
+The engine's input contract (BASELINE.json input_hint) is an Iceberg/parquet
+table (url, warc_ts, html, text, lang) — but at a real crawl archive the
+upstream format is WARC/1.0: a concatenation of length-framed records, each
+either stored plain or as an independent gzip member (the `.warc.gz`
+convention, one member per record so readers can split at member
+boundaries). This module provides both directions:
+
+- **builder** (`record_expr`): a pure-JVM Column expression that frames a
+  (url, date, payload) row as a WARC/1.0 response record — header block,
+  embedded HTTP/1.1 response, payload, CRLF CRLF trailer. Used by tests and
+  driver queries to synthesize archives deterministically (no external
+  data), and by `write_warc` to emit real archive files.
+- **parser** (`parse_warc`, `read_warc`): an Arrow-batched splitter that
+  takes whole archive blobs (one row per file, e.g. from
+  `spark.read.format("binaryFile")`) and emits one row per response record:
+  (url, warc_date, html). Python is unavoidable here — record framing is a
+  byte-level sequential scan — but it is vectorized per *file blob*, not per
+  record, and everything downstream stays JVM-side.
+
+Scale notes (100 TB): archive files are the unit of parallelism — a
+binaryFile scan lists S3/HDFS objects and assigns whole files to tasks, so
+the parse is embarrassingly parallel and shuffle-free; Common Crawl's ~1 GiB
+warc.gz segment files map to one task each. Records inside a file are
+decoded streamingly (gzip members decompressed one at a time, never the
+whole file expanded at once in a list). Corrupt or truncated records are
+skipped by re-synchronizing on the next "WARC/" magic — a crawl archive at
+this scale always has a damaged tail somewhere, and one bad record must not
+kill a 1000-executor stage.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CRLF = "\r\n"
+# output schema of the record splitter
+WARC_DDL = "url string, warc_date string, html binary"
+
+
+# --------------------------------------------------------------------------
+# builder — JVM-side record framing
+# --------------------------------------------------------------------------
+
+def http_block_expr(payload: Column) -> Column:
+    """The embedded HTTP/1.1 response block as a binary Column."""
+    head = F.concat(
+        F.lit("HTTP/1.1 200 OK" + CRLF),
+        F.lit("Content-Type: text/html" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit(CRLF + CRLF),
+    )
+    return F.concat(F.encode(head, "UTF-8"), payload)
+
+
+def record_expr(url: Column, warc_date: Column, payload: Column) -> Column:
+    """Frame one (url, date, payload) as a WARC/1.0 response record (binary).
+
+    `warc_date` is the ISO-8601 string for the WARC-Date header
+    (yyyy-MM-dd'T'HH:mm:ss'Z'). Pure JVM: two nested string concats and an
+    octet_length — no Python anywhere in the framing path.
+    """
+    http = http_block_expr(payload)
+    head = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: response" + CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit("WARC-Date: "), warc_date, F.lit(CRLF),
+        F.lit("Content-Type: application/http; msgtype=response" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit(CRLF + CRLF),
+    )
+    return F.concat(F.encode(head, "UTF-8"), http, F.encode(F.lit(CRLF + CRLF), "UTF-8"))
+
+
+# --------------------------------------------------------------------------
+# parser — record splitting over file blobs
+# --------------------------------------------------------------------------
+
+_MAGIC = b"WARC/"
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(buf: bytes) -> Iterator[bytes]:
+    """Yield decompressed gzip members one at a time (``.warc.gz`` framing:
+    one record per member). A truncated final member yields what it had."""
+    pos = 0
+    while pos < len(buf) and buf[pos:pos + 2] == _GZ_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(buf[pos:])
+        except zlib.error:
+            return
+        yield out
+        if not d.eof:  # truncated member
+            return
+        consumed = len(buf) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1")
+            )
+    return headers
+
+
+def split_records(buf: bytes) -> Iterator[tuple[str, str, bytes]]:
+    """Yield (url, warc_date, payload) for each response record in a plain
+    (already-decompressed) WARC byte stream. Malformed records are skipped
+    by re-synchronizing on the next magic — never raises on bad input."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = buf.find(_MAGIC, pos)
+        if start < 0:
+            return
+        hdr_end = buf.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(buf[start:hdr_end])
+        body_start = hdr_end + 4
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = start + len(_MAGIC)  # resync past a damaged header
+            continue
+        body_end = body_start + clen
+        if body_end > n:  # truncated tail record
+            return
+        pos = body_end
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        date = headers.get("warc-date", "")
+        body = buf[body_start:body_end]
+        # peel the embedded HTTP response block when present
+        if body.startswith(b"HTTP/"):
+            sep = body.find(b"\r\n\r\n")
+            payload = body[sep + 4:] if sep >= 0 else b""
+        else:
+            payload = body
+        yield (url, date, payload)
+
+
+def parse_blob(buf: bytes) -> Iterator[tuple[str, str, bytes]]:
+    """Split one archive blob — gzip-member or plain — into records."""
+    if buf[:2] == _GZ_MAGIC:
+        for member in _gunzip_members(buf):
+            yield from split_records(member)
+    else:
+        yield from split_records(buf)
+
+
+def _make_arrow_splitter(blob_col: str):
+    def splitter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            blobs = batch.column(blob_col)
+            urls: list[str] = []
+            dates: list[str] = []
+            payloads: list[bytes] = []
+            for blob in blobs:
+                if blob.is_valid:
+                    for url, date, payload in parse_blob(blob.as_py()):
+                        urls.append(url)
+                        dates.append(date)
+                        payloads.append(payload)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(dates, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                names=["url", "warc_date", "html"],
+            )
+
+    return splitter
+
+
+def parse_warc(df: DataFrame, blob_col: str = "content") -> DataFrame:
+    """Archive blobs (one row per file) → one row per response record.
+
+    Narrow mapInArrow: no shuffle; each task splits the files it was
+    assigned. Columns other than `blob_col` are dropped (the record splitter
+    is the start of the pages pipeline; lineage keys on url + warc_ts)."""
+    return df.select(F.col(blob_col).alias("content")).mapInArrow(
+        _make_arrow_splitter("content"), WARC_DDL
+    )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``.warc`` / ``.warc.gz`` files into the pages-table shape
+    (url, warc_ts timestamp, html binary). The binaryFile source handles
+    globbing/partition listing; whole files are the unit of parallelism."""
+    raw = spark.read.format("binaryFile").load(path)
+    rec = parse_warc(raw, "content")
+    return rec.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        "html",
+    )
+
+
+# --------------------------------------------------------------------------
+# writer — archive files from a pages-shaped DataFrame (test/gen path)
+# --------------------------------------------------------------------------
+
+def blobs_by_shard(
+    pages: DataFrame, num_files: int, gzip_members: bool = False
+) -> DataFrame:
+    """(url, warc_date string, html) → one row per archive file:
+    (shard int, blob binary). Record framing is JVM (`record_expr`); the
+    per-shard concatenation is one applyInPandas join over the records
+    sorted by url — linear in shard bytes (a JVM aggregate/concat fold
+    recopies the accumulator per element: quadratic, measured 78 s at 20k
+    records vs ~2 s here). With ``gzip_members=True`` each record becomes
+    an independent gzip member (mtime=0, fixed level ⇒ deterministic
+    bytes) inside the same pass."""
+    # NULL payload = a capture with an empty body (still a record); NULL
+    # url/date rows cannot be framed and are dropped — they would otherwise
+    # NULL-poison the shard blob
+    rec = pages.filter(
+        F.col("url").isNotNull() & F.col("warc_date").isNotNull()
+    ).select(
+        F.pmod(F.xxhash64("url"), F.lit(num_files)).cast("int").alias("shard"),
+        F.col("url"),
+        record_expr(
+            F.col("url"), F.col("warc_date"),
+            F.coalesce(F.col("html"), F.lit(b"")),
+        ).alias("rec"),
+    )
+
+    def concat_shard(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("url")
+        recs = pdf["rec"]
+        if gzip_members:
+            recs = recs.map(_gzip_member)
+        return pd.DataFrame(
+            {"shard": pdf["shard"].iloc[:1], "blob": [b"".join(recs)]}
+        )
+
+    return rec.groupBy("shard").applyInPandas(
+        concat_shard, "shard int, blob binary"
+    )
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member: mtime=0, OS byte 255, level 6."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    body = co.compress(data) + co.flush()
+    # zlib's wbits=31 header already carries mtime=0; force the OS byte so
+    # the bytes are platform-independent
+    return body[:9] + b"\xff" + body[10:]
+
+
+def write_warc(
+    pages: DataFrame, out_dir: str, num_files: int = 8,
+    gzip_members: bool = False,
+) -> int:
+    """Write archive files under ``out_dir`` (local/posix path) — one
+    ``part-NNNN.warc[.gz]`` per shard. Returns the file count. Used by tests
+    and the ingest job's round-trip check; production archives normally
+    already exist upstream."""
+    import pathlib
+
+    blobs = blobs_by_shard(pages, num_files, gzip_members).collect()
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+    for row in blobs:
+        (out / f"part-{row['shard']:04d}{ext}").write_bytes(bytes(row["blob"]))
+    return len(blobs)

@@ -396,6 +396,51 @@ def main() -> None:
         tree_of(q["dedup_lines_boiler"](spark, sf)),
     ))
 
+    from ocr_spark.sources import warc as warc_src
+
+    warc_blobs = warc_src.blobs_by_shard(
+        spark.read.parquet(pages_pq).select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("warc_date"),
+            "html",
+        ),
+        num_files=4,
+    )
+    sections.append((
+        "WARC ingest (round 4 — sources/warc record splitter)",
+        "The read path (binaryFile scan → parse_warc) is ONE narrow "
+        "MapInArrow hop before any Exchange: whole archive files are the "
+        "unit of parallelism, so ingest throughput scales with the file "
+        "listing, shuffle-free. The Exchange visible below belongs to the "
+        "test-harness WRITE side (groupBy-shard record concat used to "
+        "synthesize an archive in-plan) — real crawls arrive as files and "
+        "never pay it.",
+        tree_of(
+            warc_src.parse_warc(warc_blobs.select(F.col("blob").alias("content")))
+        ),
+    ))
+
+    sections.append((
+        "web_cdx (round 4 — capture index)",
+        "Map-side expressions (SURT string ops, md5, octet_length of the "
+        "framed record bytes) + exactly one window partitioned by the shard "
+        "file for the offset prefix-sum: the index costs one pass over the "
+        "archive layout at any scale, and the per-file partition count "
+        "equals the archive's own parallelism.",
+        tree_of(q["web_cdx"](spark, sf)),
+    ))
+
+    sections.append((
+        "pipe_robots_filter (round 4 — RFC 9309 scoping)",
+        "The rules dim joins BROADCAST on host (a crawl's robots set is "
+        "thousands of rows); the longest-prefix/allow-wins decision is one "
+        "window over the matched candidates — the empty-prefix allow row "
+        "folds the no-match default into the same window, so there is no "
+        "second anti-join pass.",
+        tree_of(q["pipe_robots_filter"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

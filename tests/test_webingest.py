@@ -1,0 +1,107 @@
+"""Unit gates for queries_webingest: the CDX record-length formula pinned
+against real framed bytes, crawl-diff and robots semantics checked against
+independent Python references, and the broadcast plan for the rules join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark import queries_webingest as wi
+from ocr_spark.sources import warc
+from tests.conftest import SF_SMALL
+
+
+def test_cdx_length_formula(spark):
+    """The oracle derives record offsets from the frozen grammar
+    record_len = 157 + octet_len(url) + len(str(http_len)) + http_len,
+    http_len = 62 + len(str(plen)) + plen. Pin the formula against the
+    ACTUAL bytes record_expr produces, over real documents payloads."""
+    pages = wi._synth_pages(spark, SF_SMALL)
+    checked = pages.select(
+        F.octet_length(
+            warc.record_expr(F.col("url"), F.col("warc_date"), F.col("html"))
+        ).alias("actual"),
+        F.octet_length("url").alias("ulen"),
+        F.octet_length("html").alias("plen"),
+    ).withColumn(
+        "http_len",
+        F.lit(62) + F.length(F.col("plen").cast("string")) + F.col("plen"),
+    ).withColumn(
+        "predicted",
+        F.lit(157) + F.col("ulen")
+        + F.length(F.col("http_len").cast("string")) + F.col("http_len"),
+    )
+    bad = checked.filter(F.col("actual") != F.col("predicted")).count()
+    assert bad == 0 and checked.count() > 0
+
+
+def test_crawl_diff_matches_python_reference(spark):
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'").fetchall()]
+    expect = {}
+    for i in ids:
+        url = f"https://s{i % 5}.src.example/d/{i}"
+        if i % 5 == 4:
+            expect[url] = "removed"
+        elif i % 3 == 0:
+            expect[url] = "changed"
+        else:
+            expect[url] = "same"
+        if i % 7 == 0:
+            expect[f"https://s{i % 5}.src.example/d/{i + 100000}"] = "added"
+    got = {
+        r["url"]: r["status"]
+        for r in wi.q_web_crawl_diff(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def _robots_verdict(h: int, path: str) -> tuple[str, str]:
+    rules = [("/private/", 0), ("", 1)]
+    if h % 2 == 0:
+        rules.append(("/w/", 0))
+    if h % 3 == 0:
+        rules.append(("/w/open/", 1))
+    matched = [r for r in rules if path.startswith(r[0])]
+    matched.sort(key=lambda r: (-len(r[0]), -r[1]))
+    prefix, allow = matched[0]
+    return ("allow" if allow else "deny", prefix)
+
+
+def test_robots_matches_python_reference(spark):
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'").fetchall()]
+    expect = {}
+    for i in ids:
+        h = i % 7
+        path = ["/w/open/", "/w/", "/private/", "/p/"][i % 4] + str(i)
+        expect[i] = (f"h{h}.robots.example", path) + _robots_verdict(h, path)
+    got = {
+        r["doc_id"]: (r["host"], r["path"], r["verdict"], r["matched_prefix"])
+        for r in wi.q_pipe_robots_filter(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_robots_covers_all_arms(spark):
+    """The synthetic corpus actually exercises allow-by-longest,
+    deny-by-longest, and the empty-prefix default."""
+    rows = wi.q_pipe_robots_filter(spark, SF_SMALL).collect()
+    arms = {(r["verdict"], r["matched_prefix"]) for r in rows}
+    assert ("allow", "/w/open/") in arms   # re-allow beats /w/ deny
+    assert ("deny", "/w/") in arms         # even-host deny
+    assert ("deny", "/private/") in arms   # global deny
+    assert ("allow", "") in arms           # no-match default
+
+
+def test_robots_rules_join_is_broadcast(spark):
+    plan = (
+        wi.q_pipe_robots_filter(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("Window")[0]
