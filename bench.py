@@ -77,6 +77,11 @@ HEADLINE = [
     "dedup_lines_boiler",   # webtext: CCNet line/segment boilerplate dedup
     "pipe_dsir",            # corpus prep: DSIR importance weights (2-scan)
     "quality_lr_score",     # corpus prep: trained LR quality filter (3 GD steps)
+    # late round-4 web-ingestion & crawl-index block
+    "scan_warc_gzip",       # webtext: archive synth + gzip-member split round-trip
+    "web_cdx",              # webtext: SURT/offset capture index (one window)
+    "web_crawl_diff",       # webtext: snapshot diff (one full outer join)
+    "pipe_robots_filter",   # webtext: RFC 9309 longest-prefix scoping
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -131,6 +131,25 @@ def q_scan_warc_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, gzip_members=True)
 
 
+@register("web_wet_roundtrip", _ROUNDTRIP_ORACLE)
+def q_web_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET (conversion-record) sidecar round-trip: text payloads framed
+    bare with Content-Type text/plain — exercising the splitter's
+    no-HTTP-block path — through gzip members and back. Same
+    first-principles oracle: identical recovered values prove the two
+    framings carry the same payloads byte-exactly."""
+    pages = _synth_pages(spark, sf_dir).drop("doc_id")
+    blobs = warc.blobs_by_shard(pages, num_files=8, gzip_members=True,
+                                warc_type="conversion")
+    rec = warc.parse_warc(blobs.select(F.col("blob").alias("content")))
+    return rec.select(
+        "url",
+        "warc_date",
+        F.octet_length("html").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDX capture index
 # ---------------------------------------------------------------------------

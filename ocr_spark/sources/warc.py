@@ -60,25 +60,38 @@ def http_block_expr(payload: Column) -> Column:
     return F.concat(F.encode(head, "UTF-8"), payload)
 
 
-def record_expr(url: Column, warc_date: Column, payload: Column) -> Column:
-    """Frame one (url, date, payload) as a WARC/1.0 response record (binary).
+def record_expr(
+    url: Column, warc_date: Column, payload: Column,
+    warc_type: str = "response",
+) -> Column:
+    """Frame one (url, date, payload) as a WARC/1.0 record (binary).
 
+    ``warc_type="response"`` embeds an HTTP/1.1 response block (the crawl
+    capture format); ``warc_type="conversion"`` carries the payload bare
+    with Content-Type text/plain — the WET extracted-text sidecar format.
     `warc_date` is the ISO-8601 string for the WARC-Date header
     (yyyy-MM-dd'T'HH:mm:ss'Z'). Pure JVM: two nested string concats and an
     octet_length — no Python anywhere in the framing path.
     """
-    http = http_block_expr(payload)
+    if warc_type == "response":
+        body = http_block_expr(payload)
+        ctype = "application/http; msgtype=response"
+    elif warc_type == "conversion":
+        body = payload
+        ctype = "text/plain"
+    else:
+        raise ValueError(f"unsupported warc_type {warc_type!r}")
     head = F.concat(
         F.lit("WARC/1.0" + CRLF),
-        F.lit("WARC-Type: response" + CRLF),
+        F.lit(f"WARC-Type: {warc_type}" + CRLF),
         F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
         F.lit("WARC-Date: "), warc_date, F.lit(CRLF),
-        F.lit("Content-Type: application/http; msgtype=response" + CRLF),
+        F.lit(f"Content-Type: {ctype}" + CRLF),
         F.lit("Content-Length: "),
-        F.octet_length(http).cast("string"),
+        F.octet_length(body).cast("string"),
         F.lit(CRLF + CRLF),
     )
-    return F.concat(F.encode(head, "UTF-8"), http, F.encode(F.lit(CRLF + CRLF), "UTF-8"))
+    return F.concat(F.encode(head, "UTF-8"), body, F.encode(F.lit(CRLF + CRLF), "UTF-8"))
 
 
 # --------------------------------------------------------------------------
@@ -143,7 +156,10 @@ def split_records(buf: bytes) -> Iterator[tuple[str, str, bytes]]:
         if body_end > n:  # truncated tail record
             return
         pos = body_end
-        if headers.get("warc-type") != "response":
+        # response records carry the capture (HTTP block peeled below);
+        # conversion records are the WET extracted-text sidecar (bare
+        # payload). warcinfo/request/metadata records are skipped.
+        if headers.get("warc-type") not in ("response", "conversion"):
             continue
         url = headers.get("warc-target-uri", "")
         date = headers.get("warc-date", "")
@@ -220,7 +236,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def blobs_by_shard(
-    pages: DataFrame, num_files: int, gzip_members: bool = False
+    pages: DataFrame, num_files: int, gzip_members: bool = False,
+    warc_type: str = "response",
 ) -> DataFrame:
     """(url, warc_date string, html) → one row per archive file:
     (shard int, blob binary). Record framing is JVM (`record_expr`); the
@@ -241,6 +258,7 @@ def blobs_by_shard(
         record_expr(
             F.col("url"), F.col("warc_date"),
             F.coalesce(F.col("html"), F.lit(b"")),
+            warc_type=warc_type,
         ).alias("rec"),
     )
 
@@ -271,18 +289,56 @@ def _gzip_member(data: bytes) -> bytes:
 
 def write_warc(
     pages: DataFrame, out_dir: str, num_files: int = 8,
-    gzip_members: bool = False,
+    gzip_members: bool = False, warc_type: str = "response",
 ) -> int:
     """Write archive files under ``out_dir`` (local/posix path) — one
-    ``part-NNNN.warc[.gz]`` per shard. Returns the file count. Used by tests
-    and the ingest job's round-trip check; production archives normally
-    already exist upstream."""
+    ``part-NNNN.warc[.gz]`` per shard (``.warc.wet[.gz]`` for conversion
+    records). Returns the file count. Used by tests and the ingest job's
+    round-trip check; production response archives normally already exist
+    upstream — the conversion/WET direction IS a production output."""
     import pathlib
 
-    blobs = blobs_by_shard(pages, num_files, gzip_members).collect()
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    ext = ".warc.gz" if gzip_members else ".warc"
-    for row in blobs:
-        (out / f"part-{row['shard']:04d}{ext}").write_bytes(bytes(row["blob"]))
-    return len(blobs)
+    ext = ".warc.wet" if warc_type == "conversion" else ".warc"
+    if gzip_members:
+        ext += ".gz"
+
+    blobs = blobs_by_shard(pages, num_files, gzip_members, warc_type)
+
+    # files are written FROM THE TASKS (archive bytes never move through
+    # the driver — at corpus scale a shard blob is ~1 GiB); the driver only
+    # collects (shard, n_bytes) metadata. Targets a shared filesystem, the
+    # same assumption every distributed file sink makes.
+    def write_shard(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            shards, sizes = [], []
+            for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                p = out / f"part-{int(shard):04d}{ext}"
+                p.write_bytes(bytes(blob))
+                shards.append(int(shard))
+                sizes.append(len(blob))
+            yield pd.DataFrame({"shard": shards, "n_bytes": sizes})
+
+    meta = blobs.mapInPandas(write_shard, "shard int, n_bytes long").collect()
+    return len(meta)
+
+
+def write_wet(
+    extracted: DataFrame, out_dir: str, num_files: int = 8,
+    gzip_members: bool = True,
+) -> int:
+    """The WET product: extraction output (url, warc_ts, extracted_text)
+    → conversion-record archive files. The text sidecar a Common-Crawl
+    consumer expects next to every response archive."""
+    pages = extracted.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_date"),
+        F.encode(F.coalesce(F.col("extracted_text"), F.lit("")), "UTF-8")
+        .alias("html"),
+    )
+    return write_warc(pages, out_dir, num_files, gzip_members,
+                      warc_type="conversion")

@@ -195,6 +195,53 @@ def test_warc_ingest_job_end_to_end(spark, tmp_path):
     assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang"}
 
 
+def test_wet_conversion_records(spark, tmp_path):
+    """Conversion (WET) records: bare text/plain payload, no HTTP block —
+    framed by the same JVM grammar, recovered by the same splitter; and
+    write_wet produces .warc.wet.gz files from extraction-shaped output."""
+    blobs = warc.blobs_by_shard(_pages(spark), num_files=3,
+                                warc_type="conversion")
+    first = bytes(blobs.first()["blob"])
+    assert b"WARC-Type: conversion\r\n" in first
+    assert b"HTTP/1.1" not in first  # bare payload, no embedded HTTP
+    got = warc.parse_warc(blobs.select(F.col("blob").alias("content")))
+    rows = {
+        (r["url"], r["warc_date"], bytes(r["html"])) for r in got.collect()
+    }
+    assert rows == _expected(spark)
+
+    ex = spark.range(20).select(
+        F.concat(F.lit("https://w.example/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.timestamp_seconds(F.lit(946684800) + F.col("id")).alias("warc_ts"),
+        F.concat(F.lit("text "), F.col("id").cast("string"))
+        .alias("extracted_text"),
+    )
+    n = warc.write_wet(ex, str(tmp_path / "wet"), num_files=2)
+    files = list((tmp_path / "wet").glob("*.warc.wet.gz"))
+    assert len(files) == n >= 1
+    back = warc.read_warc(spark, str(tmp_path / "wet"))
+    texts = {bytes(r["html"]).decode() for r in back.collect()}
+    assert texts == {f"text {i}" for i in range(20)}
+
+
+def test_archive_to_extraction_runner(spark, tmp_path):
+    """The whole crawl path composes: .warc.gz archive → ingest → pages
+    table → the resumable extraction runner, producing extracted text with
+    lineage — a reference user's end-to-end flow starting from archives."""
+    from scripts.warc_ingest_job import run_warc_ingest_job
+    from ocr_spark.operators.runner import read_pages, run_extract
+
+    run_warc_ingest_job(spark, str(tmp_path / "wi"), n_pages=200, num_files=2)
+    pages = read_pages(spark, str(tmp_path / "wi" / "pages"))
+    rep = run_extract(spark, pages, str(tmp_path / "ex"), run_id="warc-e2e",
+                      num_parts=4, parts_per_batch=4)
+    assert len(rep["parts_done_now"]) == 4
+    data = spark.read.parquet(str(tmp_path / "ex" / "data"))
+    assert data.count() == 200
+    assert data.filter("extracted_text IS NOT NULL").count() > 0
+
+
 def test_parse_plan_is_narrow(spark):
     """The splitter is one mapInArrow hop over the file scan — no Exchange
     before it (files are the unit of parallelism; shuffle-free ingest)."""
