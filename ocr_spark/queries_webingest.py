@@ -318,6 +318,100 @@ def q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# recrawl scheduling with per-host politeness budget
+# ---------------------------------------------------------------------------
+# The operational consumer of the crawl diff: changed pages recrawl first,
+# new discoveries next, stable pages last — but a polite crawler fetches at
+# most C urls per host per cycle, so the schedule is a per-host window:
+# slot = rank within host by (priority, url), cycle = slot div C. One
+# window keyed on host; at archive scale the partition count is the host
+# count and hot hosts stay bounded BY CONSTRUCTION (the budget cap is the
+# skew control — a 10M-page host simply spans more cycles, it cannot fan
+# into one giant task's output).
+
+_POLITENESS_C = 3
+
+_SCHEDULE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+    {_URL_SQL} AS url,
+    's' || CAST(doc_id % 5 AS VARCHAR) || '.src.example' AS host,
+    CASE
+      WHEN doc_id % 5 = 4 THEN 'removed'
+      WHEN doc_id % 3 = 0 THEN 'changed'
+      ELSE 'same'
+    END AS status
+  FROM documents
+), live AS (
+  SELECT url, host, status,
+    CASE status WHEN 'changed' THEN 0 WHEN 'added' THEN 1 ELSE 2 END
+      AS priority
+  FROM d WHERE status <> 'removed'
+  UNION ALL
+  SELECT 'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.src.example/d/'
+           || CAST(doc_id + 100000 AS VARCHAR) AS url,
+         's' || CAST(doc_id % 5 AS VARCHAR) || '.src.example' AS host,
+         'added' AS status, 1 AS priority
+  FROM documents WHERE doc_id % 7 = 0
+), slotted AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY host ORDER BY priority, url) AS slot
+  FROM live
+)
+SELECT url, host, status, priority,
+  CAST((slot - 1) // {_POLITENESS_C} AS BIGINT) AS cycle
+FROM slotted
+"""
+
+
+@register("web_crawl_schedule", _SCHEDULE_ORACLE)
+def q_web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl schedule from the snapshot diff (same churn model as
+    web_crawl_diff): priority 0 = changed, 1 = newly discovered, 2 =
+    stable; per-host politeness budget of _POLITENESS_C fetches per cycle
+    assigned by one window — removed urls leave the frontier."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".src.example/d/"), F.col("doc_id").cast("string"),
+    )
+    host = F.concat(
+        F.lit("s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".src.example"),
+    )
+    status = (
+        F.when(F.col("doc_id") % 5 == 4, "removed")
+        .when(F.col("doc_id") % 3 == 0, "changed")
+        .otherwise("same")
+    )
+    existing = (
+        d.select(url.alias("url"), host.alias("host"),
+                 status.alias("status"))
+        .filter(F.col("status") != "removed")
+        .withColumn(
+            "priority",
+            F.when(F.col("status") == "changed", 0).otherwise(2),
+        )
+    )
+    discovered = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".src.example/d/"), (F.col("doc_id") + 100000).cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        F.lit("added").alias("status"),
+        F.lit(1).alias("priority"),
+    )
+    live = existing.unionByName(discovered)
+    w = Window.partitionBy("host").orderBy("priority", "url")
+    return live.select(
+        "url", "host", "status", "priority",
+        F.floor((F.row_number().over(w) - 1) / _POLITENESS_C)
+        .cast("bigint").alias("cycle"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # robots.txt scoping
 # ---------------------------------------------------------------------------
 # Hosts h0..h6 (.robots.example). Rule sets:

@@ -98,6 +98,42 @@ def test_robots_covers_all_arms(spark):
     assert ("allow", "") in arms           # no-match default
 
 
+def test_crawl_schedule_matches_python_reference(spark):
+    """Schedule semantics vs an independent reference: removed urls leave
+    the frontier, priority order inside each host, ≤ C urls per (host,
+    cycle), cycles dense from 0."""
+    import duckdb
+    from collections import defaultdict
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'").fetchall()]
+    frontier = []
+    for i in ids:
+        host = f"s{i % 5}.src.example"
+        if i % 5 != 4:
+            pri = 0 if i % 3 == 0 else 2
+            status = "changed" if i % 3 == 0 else "same"
+            frontier.append((host, pri, f"https://{host}/d/{i}", status))
+        if i % 7 == 0:
+            frontier.append((host, 1, f"https://{host}/d/{i + 100000}", "added"))
+    expect = {}
+    byhost = defaultdict(list)
+    for host, pri, url, status in frontier:
+        byhost[host].append((pri, url, status))
+    for host, rows in byhost.items():
+        for slot, (pri, url, status) in enumerate(sorted(rows)):
+            expect[url] = (host, status, pri, slot // wi._POLITENESS_C)
+    got = {
+        r["url"]: (r["host"], r["status"], r["priority"], r["cycle"])
+        for r in wi.q_web_crawl_schedule(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    per_cycle = defaultdict(int)
+    for url, (host, _, _, cycle) in got.items():
+        per_cycle[(host, cycle)] += 1
+    assert max(per_cycle.values()) <= wi._POLITENESS_C
+
+
 def test_robots_rules_join_is_broadcast(spark):
     plan = (
         wi.q_pipe_robots_filter(spark, SF_SMALL)
