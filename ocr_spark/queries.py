@@ -700,10 +700,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_hostlinks, quality_lr_prod, pipe_dsir_prod — brand new, NEVER
 # driver-graded; they must lead _PRIORITY_R05) and (b)
 # _R03_DRIVER_GRADED minus scan_counts — 46 entries, all r03-green. Build
-# _PRIORITY_R05 = [the 13 late entries, then the 7 web-ingest entries added
+# _PRIORITY_R05 = [the 13 late entries, then the 8 web-ingest entries added
 # after the round-close (scan_warc_roundtrip, scan_warc_gzip,
-# web_wet_roundtrip, web_cdx, web_crawl_diff, web_crawl_schedule,
-# pipe_robots_filter — also never driver-graded), then as
+# stream_warc_ingest, web_wet_roundtrip, web_cdx, web_crawl_diff,
+# web_crawl_schedule, pipe_robots_filter — also never driver-graded), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's

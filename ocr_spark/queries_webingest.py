@@ -131,6 +131,39 @@ def q_scan_warc_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, gzip_members=True)
 
 
+@register("stream_warc_ingest", _ROUNDTRIP_ORACLE)
+def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous archive ingest as a driver-visible query: write the
+    synthetic corpus as real `.warc.gz` files, ingest them with the
+    Structured-Streaming binaryFile source + exactly-once batch committer
+    (streaming/incremental.incremental_warc_ingest, availableNow), then
+    report what landed in the pages table. Same first-principles oracle as
+    the batch round-trips: a dropped, duplicated, or corrupted record
+    anywhere in the stream path breaks the hash."""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.incremental import incremental_warc_ingest
+
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-warc-")
+    archive = os.path.join(work, "archive")
+    pages = _synth_pages(spark, sf_dir).drop("doc_id")
+    warc.write_warc(pages, archive, num_files=4, gzip_members=True)
+    writer, _ = incremental_warc_ingest(
+        spark, archive, os.path.join(work, "out"),
+        os.path.join(work, "ckpt"), run_id="stream-warc-q",
+    )
+    writer.trigger(availableNow=True).start().awaitTermination()
+    ingested = spark.read.parquet(os.path.join(work, "out", "data"))
+    return ingested.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_date"),
+        F.octet_length("html").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    )
+
+
 @register("web_wet_roundtrip", _ROUNDTRIP_ORACLE)
 def q_web_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WET (conversion-record) sidecar round-trip: text payloads framed

@@ -290,6 +290,7 @@ def _gzip_member(data: bytes) -> bytes:
 def write_warc(
     pages: DataFrame, out_dir: str, num_files: int = 8,
     gzip_members: bool = False, warc_type: str = "response",
+    prefix: str = "part",
 ) -> int:
     """Write archive files under ``out_dir`` (local/posix path) — one
     ``part-NNNN.warc[.gz]`` per shard (``.warc.wet[.gz]`` for conversion
@@ -316,7 +317,7 @@ def write_warc(
         for pdf in pdfs:
             shards, sizes = [], []
             for shard, blob in zip(pdf["shard"], pdf["blob"]):
-                p = out / f"part-{int(shard):04d}{ext}"
+                p = out / f"{prefix}-{int(shard):04d}{ext}"
                 p.write_bytes(bytes(blob))
                 shards.append(int(shard))
                 sizes.append(len(blob))

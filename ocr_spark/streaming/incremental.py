@@ -655,3 +655,71 @@ def hostlinks_totals(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.sum("n_links").cast("bigint").alias("n_links"))
     )
+
+
+# --- continuous archive ingest (WARC files → pages, exactly-once) -----------
+
+def stream_warc(
+    spark: SparkSession,
+    archive_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """New ``.warc`` / ``.warc.gz`` / ``.warc.wet.gz`` files appearing under
+    ``archive_dir`` become micro-batches of pages-shaped rows. The
+    binaryFile source assigns whole archive files to tasks and the record
+    splitter is the same narrow Arrow hop as the batch path
+    (sources/warc.parse_warc) — continuous ingest stays shuffle-free."""
+    import pyspark.sql.types as T
+
+    from ocr_spark.sources.warc import parse_warc
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    rec = parse_warc(reader.load(archive_dir), "content")
+    return rec.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_ts"),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def incremental_warc_ingest(
+    spark: SparkSession,
+    archive_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "warc-stream",
+    extract: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataStreamWriter, _BatchCommitter]:
+    """Crawl archives land → pages (or extracted text with
+    ``extract=True``) appended exactly-once, same commit contract as
+    incremental_extract: the batch_id-scoped overwrite + commit record
+    makes a replayed micro-batch a no-op across the write-then-crash
+    window. A killed ingest resumes from the checkpoint having processed
+    each archive file exactly once."""
+    src = stream_warc(spark, archive_dir, max_files_per_trigger)
+    df = extract_pages(src) if extract else src
+    committer = _BatchCommitter(out_dir, run_id)
+    writer = (
+        df.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer

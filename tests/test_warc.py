@@ -11,9 +11,9 @@ from pyspark.sql import functions as F
 from ocr_spark.sources import warc
 
 
-def _pages(spark, n=40):
+def _pages(spark, n=40, start=0):
     """Deterministic pages-shaped frame: url/date/payload from a range."""
-    return spark.range(n).select(
+    return spark.range(start, start + n).select(
         F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
                  F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
         F.date_format(
@@ -240,6 +240,39 @@ def test_archive_to_extraction_runner(spark, tmp_path):
     data = spark.read.parquet(str(tmp_path / "ex" / "data"))
     assert data.count() == 200
     assert data.filter("extracted_text IS NOT NULL").count() > 0
+
+
+def test_incremental_warc_ingest_exactly_once(spark, tmp_path):
+    """Continuous archive ingest: two waves of archive files through the
+    same checkpoint — every record lands exactly once; an idle re-run
+    appends nothing."""
+    from ocr_spark.streaming.incremental import incremental_warc_ingest
+
+    archive = tmp_path / "archive"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        writer, committer = incremental_warc_ingest(
+            spark, str(archive), out, ckpt, run_id="warc-stream-test")
+        writer.trigger(availableNow=True).start().awaitTermination()
+        return committer
+
+    warc.write_warc(_pages(spark, 40), str(archive), num_files=2,
+                    gzip_members=True, prefix="w1")
+    run()
+    got1 = spark.read.parquet(f"{out}/data")
+    assert got1.count() == 40
+
+    warc.write_warc(_pages(spark, 20, start=40), str(archive), num_files=2,
+                    prefix="w2")
+    run()
+    got2 = spark.read.parquet(f"{out}/data")
+    assert got2.count() == 60
+    assert got2.select("url").distinct().count() == 60  # exactly-once
+    assert set(got2.columns) >= {"url", "warc_ts", "html", "text", "lang"}
+
+    run()  # no new files: nothing appended
+    assert spark.read.parquet(f"{out}/data").count() == 60
 
 
 def test_parse_plan_is_narrow(spark):
