@@ -218,6 +218,54 @@ def parse_warc(df: DataFrame, blob_col: str = "content") -> DataFrame:
     )
 
 
+def fetch_by_index(archive: DataFrame, index: DataFrame) -> DataFrame:
+    """Random access into archive blobs by the capture index — the
+    operation a CDX index exists for: ``index`` rows (filename,
+    warc_offset, rec_len) are fetched from ``archive`` rows (filename,
+    content) by slicing the exact byte range and parsing the one record
+    inside it.
+
+    One shuffle to co-locate wanted ranges with their file (collect_list
+    per filename — an index fetch is by nature file-addressed), then a
+    narrow Arrow hop doing the slicing. At archive scale the slice would
+    be a ranged GET instead of a full-file read; the addressing contract
+    (offset/length are real bytes) is identical and is what the tests
+    pin. Plain (uncompressed) archives; a `.warc.gz` CDX would carry
+    compressed-member offsets and gunzip the slice — same shape, not
+    needed by the in-repo writers."""
+    wants = index.groupBy("filename").agg(
+        F.collect_list(F.struct("warc_offset", "rec_len")).alias("wants")
+    )
+    joined = archive.join(wants, on="filename", how="inner").select(
+        "content", "wants"
+    )
+
+    def slicer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls: list[str] = []
+            dates: list[str] = []
+            payloads: list[bytes] = []
+            for row in batch.to_pylist():
+                blob = row["content"]
+                for w in row["wants"]:
+                    lo = int(w["warc_offset"])
+                    chunk = blob[lo:lo + int(w["rec_len"])]
+                    for u, d, p in parse_blob(chunk):
+                        urls.append(u)
+                        dates.append(d)
+                        payloads.append(p)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(dates, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                names=["url", "warc_date", "html"],
+            )
+
+    return joined.mapInArrow(slicer, WARC_DDL)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read ``.warc`` / ``.warc.gz`` files into the pages-table shape
     (url, warc_ts timestamp, html binary). The binaryFile source handles
@@ -237,7 +285,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 def blobs_by_shard(
     pages: DataFrame, num_files: int, gzip_members: bool = False,
-    warc_type: str = "response",
+    warc_type: str = "response", shard_col: str | None = None,
 ) -> DataFrame:
     """(url, warc_date string, html) → one row per archive file:
     (shard int, blob binary). Record framing is JVM (`record_expr`); the
@@ -249,11 +297,18 @@ def blobs_by_shard(
     bytes) inside the same pass."""
     # NULL payload = a capture with an empty body (still a record); NULL
     # url/date rows cannot be framed and are dropped — they would otherwise
-    # NULL-poison the shard blob
+    # NULL-poison the shard blob. Default shard key is hash(url); pass
+    # `shard_col` to control the file layout explicitly (e.g. to match a
+    # CDX index computed over a known sharding).
+    shard = (
+        F.col(shard_col).cast("int")
+        if shard_col is not None
+        else F.pmod(F.xxhash64("url"), F.lit(num_files)).cast("int")
+    )
     rec = pages.filter(
         F.col("url").isNotNull() & F.col("warc_date").isNotNull()
     ).select(
-        F.pmod(F.xxhash64("url"), F.lit(num_files)).cast("int").alias("shard"),
+        shard.alias("shard"),
         F.col("url"),
         record_expr(
             F.col("url"), F.col("warc_date"),

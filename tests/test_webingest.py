@@ -134,6 +134,43 @@ def test_crawl_schedule_matches_python_reference(spark):
     assert max(per_cycle.values()) <= wi._POLITENESS_C
 
 
+def test_cdx_offsets_address_real_bytes(spark):
+    """The closure on web_cdx: build the archive with the index's exact
+    layout (shard = doc_id % 8, records sorted by url), then FETCH a
+    sample of records by the index's (filename, offset, length) and check
+    byte-exact payloads — any error in the offset arithmetic, the window
+    frame, or the record grammar misaligns the slice and fails here."""
+    pages = wi._synth_pages(spark, SF_SMALL).withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    blobs = warc.blobs_by_shard(
+        pages.select("url", "warc_date", "html", "shard"),
+        num_files=8, shard_col="shard",
+    ).withColumn(
+        "filename",
+        F.concat(F.lit("part-"), F.lpad(F.col("shard").cast("string"), 4, "0"),
+                 F.lit(".warc")),
+    ).select("filename", F.col("blob").alias("content"))
+
+    cdx = wi.q_web_cdx(spark, SF_SMALL)
+    sample = cdx.filter(F.crc32(F.col("surt")) % 5 == 0).select(
+        "filename", "warc_offset", "rec_len", "digest"
+    )
+    n_sample = sample.count()
+    assert n_sample > 10
+
+    fetched = warc.fetch_by_index(blobs, sample)
+    got = {r["url"]: (r["warc_date"], bytes(r["html"]))
+           for r in fetched.collect()}
+    assert len(got) == n_sample
+    expect = {
+        r["url"]: (r["warc_date"], bytes(r["html"]))
+        for r in pages.collect()
+    }
+    for url, v in got.items():
+        assert expect[url] == v
+
+
 def test_robots_rules_join_is_broadcast(spark):
     plan = (
         wi.q_pipe_robots_filter(spark, SF_SMALL)
