@@ -703,7 +703,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _PRIORITY_R05 = [the 13 late entries, then the 8 web-ingest entries added
 # after the round-close (scan_warc_roundtrip, scan_warc_gzip,
 # stream_warc_ingest, web_wet_roundtrip, web_cdx, web_crawl_diff,
-# web_crawl_schedule, pipe_robots_filter — also never driver-graded), then as
+# web_crawl_schedule, pipe_robots_filter — also never driver-graded), then
+# the 3 weburl entries (web_url_canon, web_url_dedup_canon,
+# web_sitemap_parse — same status), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's
@@ -759,6 +761,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_corpusml  # noqa: F401
     from ocr_spark import queries_webgraph  # noqa: F401
     from ocr_spark import queries_webingest  # noqa: F401
+    from ocr_spark import queries_weburl  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)
