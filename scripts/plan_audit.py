@@ -441,6 +441,28 @@ def main() -> None:
         tree_of(q["pipe_robots_filter"](spark, sf)),
     ))
 
+    sections.append((
+        "web_url_canon (round 4 — URL canonicalization)",
+        "The full frozen canonicalization (case-fold, default-port drop, "
+        "unreserved percent-decode, dot-segment stack, tracking-param "
+        "strip, query sort) is pure JVM column HOFs: ZERO Exchange, zero "
+        "Python — scan → explode (noise harness) → one projection. "
+        "Folding URL spellings is therefore free to apply before any "
+        "by-url shuffle; web_url_dedup_canon below pays exactly the ONE "
+        "aggregation Exchange the by-url dedup pays regardless.",
+        tree_of(q["web_url_canon"](spark, sf)),
+    ))
+
+    sections.append((
+        "web_sitemap_parse (round 4 — sitemap ingestion)",
+        "from_xml is JVM-side (built-in XML expression, no UDF): the parse "
+        "+ posexplode are map-side over however many sitemap documents "
+        "arrive. The single Exchange below is the per-host groupBy that "
+        "SYNTHESIZES the XML in-plan — a test-harness cost; real sitemaps "
+        "arrive as fetched documents and the read path never pays it.",
+        tree_of(q["web_sitemap_parse"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are
