@@ -549,3 +549,153 @@ def q_pipe_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prefix").alias("matched_prefix"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the composed crawl loop: diff -> robots scoping -> politeness budget
+# ---------------------------------------------------------------------------
+# web_frontier is the operational composition the three pieces above exist
+# for, as ONE plan: the live frontier from the snapshot diff (changed /
+# discovered / stable priorities, removed urls gone), scoped by robots
+# rules (longest-prefix, allow-wins — denied urls must drop BEFORE budget
+# assignment so they never consume a host's fetch slots), then per-host
+# politeness cycles over the survivors. Rules over the frontier hosts:
+#   every host:     allow ''        (no-match default)
+#   every host:     deny  '/d/9'    (id prefix 9...)
+#   hosts h%2==0:   deny  '/d/1'
+#   hosts h%3==0:   allow '/d/12'   (re-allow ids 12... where '/d/1' denies)
+# Shuffle shape: one broadcast join (rules), one per-url window (verdict —
+# key cardinality = frontier size, no skew), one per-host window (cycles —
+# the politeness cap bounds hot hosts by construction).
+
+_FRONTIER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+    {_URL_SQL} AS url,
+    's' || CAST(doc_id % 5 AS VARCHAR) || '.src.example' AS host,
+    CASE
+      WHEN doc_id % 5 = 4 THEN 'removed'
+      WHEN doc_id % 3 = 0 THEN 'changed'
+      ELSE 'same'
+    END AS status
+  FROM documents
+), live AS (
+  SELECT url, host, status,
+    CASE status WHEN 'changed' THEN 0 WHEN 'added' THEN 1 ELSE 2 END
+      AS priority
+  FROM d WHERE status <> 'removed'
+  UNION ALL
+  SELECT 'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.src.example/d/'
+           || CAST(doc_id + 100000 AS VARCHAR) AS url,
+         's' || CAST(doc_id % 5 AS VARCHAR) || '.src.example' AS host,
+         'added' AS status, 1 AS priority
+  FROM documents WHERE doc_id % 7 = 0
+), rules AS (
+  SELECT 's' || CAST(range AS VARCHAR) || '.src.example' AS host,
+         '' AS prefix, 1 AS is_allow FROM range(5)
+  UNION ALL SELECT 's' || CAST(range AS VARCHAR) || '.src.example',
+         '/d/9', 0 FROM range(5)
+  UNION ALL SELECT 's' || CAST(range AS VARCHAR) || '.src.example',
+         '/d/1', 0 FROM range(5) WHERE range % 2 = 0
+  UNION ALL SELECT 's' || CAST(range AS VARCHAR) || '.src.example',
+         '/d/12', 1 FROM range(5) WHERE range % 3 = 0
+), verdicts AS (
+  SELECT l.*, r.is_allow,
+    row_number() OVER (
+      PARTITION BY l.url
+      ORDER BY length(r.prefix) DESC, r.is_allow DESC
+    ) AS rn
+  FROM live l JOIN rules r
+    ON l.host = r.host
+   AND strpos(substr(l.url, 9 + length(l.host)), r.prefix) = 1
+), allowed AS (
+  SELECT url, host, status, priority FROM verdicts
+  WHERE rn = 1 AND is_allow = 1
+), slotted AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY host ORDER BY priority, url) AS slot
+  FROM allowed
+)
+SELECT url, host, status, priority,
+  CAST((slot - 1) // {_POLITENESS_C} AS BIGINT) AS cycle
+FROM slotted
+"""
+
+
+def _live_frontier(d: DataFrame) -> DataFrame:
+    """The schedule's live set: kept urls with diff-derived priorities plus
+    newly discovered urls (same churn model as web_crawl_diff)."""
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".src.example/d/"), F.col("doc_id").cast("string"),
+    )
+    host = F.concat(
+        F.lit("s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".src.example"),
+    )
+    status = (
+        F.when(F.col("doc_id") % 5 == 4, "removed")
+        .when(F.col("doc_id") % 3 == 0, "changed")
+        .otherwise("same")
+    )
+    existing = (
+        d.select(url.alias("url"), host.alias("host"), status.alias("status"))
+        .filter(F.col("status") != "removed")
+        .withColumn(
+            "priority",
+            F.when(F.col("status") == "changed", 0).otherwise(2),
+        )
+    )
+    discovered = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".src.example/d/"), (F.col("doc_id") + 100000).cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        F.lit("added").alias("status"),
+        F.lit(1).alias("priority"),
+    )
+    return existing.unionByName(discovered)
+
+
+@register("web_frontier", _FRONTIER_ORACLE)
+def q_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop end-to-end as one plan: diff-derived live frontier →
+    robots longest-prefix scoping (broadcast rules; denied urls drop
+    before budgeting) → per-host politeness cycles over the survivors."""
+    live = _live_frontier(t(spark, sf_dir, "documents"))
+    hosts = spark.range(5).select(
+        F.concat(F.lit("s"), F.col("id").cast("string"),
+                 F.lit(".src.example")).alias("host"),
+        F.col("id").alias("h"),
+    )
+    rules = (
+        hosts.select("host", F.lit("").alias("prefix"),
+                     F.lit(1).alias("is_allow"))
+        .unionByName(hosts.select(
+            "host", F.lit("/d/9").alias("prefix"), F.lit(0).alias("is_allow")))
+        .unionByName(hosts.filter(F.col("h") % 2 == 0).select(
+            "host", F.lit("/d/1").alias("prefix"), F.lit(0).alias("is_allow")))
+        .unionByName(hosts.filter(F.col("h") % 3 == 0).select(
+            "host", F.lit("/d/12").alias("prefix"), F.lit(1).alias("is_allow")))
+    )
+    path = F.substring(
+        F.col("url"), F.lit(9) + F.length("host"), F.lit(2 ** 31 - 1)
+    )
+    cand = live.join(F.broadcast(rules), on="host", how="inner").filter(
+        path.startswith(F.col("prefix"))
+    )
+    wv = Window.partitionBy("url").orderBy(
+        F.length("prefix").desc(), F.col("is_allow").desc()
+    )
+    allowed = (
+        cand.withColumn("rn", F.row_number().over(wv))
+        .filter((F.col("rn") == 1) & (F.col("is_allow") == 1))
+        .select("url", "host", "status", "priority")
+    )
+    wc = Window.partitionBy("host").orderBy("priority", "url")
+    return allowed.select(
+        "url", "host", "status", "priority",
+        F.floor((F.row_number().over(wc) - 1) / _POLITENESS_C)
+        .cast("bigint").alias("cycle"),
+    )

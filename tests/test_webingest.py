@@ -178,3 +178,71 @@ def test_robots_rules_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan.split("Window")[0]
+
+
+def test_frontier_matches_python_reference(spark):
+    """web_frontier = diff-live set → robots scoping → politeness cycles,
+    replayed by an independent Python implementation (plain dicts + sorts,
+    no SQL)."""
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'").fetchall()]
+    live = []
+    for i in ids:
+        host = f"s{i % 5}.src.example"
+        if i % 5 != 4:
+            status = "changed" if i % 3 == 0 else "same"
+            live.append((f"https://{host}/d/{i}", host, status,
+                         0 if status == "changed" else 2))
+        if i % 7 == 0:
+            live.append((f"https://{host}/d/{i + 100000}", host, "added", 1))
+
+    def allowed(host: str, path: str) -> bool:
+        h = int(host[1])
+        rules = [("", 1), ("/d/9", 0)]
+        if h % 2 == 0:
+            rules.append(("/d/1", 0))
+        if h % 3 == 0:
+            rules.append(("/d/12", 1))
+        matched = sorted(
+            (r for r in rules if path.startswith(r[0])),
+            key=lambda r: (-len(r[0]), -r[1]),
+        )
+        return matched[0][1] == 1
+
+    kept = [row for row in live
+            if allowed(row[1], row[0][8 + len(row[1]):])]
+    expect = {}
+    by_host: dict[str, list] = {}
+    for row in kept:
+        by_host.setdefault(row[1], []).append(row)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: (r[3], r[0]))
+        for slot, row in enumerate(rows):
+            expect[row[0]] = (row[1], row[2], row[3],
+                              slot // wi._POLITENESS_C)
+
+    got = {
+        r["url"]: (r["host"], r["status"], r["priority"], r["cycle"])
+        for r in wi.q_web_frontier(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    # robots ran BEFORE budgeting: every (host, cycle) is filled to the cap
+    # before the next cycle opens
+    per = {}
+    for host, _status, _prio, cyc in got.values():
+        per.setdefault(host, {}).setdefault(cyc, 0)
+        per[host][cyc] += 1
+    for host, cyc_counts in per.items():
+        top = max(cyc_counts)
+        for c in range(top):
+            assert cyc_counts[c] == wi._POLITENESS_C, (host, c)
+
+
+def test_frontier_rules_join_is_broadcast(spark):
+    plan = (
+        wi.q_web_frontier(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
