@@ -82,6 +82,9 @@ HEADLINE = [
     "web_cdx",              # webtext: SURT/offset capture index (one window)
     "web_crawl_diff",       # webtext: snapshot diff (one full outer join)
     "pipe_robots_filter",   # webtext: RFC 9309 longest-prefix scoping
+    # late round-4 URL canonicalization & frontier block
+    "web_url_canon",        # webtext: zero-Exchange URL canonicalization
+    "web_frontier",         # webtext: diff -> robots -> politeness as ONE plan
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

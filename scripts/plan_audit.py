@@ -442,6 +442,17 @@ def main() -> None:
     ))
 
     sections.append((
+        "web_frontier (round 4 — the composed crawl loop)",
+        "diff-derived live frontier → robots scoping → politeness cycles "
+        "as ONE plan: the rules dim joins BROADCAST, the verdict window "
+        "partitions by url (key cardinality = frontier size, skew-free), "
+        "and the cycle window partitions by host AFTER denied urls drop — "
+        "so denied urls never consume fetch slots and the politeness cap "
+        "bounds hot hosts by construction.",
+        tree_of(q["web_frontier"](spark, sf)),
+    ))
+
+    sections.append((
         "web_url_canon (round 4 — URL canonicalization)",
         "The full frozen canonicalization (case-fold, default-port drop, "
         "unreserved percent-decode, dot-segment stack, tracking-param "
