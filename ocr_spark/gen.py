@@ -581,6 +581,74 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
           "<a href=\"/分类/新闻\">中文锚文本 的 链接</a> 其余正文 "
           + _salad(rng, "zh", 20, 0.5) + "</p></body></html>").encode("gbk"),
          "zh"),
+        # --- SPEC §6 page metadata (appended family: earlier rng draws and
+        # therefore all earlier fixture bytes are unchanged) ---------------
+        ("meta-basic-head",
+         (b'<html><head><title>The Basic Page</title>'
+          b'<meta name="description" content="a plain description">'
+          b'<link rel="canonical" href="https://h0.example.com/canon/1">'
+          b'<meta property="og:title" content="OG Basic"></head>'
+          b'<body><p>the data of it body</p></body></html>'),
+         "en"),
+        ("meta-title-entities-nested",
+         # entities decode in title data; nested markup contributes its data
+         # events but not its tags; internal whitespace collapses
+         (b'<title>A &amp; B \n\t the <b>bold</b>  tail</title>'
+          b'<p>the body of it</p>'),
+         "en"),
+        ("meta-first-title-claims",
+         # empty-capture first title still claims; later titles ignored
+         (b'<title>   </title><title>Second Title</title>'
+          b'<p>the body of it</p>'),
+         "en"),
+        ("meta-in-skip-regions",
+         # metadata inside svg/template is NOT document metadata
+         (b'<svg><title>svg label</title>'
+          b'<meta name="description" content="svg desc"></svg>'
+          b'<template><link rel="canonical" href="/hidden"></template>'
+          b'<title>Visible Title</title>'
+          b'<meta name="description" content="visible desc">'
+          b'<link rel="canonical" href="/visible"><p>the body of it</p>'),
+         "en"),
+        ("meta-canonical-rel-tokens",
+         # token-list rel, case-insensitive; §5.4 href normalization
+         # (strip + TAB/LF/CR removal); first VALID canonical wins, an
+         # empty-normalizing href does not claim the slot
+         (b'<link rel="nofollow" href="/not-canon">'
+          b'<link rel="ALTERNATE Canonical" href=" \t/first#frag\n ">'
+          b'<link rel="canonical" href="/second-ignored">'
+          b'<p>the body of it</p>'),
+         "en"),
+        ("meta-content-missing",
+         # value-less / absent content never claims the description slot
+         (b'<meta name="description">'
+          b'<meta name="description" content>'
+          b'<meta name="description" content="the real one">'
+          b'<p>the body of it</p>'),
+         "en"),
+        ("meta-one-tag-both-fields",
+         # one <meta> may satisfy description AND og:title (§6.4)
+         (b'<meta name=" Description " property="OG:TITLE" '
+          b'content=" shared  value ">'
+          b'<p>the body of it</p>'),
+         "en"),
+        ("meta-unterminated-title",
+         b'<title>runs to the end of the document',
+         "en"),
+        ("meta-gbk-title",
+         # charset sniffing (§0) happens before metadata capture
+         ("<html><head><meta charset=gbk><title>中文标题 页面</title>"
+          "<meta name=\"description\" content=\"中文描述 内容\"></head>"
+          "<body><p>正文 的 内容</p></body></html>").encode("gbk"),
+         "zh"),
+        ("meta-unquoted-case-attrs",
+         # attr NAMES lowercase via the tokenizer, values verbatim;
+         # unquoted values; duplicate attrs: first occurrence wins
+         (b'<META NAME=Description CONTENT=unquoted-desc>'
+          b'<meta name=description content=first content=second>'
+          b'<LINK REL=canonical REL=nofollow HREF=/first-rel>'
+          b'<p>the body of it</p>'),
+         "en"),
     ]
     return cases
 

@@ -165,8 +165,21 @@ def _href_norm(value):
     return s
 
 
+def _meta_href_norm(value):
+    """SPEC.md §6.5 canonical href: §5.4 normalization only, no discards."""
+    if value is None:
+        return None
+    kept = []
+    for ch in value.strip(" \t\n\r\f\v"):
+        if ch not in "\t\n\r":
+            kept.append(ch)
+    s = "".join(kept)
+    return s if s else None
+
+
 class _GoldenHTML(HTMLParser):
-    """Event recorder for the SPEC.md §1/§5 tokenizer rules (reference impl)."""
+    """Event recorder for the SPEC.md §1/§5/§6 tokenizer rules (reference
+    impl)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -180,6 +193,57 @@ class _GoldenHTML(HTMLParser):
         self.links: list[dict] = []
         self.open_href = None
         self.open_anchor: list[str] = []
+        self.doc_title = None  # None until the first <title> closes (§6.2)
+        self.in_title = False
+        self.title_parts: list[str] = []
+        self.doc_desc = None
+        self.doc_canon = None
+        self.doc_og = None
+
+    # --- SPEC §6 metadata events ------------------------------------------
+    def _meta_event(self, attrs) -> None:
+        seen = {}
+        for name, val in attrs:
+            if name not in seen:
+                seen[name] = val
+        content = seen.get("content")
+        if content is None:
+            return
+        name_attr = seen.get("name")
+        if (
+            self.doc_desc is None
+            and name_attr is not None
+            and name_attr.strip(" \t\n\r\f\v").lower() == "description"
+        ):
+            self.doc_desc = _normalize(content)
+        prop_attr = seen.get("property")
+        if (
+            self.doc_og is None
+            and prop_attr is not None
+            and prop_attr.strip(" \t\n\r\f\v").lower() == "og:title"
+        ):
+            self.doc_og = _normalize(content)
+
+    def _link_event(self, attrs) -> None:
+        if self.doc_canon is not None:
+            return
+        seen = {}
+        for name, val in attrs:
+            if name not in seen:
+                seen[name] = val
+        rel = seen.get("rel")
+        if rel is None:
+            return
+        if "canonical" not in [tok.lower() for tok in rel.split()]:
+            return
+        norm = _meta_href_norm(seen.get("href"))
+        if norm is not None:
+            self.doc_canon = norm
+
+    def _end_title(self) -> None:
+        self.doc_title = _normalize("".join(self.title_parts))
+        self.in_title = False
+        self.title_parts = []
 
     def _close_link(self) -> None:
         if self.open_href is None:
@@ -222,6 +286,14 @@ class _GoldenHTML(HTMLParser):
                 norm = _href_norm(href)
                 if norm is not None:
                     self.open_href = norm
+        elif self.n_skip == 0:
+            if tag == "title":
+                if self.doc_title is None and not self.in_title:
+                    self.in_title = True
+            elif tag == "meta":
+                self._meta_event(attrs)
+            elif tag == "link":
+                self._link_event(attrs)
         if tag not in VOID_TAGS:
             self.open_tags.append(tag)
 
@@ -235,6 +307,8 @@ class _GoldenHTML(HTMLParser):
                 self.n_anchor -= 1
             if self.n_skip == 0:
                 self._close_link()
+        elif tag == "title" and self.in_title and self.n_skip == 0:
+            self._end_title()
         for i in range(len(self.open_tags) - 1, -1, -1):
             if self.open_tags[i] == tag:
                 self.open_tags = self.open_tags[:i]
@@ -254,12 +328,21 @@ class _GoldenHTML(HTMLParser):
             if norm is not None:
                 self.open_href = norm
                 self._close_link()
+        elif self.n_skip == 0:
+            # §6: self-closing <meta/>/<link/> carry metadata; <title/> is
+            # ignored (§6.2)
+            if tag == "meta":
+                self._meta_event(attrs)
+            elif tag == "link":
+                self._link_event(attrs)
 
     def handle_data(self, data):
         if self.n_skip or data == "":
             return
         if self.open_href is not None:
             self.open_anchor.append(data)
+        if self.in_title:
+            self.title_parts.append(data)
         if self.block_ctx is None and data.strip() != "":
             enclosing = "body"
             for t in self.open_tags[::-1]:
@@ -360,6 +443,7 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
     kind = "empty"
     blocks: list[dict] = []
     links: list[dict] = []
+    meta = {"title": "", "description": "", "canonical": "", "og_title": ""}
     if html:
         decoded = _sniff_decode(html)
         obj = None
@@ -392,7 +476,15 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
                 pass
             p._emit()
             p._close_link()
+            if p.in_title:  # §6.2: end of document closes an open title
+                p._end_title()
             links = p.links
+            meta = {
+                "title": p.doc_title if p.doc_title is not None else "",
+                "description": p.doc_desc if p.doc_desc is not None else "",
+                "canonical": p.doc_canon if p.doc_canon is not None else "",
+                "og_title": p.doc_og if p.doc_og is not None else "",
+            }
             for i, (tag, depth, text, link_len) in enumerate(
                 p.raw_blocks[:MAX_BLOCKS]
             ):
@@ -429,4 +521,5 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
         "n_blocks": len(blocks),
         "n_content_blocks": len(content),
         "links": links,
+        "meta": meta,
     }

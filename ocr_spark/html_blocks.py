@@ -116,6 +116,19 @@ def _norm_href(value: str | None) -> str | None:
     return v
 
 
+def _norm_meta_href(value: str | None) -> str | None:
+    """SPEC §6.5 canonical-href normalization: §5.4 only (strip + TAB/LF/CR
+    removal) — no fragment/scheme discards. None = not a candidate."""
+    if value is None:
+        return None
+    v = value
+    if v[:1] in _HREF_STRIP or v[-1:] in _HREF_STRIP:
+        v = v.strip(_HREF_STRIP)
+    if "\t" in v or "\n" in v or "\r" in v:
+        v = v.translate(_HREF_DEL)
+    return v or None
+
+
 class _BlockParser(HTMLParser):
     """HTMLParser subclass implementing the SPEC.md §1 event rules."""
 
@@ -132,6 +145,12 @@ class _BlockParser(HTMLParser):
         "links",
         "link_href",
         "link_buf",
+        "title_text",
+        "title_open",
+        "title_buf",
+        "meta_desc",
+        "meta_canon",
+        "meta_og",
     )
 
     def __init__(self) -> None:
@@ -151,8 +170,14 @@ class _BlockParser(HTMLParser):
         self.links: list[dict] = []
         self.link_href: str | None = None
         self.link_buf: list[str] = []
+        self.title_text: str | None = None  # None = title not yet claimed
+        self.title_open = False
+        self.title_buf: list[str] = []
+        self.meta_desc: str | None = None
+        self.meta_canon: str | None = None
+        self.meta_og: str | None = None
 
-    # --- event handlers (SPEC.md §1, §5) -----------------------------------
+    # --- event handlers (SPEC.md §1, §5, §6) --------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in spec.BLOCK_TAGS:
             self._flush()
@@ -172,6 +197,14 @@ class _BlockParser(HTMLParser):
                 href = _norm_href(href)
                 if href is not None:
                     self.link_href = href
+        elif self.skip_depth == 0:
+            if tag == "title":
+                if self.title_text is None and not self.title_open:
+                    self.title_open = True
+            elif tag == "meta":
+                self._meta_tag(attrs)
+            elif tag == "link":
+                self._link_tag(attrs)
         if tag not in spec.VOID_TAGS:
             self.stack.append(tag)
 
@@ -185,6 +218,8 @@ class _BlockParser(HTMLParser):
                 self.anchor_depth -= 1
             if self.skip_depth == 0:
                 self._finalize_link()
+        elif tag == "title" and self.title_open and self.skip_depth == 0:
+            self._close_title()
         stack = self.stack
         if tag in stack:
             # pop up to and including the last occurrence (implicit closes)
@@ -203,12 +238,21 @@ class _BlockParser(HTMLParser):
             if href is not None:
                 self.link_href = href
                 self._finalize_link()
+        elif self.skip_depth == 0:
+            # SPEC §6: <meta .../> and <link .../> carry metadata; a
+            # self-closing <title/> is ignored (§6.2)
+            if tag == "meta":
+                self._meta_tag(attrs)
+            elif tag == "link":
+                self._link_tag(attrs)
 
     def handle_data(self, data: str) -> None:
         if self.skip_depth > 0 or not data:
             return
         if self.link_href is not None:
             self.link_buf.append(data)
+        if self.title_open:
+            self.title_buf.append(data)
         if self.ctx_tag is None and not data.isspace():
             tag = "body"
             for t in reversed(self.stack):
@@ -238,6 +282,69 @@ class _BlockParser(HTMLParser):
         self.link_href = None
         if self.link_buf:
             self.link_buf = []
+
+    # --- metadata capture (SPEC.md §6) ---------------------------------------
+    def _close_title(self) -> None:
+        self.title_text = " ".join("".join(self.title_buf).split())
+        self.title_open = False
+        self.title_buf = []
+
+    def _meta_tag(self, attrs) -> None:
+        if self.meta_desc is not None and self.meta_og is not None:
+            return
+        # first OCCURRENCE of each attr wins, even when value-less (None):
+        # a later valued duplicate must not override (SPEC §6.3 "first")
+        first: dict = {}
+        for k, v in attrs:
+            if k not in first:
+                first[k] = v
+        name = first.get("name")
+        prop = first.get("property")
+        content = first.get("content")
+        if content is None:
+            return
+        if (
+            self.meta_desc is None
+            and name is not None
+            and name.strip(_HREF_STRIP).lower() == "description"
+        ):
+            self.meta_desc = " ".join(content.split())
+        if (
+            self.meta_og is None
+            and prop is not None
+            and prop.strip(_HREF_STRIP).lower() == "og:title"
+        ):
+            self.meta_og = " ".join(content.split())
+
+    def _link_tag(self, attrs) -> None:
+        if self.meta_canon is not None:
+            return
+        first: dict = {}
+        for k, v in attrs:
+            if k not in first:
+                first[k] = v
+        rel = first.get("rel")
+        href = first.get("href")
+        if rel is None or "canonical" not in (
+            t.lower() for t in rel.split()
+        ):
+            return
+        norm = _norm_meta_href(href)
+        if norm is not None:
+            self.meta_canon = norm
+
+    def _finalize_meta(self) -> None:
+        """End of document: close an unterminated title (SPEC §6.2)."""
+        if self.title_open:
+            self._close_title()
+
+    def meta_result(self) -> dict:
+        return {
+            "title": self.title_text or "",
+            "description": self.meta_desc or "",
+            "canonical": self.meta_canon or "",
+            "og_title": self.meta_og or "",
+        }
 
     # --- block emission ----------------------------------------------------
     def _flush(self) -> None:
@@ -418,6 +525,10 @@ def _fast_attrs(raw: str) -> list[tuple[str, str | None]] | None:
         out.append((name.lower(), val))
         pos = m.end()
     return out
+# tags whose attributes carry frozen-SPEC state (§5 href, §6 metadata) —
+# the fast path must parse their attrs instead of dropping them
+_FAST_ATTR_TAGS = frozenset(("a", "meta", "link"))
+
 # html.parser gives only <script>/<style> CDATA treatment
 _CDATA_ELEMS = frozenset(("script", "style"))
 _CDATA_CLOSE = {
@@ -482,7 +593,7 @@ def _fast_scan(decoded: str, h: _BlockParser) -> bool:
             # attribute value (NOT self-closing) — bail on that ambiguity
             if "=" in attrs and attrs.rstrip()[-1:] not in ('"', "'"):
                 return False
-            if name == "a" and attrs.strip():
+            if name in _FAST_ATTR_TAGS and attrs.strip():
                 parsed = _fast_attrs(attrs)
                 if parsed is None:
                     return False
@@ -490,7 +601,7 @@ def _fast_scan(decoded: str, h: _BlockParser) -> bool:
             else:
                 h.handle_startendtag(name, ())
         else:
-            if name == "a" and attrs.strip():
+            if name in _FAST_ATTR_TAGS and attrs.strip():
                 parsed = _fast_attrs(attrs)
                 if parsed is None:
                     return False
@@ -514,19 +625,25 @@ def _fast_scan(decoded: str, h: _BlockParser) -> bool:
         pos = m.end()
 
 
+_EMPTY_META = {
+    "title": "", "description": "", "canonical": "", "og_title": "",
+}
+
+
 def parse_payload(
     html: bytes | None,
     lang: str | None,
     parser: _BlockParser | None = None,
     force_slow: bool = False,
-) -> tuple[str, list[dict], list[dict]]:
-    """Parse one page payload → (kind, blocks, links). SPEC.md §0 dispatch.
+) -> tuple[str, list[dict], list[dict], dict]:
+    """Parse one page payload → (kind, blocks, links, meta). SPEC.md §0
+    dispatch; meta per §6 (all-empty for pdf/empty payloads).
 
     ``force_slow`` disables the fast-path tokenizer (used by the
     differential tests that prove the two tokenizers agree).
     """
     if not html:
-        return "empty", [], []
+        return "empty", [], [], _EMPTY_META
     stopset = spec.stopword_set(lang)
     decoded = sniff_decode(html)
     stripped = decoded.lstrip()
@@ -540,7 +657,7 @@ def parse_payload(
             and obj.get("kind") == "pdf"
             and isinstance(obj.get("blocks"), list)
         ):
-            return "pdf", _pdf_blocks(obj, stopset), []
+            return "pdf", _pdf_blocks(obj, stopset), [], _EMPTY_META
     if parser is None:
         parser = _BlockParser()
     parser.reset()  # HTMLParser internal state
@@ -548,7 +665,8 @@ def parse_payload(
     if not force_slow and _fast_scan(decoded, parser):
         parser._flush()
         parser._finalize_link()
-        return "html", parser.blocks, parser.links
+        parser._finalize_meta()
+        return "html", parser.blocks, parser.links, parser.meta_result()
     parser.reset()  # discard any partial fast-path events
     parser._reset_doc(stopset)
     try:
@@ -560,23 +678,26 @@ def parse_payload(
         pass
     parser._flush()
     parser._finalize_link()
-    return "html", parser.blocks, parser.links
+    parser._finalize_meta()
+    return "html", parser.blocks, parser.links, parser.meta_result()
 
 
 def parse_batch(
     htmls: list[bytes | None], langs: list[str | None]
-) -> tuple[list[str], list[list[dict]], list[list[dict]]]:
+) -> tuple[list[str], list[list[dict]], list[list[dict]], list[dict]]:
     """Parse an Arrow batch of payloads; reuses one parser instance."""
     parser = _BlockParser()
     kinds: list[str] = []
     blocks: list[list[dict]] = []
     links: list[list[dict]] = []
+    metas: list[dict] = []
     for html, lang in zip(htmls, langs):
-        k, b, ln = parse_payload(html, lang, parser)
+        k, b, ln, m = parse_payload(html, lang, parser)
         kinds.append(k)
         blocks.append(b)
         links.append(ln)
-    return kinds, blocks, links
+        metas.append(m)
+    return kinds, blocks, links, metas
 
 
 _BLOCK_FIELDS = (
@@ -589,7 +710,7 @@ def parse_batch_columnar(
     htmls: list[bytes | None], langs: list[str | None]
 ) -> tuple[
     list[str], list[int], dict[str, list], list[bool],
-    list[int], list[str], list[str],
+    list[int], list[str], list[str], dict[str, list],
 ]:
     """Parse a batch into FLAT columns + list offsets for zero-inference
     Arrow construction.
@@ -598,10 +719,11 @@ def parse_batch_columnar(
     dispatch; building primitive columns + ``StructArray.from_arrays`` +
     ``ListArray.from_arrays`` measured ~2x faster end-to-end in the
     mapInArrow worker. Returns (kinds, offsets, columns, bbox_is_null,
-    link_offsets, hrefs, anchors) where offsets/link_offsets have
-    len(htmls)+1 entries and each flat column is the concatenation over all
-    documents in order (links per SPEC.md §5; link_id is implicit — the
-    position within a document's slice).
+    link_offsets, hrefs, anchors, meta_cols) where offsets/link_offsets
+    have len(htmls)+1 entries and each flat column is the concatenation
+    over all documents in order (links per SPEC.md §5; link_id is implicit
+    — the position within a document's slice; meta_cols per SPEC.md §6,
+    one value per document).
     """
     parser = _BlockParser()
     kinds: list[str] = []
@@ -612,6 +734,9 @@ def parse_batch_columnar(
     link_offsets: list[int] = [0]
     hrefs: list[str] = []
     anchors: list[str] = []
+    meta_cols: dict[str, list] = {
+        f: [] for f in ("title", "description", "canonical", "og_title")
+    }
     appenders = [(f, cols[f].append) for f in _BLOCK_FIELDS]
     x0a, y0a, x1a, y1a = (
         cols["x0"].append, cols["y0"].append, cols["x1"].append,
@@ -621,7 +746,7 @@ def parse_batch_columnar(
     n = 0
     nl = 0
     for html, lang in zip(htmls, langs):
-        kind, blocks, links = parse_payload(html, lang, parser)
+        kind, blocks, links, meta = parse_payload(html, lang, parser)
         kinds.append(kind)
         n += len(blocks)
         offsets.append(n)
@@ -630,6 +755,8 @@ def parse_batch_columnar(
         for lk in links:
             hrefs.append(lk["href"])
             anchors.append(lk["anchor"])
+        for f, vals in meta_cols.items():
+            vals.append(meta[f])
         for b in blocks:
             for f, app in appenders:
                 app(b[f])
@@ -641,4 +768,7 @@ def parse_batch_columnar(
                 bna(False)
                 x0a(bbox["x0"]); y0a(bbox["y0"])
                 x1a(bbox["x1"]); y1a(bbox["y1"])
-    return kinds, offsets, cols, bbox_null, link_offsets, hrefs, anchors
+    return (
+        kinds, offsets, cols, bbox_null, link_offsets, hrefs, anchors,
+        meta_cols,
+    )

@@ -43,7 +43,10 @@ PARSED_DDL = (
     " link_density: double, char_density: double, stopword_density: double,"
     " bbox: struct<x0: double, y0: double, x1: double, y1: double>>>,"
     # SPEC.md §5 outlinks; link_id is the array position (posexplode emits it)
-    " links array<struct<href: string, anchor: string>>"
+    " links array<struct<href: string, anchor: string>>,"
+    # SPEC.md §6 page metadata (WAT-record head fields; empty string = unset)
+    " meta struct<title: string, description: string, canonical: string,"
+    " og_title: string>"
 )
 
 SPANS_DDL = (
@@ -117,6 +120,7 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
     langs = batch.column("lang").to_pylist()
     (
         kinds, offsets, cols, bbox_null, link_offsets, hrefs, anchors,
+        meta_cols,
     ) = parse_batch_columnar(htmls, langs)
 
     bytes_in = pc.coalesce(
@@ -152,6 +156,13 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
     links_arr = pa.ListArray.from_arrays(
         pa.array(link_offsets, type=pa.int32()), links_struct
     )
+    meta_arr = pa.StructArray.from_arrays(
+        [
+            pa.array(meta_cols[f], type=pa.string())
+            for f in ("title", "description", "canonical", "og_title")
+        ],
+        names=["title", "description", "canonical", "og_title"],
+    )
     return pa.RecordBatch.from_arrays(
         [
             batch.column("url"),
@@ -162,10 +173,11 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
             pa.array(kinds, type=pa.string()),
             blocks_arr,
             links_arr,
+            meta_arr,
         ],
         names=[
             "url", "warc_ts", "lang", "part_id", "bytes_in", "kind",
-            "blocks", "links",
+            "blocks", "links", "meta",
         ],
     )
 
@@ -391,6 +403,27 @@ def extract_outlinks(
         "link_id",
         F.col("_l.href").alias("href"),
         F.col("_l.anchor").alias("anchor"),
+    )
+
+
+def extract_metadata(
+    df: DataFrame,
+    num_parts: int = DEFAULT_NUM_PARTS,
+) -> DataFrame:
+    """SPEC.md §6 page-metadata product: one row per page with the
+    WAT-record head fields (title, meta description, canonical link,
+    og:title — empty string = unset). Same plan shape as extraction: one
+    mapInArrow hop then a JVM projection — narrow end-to-end, no shuffle.
+    """
+    parsed = parse_pages(df, num_parts)
+    return parsed.select(
+        "url",
+        "warc_ts",
+        "part_id",
+        F.col("meta.title").alias("title"),
+        F.col("meta.description").alias("description"),
+        F.col("meta.canonical").alias("canonical"),
+        F.col("meta.og_title").alias("og_title"),
     )
 
 

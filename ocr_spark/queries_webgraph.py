@@ -1045,3 +1045,83 @@ def q_pipe_dsir_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SPEC §6 page metadata through the REAL parse
+# ---------------------------------------------------------------------------
+# Wrapped pages exercise every §6 capture rule: entity + whitespace torture
+# in the title (one arm omits it), case-varied meta name, token-list rel
+# with §5.4 href normalization, og:title, and an in-body <svg> decoy that
+# must NOT be the document title. The oracle reconstructs all four fields
+# from doc_id arithmetic — header serialization, tokenizer attr handling,
+# skip-region scoping and the normalization rules all sit under the hash.
+
+_META_ORACLE = """
+SELECT
+  'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.src.example/d/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  CASE WHEN doc_id % 4 <> 0
+       THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' & more'
+       ELSE '' END AS title,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'summary of ' || CAST(doc_id AS VARCHAR)
+       ELSE '' END AS description,
+  CASE WHEN doc_id % 2 = 0
+       THEN 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+            || '.src.example/c/' || CAST(doc_id AS VARCHAR)
+       ELSE '' END AS canonical,
+  CASE WHEN doc_id % 5 = 0
+       THEN 'OG ' || CAST(doc_id AS VARCHAR)
+       ELSE '' END AS og_title
+FROM documents
+"""
+
+
+def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    title = F.when(
+        F.col("doc_id") % 4 != 0,
+        F.concat(F.lit("<title> Doc \n "), did, F.lit("  &amp; more </title>")),
+    ).otherwise(F.lit(""))
+    desc = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<meta name=" Description " content=" summary  of '),
+                 did, F.lit(' ">')),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<link rel="alternate Canonical" href=" https://s'),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".src.example/c/"), did, F.lit('\t">')),
+    ).otherwise(F.lit(""))
+    og = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit('<meta property="OG:title" content="OG '), did,
+                 F.lit('">')),
+    ).otherwise(F.lit(""))
+    return d.select(
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".src.example/d/"), did,
+        ).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"), title, desc, canon, og,
+                F.lit("</head><body><svg><title>decoy</title></svg><p>body "),
+                did, F.lit(" the of it</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+
+
+@register("extract_meta", _META_ORACLE)
+def q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.extract import extract_metadata
+
+    m = extract_metadata(_meta_pages(spark, sf_dir))
+    return m.select("url", "title", "description", "canonical", "og_title")

@@ -38,6 +38,7 @@ def main() -> None:
                 "n_blocks": g["n_blocks"],
                 "n_content_blocks": g["n_content_blocks"],
                 "links": g["links"],
+                "meta": g["meta"],
             }
         )
     OUT.parent.mkdir(parents=True, exist_ok=True)

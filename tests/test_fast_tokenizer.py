@@ -60,19 +60,19 @@ TRICKY = [
 
 
 def _sig(html: bytes, lang: str | None):
-    kind, blocks, links = parse_payload(html, lang)
+    kind, blocks, links, meta = parse_payload(html, lang)
     return kind, [
         (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
          b["stopword_density"]) for b in blocks
-    ], links
+    ], links, meta
 
 
 def _sig_slow(html: bytes, lang: str | None):
-    kind, blocks, links = parse_payload(html, lang, force_slow=True)
+    kind, blocks, links, meta = parse_payload(html, lang, force_slow=True)
     return kind, [
         (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
          b["stopword_density"]) for b in blocks
-    ], links
+    ], links, meta
 
 
 def test_tricky_constructs_agree():
@@ -106,7 +106,13 @@ _CHUNK = st.sampled_from(
      # CDATA closer variants: valid (space/tab/after-slash forms) and the
      # attr-bearing one that 3.11 treats as NOT closing (swallow mode)
      "</script >", "</ script>", "</style\t>", "</script x>", "</script/>",
-     "<w:sdt>", "</w:sdt>"]
+     "<w:sdt>", "</w:sdt>",
+     # SPEC §6 metadata surface (title capture, meta/link attr parsing)
+     "<title>", "</title>", "<title/>", "<meta name=description content=d>",
+     '<meta name="description" content="d d">', "<meta content=c>",
+     '<meta property="og:title" content="o">', "<link rel=canonical href=/c>",
+     '<link rel="alternate canonical" href=" /c ">', "<link rel=canonical>",
+     "<meta name=description>", "<svg>", "</svg>"]
 )
 
 

@@ -41,6 +41,7 @@ def test_goldenref_is_stable(golden_records):
         assert g["extracted_text"] == rec["extracted_text"], rec["url"]
         assert g["text_sha256"] == rec["text_sha256"], rec["url"]
         assert g["links"] == rec["links"], rec["url"]
+        assert g["meta"] == rec["meta"], rec["url"]
 
 
 def test_links_exact(spark, fixture_df, golden_records):
@@ -59,6 +60,24 @@ def test_links_exact(spark, fixture_df, golden_records):
         ]
         have = sorted(got.get((rec["url"], rec["warc_ts"]), []))
         assert have == want, rec["url"]
+
+
+def test_meta_exact(spark, fixture_df, golden_records):
+    """SPEC §6 gate: pipeline page metadata == golden reference, per url,
+    byte-exact across all four fields."""
+    from ocr_spark.operators.extract import extract_metadata
+
+    got = {
+        (r.url, r.warc_ts.isoformat()): {
+            "title": r.title,
+            "description": r.description,
+            "canonical": r.canonical,
+            "og_title": r.og_title,
+        }
+        for r in extract_metadata(fixture_df).collect()
+    }
+    for rec in golden_records:
+        assert got[(rec["url"], rec["warc_ts"])] == rec["meta"], rec["url"]
 
 
 def test_rowcount(extracted, golden_records):
