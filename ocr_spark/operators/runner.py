@@ -269,6 +269,7 @@ def run_extract(
     keep_staged: bool = False,
     data_location: str | None = None,
     links_location: str | None = None,
+    meta_location: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job over ``pages`` into ``out_dir``.
 
@@ -281,11 +282,14 @@ def run_extract(
     ``links_location`` (optional) ALSO writes the SPEC §5 outlink product
     (url, warc_ts, part_id, link_id, href, anchor) per batch, from the SAME
     parse: the parsed relation is persisted for the batch and consumed by
-    both sinks, so requesting links never re-runs the Python parse (the
-    dominant cost at 100 TB — verified by the lineage input counts, which
-    would double on a second parse). Links commit under the same manifest:
-    a crash between the two writes leaves the batch uncommitted and the
-    rerun dynamically overwrites both part_id sets — idempotent.
+    all requesting sinks, so requesting side products never re-runs the
+    Python parse (the dominant cost at 100 TB — verified by the lineage
+    input counts, which would double on a second parse). Side products
+    commit under the same manifest: a crash between the writes leaves the
+    batch uncommitted and the rerun dynamically overwrites every sink's
+    part_id set — idempotent. ``meta_location`` (optional) likewise writes
+    the SPEC §6 page-metadata product (url, warc_ts, part_id, title,
+    description, canonical, og_title) from the same cached parse.
 
     Returns ``{"run_id", "parts_done_before", "parts_done_now", "batches",
     "stage_sec"}`` — ``stage_sec`` holds wall seconds summed over batches for
@@ -347,14 +351,14 @@ def run_extract(
                     sub = pages.where(F.col("part_id").isin(batch))
                 else:
                     sub = pages  # full run, single batch: no filter at all
-                if links_location is None:
+                if links_location is None and meta_location is None:
                     ex = extract_pages(sub, num_parts=num_parts,
                                        repartition=repartition, stats=True,
                                        input_counter=input_counts)
                 else:
-                    # both products from ONE parse: persist the parsed
+                    # all products from ONE parse: persist the parsed
                     # relation for the batch (bounded by batch size) and
-                    # feed the text sink and the link sink from the cache
+                    # feed the text sink and the side sinks from the cache
                     sub2 = sub
                     if "part_id" not in sub2.columns:
                         sub2 = with_part_id(sub2, num_parts)
@@ -380,22 +384,37 @@ def run_extract(
                     partition_by=("part_id",),
                 )
                 if parsed is not None:
-                    links = parsed.select(
-                        "url",
-                        "warc_ts",
-                        "part_id",
-                        F.posexplode("links").alias("link_id", "_l"),
-                    ).select(
-                        "url", "warc_ts", "part_id", "link_id",
-                        F.col("_l.href").alias("href"),
-                        F.col("_l.anchor").alias("anchor"),
-                    )
-                    write_table(
-                        links.repartition(len(batch), "part_id"),
-                        links_location,
-                        mode="overwrite_partitions",
-                        partition_by=("part_id",),
-                    )
+                    if links_location is not None:
+                        links = parsed.select(
+                            "url",
+                            "warc_ts",
+                            "part_id",
+                            F.posexplode("links").alias("link_id", "_l"),
+                        ).select(
+                            "url", "warc_ts", "part_id", "link_id",
+                            F.col("_l.href").alias("href"),
+                            F.col("_l.anchor").alias("anchor"),
+                        )
+                        write_table(
+                            links.repartition(len(batch), "part_id"),
+                            links_location,
+                            mode="overwrite_partitions",
+                            partition_by=("part_id",),
+                        )
+                    if meta_location is not None:
+                        meta = parsed.select(
+                            "url", "warc_ts", "part_id",
+                            F.col("meta.title").alias("title"),
+                            F.col("meta.description").alias("description"),
+                            F.col("meta.canonical").alias("canonical"),
+                            F.col("meta.og_title").alias("og_title"),
+                        )
+                        write_table(
+                            meta.repartition(len(batch), "part_id"),
+                            meta_location,
+                            mode="overwrite_partitions",
+                            partition_by=("part_id",),
+                        )
                     parsed.unpersist()
             except Exception:
                 if parsed is not None:

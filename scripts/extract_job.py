@@ -5,7 +5,7 @@ Usage (the launch mode the north_rule mandates)::
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
         scripts/extract_job.py <pages_location> <out_dir> <run_id> \\
-        [num_parts] [parts_per_batch] [data_location] [--links]
+        [num_parts] [parts_per_batch] [data_location] [--links] [--meta]
 
 ``pages_location`` is a parquet directory or an ``iceberg:<catalog.db.tbl>``
 location (ocr_spark.tables); ``data_location`` (optional) sends the
@@ -16,9 +16,10 @@ from the checkpoint manifest, and a completed multi-batch run has read the
 raw input exactly once (staging — see ocr_spark.operators.runner). Prints
 one JSON line with run stats (incl. per-phase stage_sec timings) and
 per-partition lineage totals. ``--links`` ALSO writes the SPEC §5 outlink
-product to ``<out_dir>/links`` from the SAME per-batch parse (the parsed
-relation is cached and feeds both sinks — requesting links does not re-run
-the Python parse).
+product to ``<out_dir>/links`` and ``--meta`` the SPEC §6 page-metadata
+product to ``<out_dir>/meta``, both from the SAME per-batch parse (the
+parsed relation is cached and feeds every requested sink — side products
+do not re-run the Python parse).
 """
 
 from __future__ import annotations
@@ -33,11 +34,13 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
-    if len([a for a in sys.argv[1:] if a != "--links"]) < 3:
+    flags = ("--links", "--meta")
+    if len([a for a in sys.argv[1:] if a not in flags]) < 3:
         print(__doc__)
         sys.exit(2)
-    args = [a for a in sys.argv[1:] if a != "--links"]
+    args = [a for a in sys.argv[1:] if a not in flags]
     want_links = "--links" in sys.argv[1:]
+    want_meta = "--meta" in sys.argv[1:]
     pages_loc, out_dir, run_id = args[0:3]
     num_parts = int(args[3]) if len(args) > 3 else 64
     parts_per_batch = int(args[4]) if len(args) > 4 else num_parts
@@ -62,6 +65,7 @@ def main() -> None:
             parts_per_batch=parts_per_batch,
             data_location=data_location,
             links_location=(f"{out_dir}/links" if want_links else None),
+            meta_location=(f"{out_dir}/meta" if want_meta else None),
         )
         lin = (
             read_lineage(spark, out_dir)

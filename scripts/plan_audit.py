@@ -341,6 +341,21 @@ def main() -> None:
         tree_of(extract_outlinks(_link_pages(spark, sf))),
     ))
 
+    from ocr_spark.operators.extract import extract_metadata
+    from ocr_spark.queries_webgraph import _meta_pages
+
+    sections.append((
+        "extract_metadata (round 4 — SPEC §6 page metadata)",
+        "The WAT-record head fields (title / description / canonical / "
+        "og:title) ride the SAME single MapInArrow parse: zero `Exchange`, "
+        "one JVM projection off the meta struct. In the production runner "
+        "the parsed relation is persisted per batch and feeds the text, "
+        "link AND metadata sinks — requesting metadata never re-runs the "
+        "Python parse (proved by the lineage input counts in "
+        "tests/test_resume.py).",
+        tree_of(extract_metadata(_meta_pages(spark, sf))),
+    ))
+
     sections.append((
         "graph_hostlinks (round 4 — host-level link graph)",
         "The host attribution (absolute/protocol-relative/relative href "

@@ -209,3 +209,34 @@ def test_run_with_links_sink_single_parse(spark, fixture_df, out_dir):
                        links_location=links_dir)
     assert res2["parts_done_now"] == []
     assert key(spark.read.parquet(links_dir).collect()) == key(direct)
+
+
+def test_run_with_meta_sink_single_parse(spark, fixture_df, out_dir):
+    """meta_location (with links too): THREE products from ONE parse per
+    batch — metadata rows equal the standalone extract_metadata operator,
+    and the lineage input counts prove the parse still ran exactly once."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.extract import extract_metadata
+    from ocr_spark.operators.runner import read_lineage, run_extract
+
+    res = run_extract(spark, fixture_df, out_dir, run_id="rm",
+                      num_parts=N_PARTS, parts_per_batch=3,
+                      links_location=f"{out_dir}/links",
+                      meta_location=f"{out_dir}/meta")
+    assert res["parts_done_now"] == list(range(N_PARTS))
+
+    def key(rows):
+        return sorted(
+            (r.url, r.warc_ts.isoformat(), r.title, r.description,
+             r.canonical, r.og_title)
+            for r in rows
+        )
+
+    written = spark.read.parquet(f"{out_dir}/meta").collect()
+    direct = extract_metadata(fixture_df, num_parts=N_PARTS).collect()
+    assert key(written) == key(direct)
+    assert any(r.title for r in written)  # the corpus has real titles
+
+    lin = read_lineage(spark, out_dir).filter(F.col("status") == "ok")
+    assert lin.agg(F.sum("input_rows")).first()[0] == fixture_df.count()
