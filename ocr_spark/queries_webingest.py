@@ -183,6 +183,53 @@ def q_web_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the WAT payload is built by explicit concat (NOT to_json) so the oracle
+# can reconstruct the exact bytes arithmetically; the production write_wat
+# (to_json) is gated json.loads-level by tests/test_warc.py instead
+_WAT_JSON_SQL = (
+    "'{{\"title\":\"Doc ' || CAST(doc_id AS VARCHAR) || '\",\"rank\":' "
+    "|| CAST(doc_id % 10 AS VARCHAR) || '}}'"
+)
+
+_WAT_ORACLE = f"""
+SELECT
+  {_URL_SQL} AS url,
+  {_DATE_SQL} AS warc_date,
+  octet_length(encode({_WAT_JSON_SQL.format()})) AS n_bytes,
+  md5({_WAT_JSON_SQL.format()}) AS payload_md5
+FROM documents
+"""
+
+
+@register("web_wat_roundtrip", _WAT_ORACLE)
+def q_web_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAT (metadata-record) sidecar round-trip: per-capture JSON
+    payloads framed with Content-Type application/json, recovered by the
+    splitter's metadata-types scope — the oracle rebuilds the JSON string
+    and its md5 arithmetically, so record framing, type filtering and
+    byte-exact payload recovery all sit under the hash."""
+    did = F.col("doc_id").cast("string")
+    pages = _synth_pages(spark, sf_dir).select(
+        "url",
+        "warc_date",
+        F.encode(
+            F.concat(F.lit('{"title":"Doc '), did, F.lit('","rank":'),
+                     (F.col("doc_id") % 10).cast("string"), F.lit("}")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    blobs = warc.blobs_by_shard(pages, num_files=8, gzip_members=True,
+                                warc_type="metadata")
+    rec = warc.parse_warc(blobs.select(F.col("blob").alias("content")),
+                          types=frozenset(("metadata",)))
+    return rec.select(
+        "url",
+        "warc_date",
+        F.octet_length("html").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDX capture index
 # ---------------------------------------------------------------------------

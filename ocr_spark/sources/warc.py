@@ -79,6 +79,10 @@ def record_expr(
     elif warc_type == "conversion":
         body = payload
         ctype = "text/plain"
+    elif warc_type == "metadata":
+        # the WAT sidecar: per-capture metadata as a JSON payload
+        body = payload
+        ctype = "application/json"
     else:
         raise ValueError(f"unsupported warc_type {warc_type!r}")
     head = F.concat(
@@ -132,10 +136,16 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def split_records(buf: bytes) -> Iterator[tuple[str, str, bytes]]:
-    """Yield (url, warc_date, payload) for each response record in a plain
-    (already-decompressed) WARC byte stream. Malformed records are skipped
-    by re-synchronizing on the next magic — never raises on bad input."""
+_PAGE_TYPES = frozenset(("response", "conversion"))
+
+
+def split_records(
+    buf: bytes, types: frozenset = _PAGE_TYPES
+) -> Iterator[tuple[str, str, bytes]]:
+    """Yield (url, warc_date, payload) for each record of a wanted
+    ``WARC-Type`` in a plain (already-decompressed) WARC byte stream.
+    Malformed records are skipped by re-synchronizing on the next magic —
+    never raises on bad input."""
     pos = 0
     n = len(buf)
     while pos < n:
@@ -157,9 +167,10 @@ def split_records(buf: bytes) -> Iterator[tuple[str, str, bytes]]:
             return
         pos = body_end
         # response records carry the capture (HTTP block peeled below);
-        # conversion records are the WET extracted-text sidecar (bare
-        # payload). warcinfo/request/metadata records are skipped.
-        if headers.get("warc-type") not in ("response", "conversion"):
+        # conversion records are the WET text sidecar and metadata records
+        # the WAT JSON sidecar (bare payloads). Types outside ``types``
+        # (warcinfo, request, ...) are skipped.
+        if headers.get("warc-type") not in types:
             continue
         url = headers.get("warc-target-uri", "")
         date = headers.get("warc-date", "")
@@ -173,16 +184,18 @@ def split_records(buf: bytes) -> Iterator[tuple[str, str, bytes]]:
         yield (url, date, payload)
 
 
-def parse_blob(buf: bytes) -> Iterator[tuple[str, str, bytes]]:
+def parse_blob(
+    buf: bytes, types: frozenset = _PAGE_TYPES
+) -> Iterator[tuple[str, str, bytes]]:
     """Split one archive blob — gzip-member or plain — into records."""
     if buf[:2] == _GZ_MAGIC:
         for member in _gunzip_members(buf):
-            yield from split_records(member)
+            yield from split_records(member, types)
     else:
-        yield from split_records(buf)
+        yield from split_records(buf, types)
 
 
-def _make_arrow_splitter(blob_col: str):
+def _make_arrow_splitter(blob_col: str, types: frozenset = _PAGE_TYPES):
     def splitter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             blobs = batch.column(blob_col)
@@ -191,7 +204,7 @@ def _make_arrow_splitter(blob_col: str):
             payloads: list[bytes] = []
             for blob in blobs:
                 if blob.is_valid:
-                    for url, date, payload in parse_blob(blob.as_py()):
+                    for url, date, payload in parse_blob(blob.as_py(), types):
                         urls.append(url)
                         dates.append(date)
                         payloads.append(payload)
@@ -207,14 +220,19 @@ def _make_arrow_splitter(blob_col: str):
     return splitter
 
 
-def parse_warc(df: DataFrame, blob_col: str = "content") -> DataFrame:
-    """Archive blobs (one row per file) → one row per response record.
+def parse_warc(
+    df: DataFrame, blob_col: str = "content",
+    types: frozenset = _PAGE_TYPES,
+) -> DataFrame:
+    """Archive blobs (one row per file) → one row per wanted record
+    (``types`` defaults to the page-bearing kinds: response + conversion;
+    pass ``frozenset(("metadata",))`` to read a WAT sidecar).
 
     Narrow mapInArrow: no shuffle; each task splits the files it was
     assigned. Columns other than `blob_col` are dropped (the record splitter
     is the start of the pages pipeline; lineage keys on url + warc_ts)."""
     return df.select(F.col(blob_col).alias("content")).mapInArrow(
-        _make_arrow_splitter("content"), WARC_DDL
+        _make_arrow_splitter("content", types), WARC_DDL
     )
 
 
@@ -356,7 +374,8 @@ def write_warc(
 
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    ext = ".warc.wet" if warc_type == "conversion" else ".warc"
+    ext = {"conversion": ".warc.wet", "metadata": ".warc.wat"}.get(
+        warc_type, ".warc")
     if gzip_members:
         ext += ".gz"
 
@@ -398,3 +417,57 @@ def write_wet(
     )
     return write_warc(pages, out_dir, num_files, gzip_members,
                       warc_type="conversion")
+
+
+META_JSON_DDL = (
+    "title string, description string, canonical string, og_title string"
+)
+
+
+def write_wat(
+    meta: DataFrame, out_dir: str, num_files: int = 8,
+    gzip_members: bool = True,
+) -> int:
+    """The WAT product: page-metadata output (url, warc_ts, title,
+    description, canonical, og_title — the `extract_metadata` /
+    runner ``meta_location`` shape) → metadata-record archive files with a
+    JSON payload per capture. The metadata sidecar a Common-Crawl consumer
+    expects next to every response archive, alongside the WET text one."""
+    pages = meta.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_date"),
+        F.encode(
+            F.to_json(F.struct("title", "description", "canonical",
+                               "og_title")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return write_warc(pages, out_dir, num_files, gzip_members,
+                      warc_type="metadata")
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``.warc.wat[.gz]`` files back into (url, warc_ts, title,
+    description, canonical, og_title). Same shuffle-free shape as
+    read_warc: binaryFile → one narrow Arrow record-split hop (metadata
+    records only) → a JVM from_json projection."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wat*")
+        .load(path)
+        .select("content")
+    )
+    rec = parse_warc(files, types=frozenset(("metadata",)))
+    return rec.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_ts"),
+        F.from_json(F.decode("html", "UTF-8"), META_JSON_DDL).alias("m"),
+    ).select(
+        "url", "warc_ts",
+        F.col("m.title").alias("title"),
+        F.col("m.description").alias("description"),
+        F.col("m.canonical").alias("canonical"),
+        F.col("m.og_title").alias("og_title"),
+    )

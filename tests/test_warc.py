@@ -284,3 +284,66 @@ def test_parse_plan_is_narrow(spark):
     )._jdf.queryExecution().executedPlan().toString()
     head = plan.split("Exchange")[0]
     assert "MapInArrow" in head  # the parse happens before any exchange
+
+
+def test_wat_metadata_records(spark, tmp_path):
+    """Metadata (WAT) records: application/json payload framed by the same
+    JVM grammar; write_wat → read_wat round-trips the extract_metadata
+    shape exactly (json.loads-level, so key order is irrelevant), and the
+    page splitter SKIPS metadata records (type scoping both ways)."""
+    meta = spark.range(25).select(
+        F.concat(F.lit("https://m.example/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.timestamp_seconds(F.lit(946684800) + F.col("id")).alias("warc_ts"),
+        F.concat(F.lit("Title "), F.col("id").cast("string")).alias("title"),
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("desc "), F.col("id").cast("string")))
+        .otherwise(F.lit("")).alias("description"),
+        F.concat(F.lit("https://m.example/c/"), F.col("id").cast("string"))
+        .alias("canonical"),
+        F.lit("").alias("og_title"),
+    )
+    n = warc.write_wat(meta, str(tmp_path / "wat"), num_files=2)
+    files = list((tmp_path / "wat").glob("*.warc.wat.gz"))
+    assert len(files) == n >= 1
+    raw = files[0].read_bytes()
+    first_rec = next(warc.parse_blob(raw, frozenset(("metadata",))))
+    assert first_rec[2].startswith(b"{")  # bare JSON payload, no HTTP block
+    back = warc.read_wat(spark, str(tmp_path / "wat"))
+    key = lambda rows: sorted(  # noqa: E731
+        (r["url"], r["warc_ts"].isoformat(), r["title"], r["description"],
+         r["canonical"], r["og_title"]) for r in rows
+    )
+    assert key(back.collect()) == key(meta.collect())
+
+    # type scoping: the pages splitter must skip metadata records entirely
+    blobs = spark.read.format("binaryFile").load(str(tmp_path / "wat"))
+    assert warc.parse_warc(blobs.select("content")).count() == 0
+
+
+def test_mixed_type_archive_scoping(spark):
+    """One blob holding response + conversion + metadata + warcinfo
+    records: each reader sees exactly its own types."""
+    p = _pages(spark, n=6)
+    resp = warc.blobs_by_shard(p, num_files=1).select("blob")
+    conv = warc.blobs_by_shard(p, num_files=1, warc_type="conversion").select("blob")
+    md = warc.blobs_by_shard(
+        p.withColumn("html", F.encode(F.lit('{"k":1}'), "UTF-8")),
+        num_files=1, warc_type="metadata",
+    ).select("blob")
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields"
+        b"\r\nContent-Length: 9\r\n\r\nrobots: x\r\n\r\n"
+    )
+    blob = (
+        warcinfo
+        + bytes(resp.first()["blob"])
+        + bytes(md.first()["blob"])
+        + bytes(conv.first()["blob"])
+    )
+    df = spark.createDataFrame([(blob,)], "content binary")
+    assert warc.parse_warc(df).count() == 12            # response + conversion
+    assert warc.parse_warc(
+        df, types=frozenset(("metadata",))).count() == 6
+    assert warc.parse_warc(
+        df, types=frozenset(("response",))).count() == 6
