@@ -705,8 +705,8 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_warc_ingest, web_wet_roundtrip, web_cdx, web_crawl_diff,
 # web_crawl_schedule, pipe_robots_filter — also never driver-graded), then
 # the 3 weburl entries (web_url_canon, web_url_dedup_canon,
-# web_sitemap_parse — same status), then web_frontier and extract_meta
-# (round-4 close additions, never graded), then as
+# web_sitemap_parse — same status), then web_frontier, extract_meta and
+# web_wat_roundtrip (round-4 close additions, never graded), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's
