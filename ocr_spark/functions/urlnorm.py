@@ -92,7 +92,9 @@ def remove_dot_segments(path: Column) -> Column:
             .otherwise(F.concat(acc, F.array(x)))
         ),
     )
-    return F.array_join(stack, "/")
+    joined = F.array_join(stack, "/")
+    # an all-dots path collapses to the bare root marker — render it '/'
+    return F.when(joined == "", F.lit("/")).otherwise(joined)
 
 
 def _clean_query(rawq: Column) -> Column:
@@ -135,3 +137,72 @@ def canonicalize_url(url: Column) -> Column:
         )
     )
     return F.concat(scheme, F.lit("://"), auth, path, _clean_query(rawq))
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an outlink href against its page URL (RFC 3986 §5.3 for the
+    http(s)/no-userinfo crawl context) — the step that turns the SPEC §5
+    as-written link product into the absolute URLs a WAT link record
+    carries. Frozen rules:
+
+    - href with a scheme (``[A-Za-z][A-Za-z0-9+.-]*:`` prefix) → as-is;
+    - protocol-relative (``//…``) → base scheme + ``:`` + href;
+    - absolute path (``/…``) → base origin + remove_dot_segments(path);
+    - otherwise (relative path) → merge onto the base path's directory
+      (RFC §5.3.3: base path up to its last ``/``, or ``/`` when the base
+      path is empty), then remove_dot_segments;
+    - the href's ``?query#fragment`` tail (everything from the first ``?``
+      or ``#``) rides along verbatim; the base's own query never
+      contributes. An empty href resolves to the base (same-document —
+      unreachable through §5, which discards empty hrefs).
+
+    Pure JVM column ops end-to-end (the dot-segment stack is the same
+    aggregate used by canonicalize_url) — resolution is a zero-Exchange
+    map stage over the link product, verified against urllib.parse.urljoin
+    in tests/test_weburl.py.
+    """
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring(base, F.instr(base, "://") + 3, F.lit(_MAXLEN))
+    authority = F.regexp_extract(rest, "^[^/?#]*", 0)
+    origin = F.concat(scheme, F.lit("://"), authority)
+    base_path = F.regexp_extract(
+        F.substring(rest, F.length(authority) + 1, F.lit(_MAXLEN)),
+        "^[^?#]*", 0,
+    )
+    # RFC §5.3.3 merge: base directory, '/' when the base path is empty
+    base_dir = F.when(base_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(base_path, "[^/]*$", "")
+    )
+    hpath = F.regexp_extract(href, "^[^?#]*", 0)
+    htail = F.substring(href, F.length(hpath) + 1, F.lit(_MAXLEN))
+    has_scheme = href.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:")
+
+    def rfc_dots(p: Column) -> Column:
+        # RFC §5.2.4: a FINAL '.'/'..' segment leaves a trailing slash
+        # (canonicalize_url deliberately does not apply this — see its
+        # documented divergence; resolution is RFC-exact and urljoin-gated)
+        r = remove_dot_segments(p)
+        trailing_dot = p.rlike(r"(^|/)\.{1,2}$")
+        return F.when(
+            trailing_dot & ~F.endswith(r, F.lit("/")),
+            F.concat(r, F.lit("/")),
+        ).otherwise(r)
+
+    return (
+        F.when(href == "", base)
+        .when(has_scheme, href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        # query-only ref (RFC §5.3): the base PATH is kept, not its dir
+        .when(hpath == "", F.concat(origin, base_path, htail))
+        .when(
+            href.startswith("/"),
+            F.concat(origin, rfc_dots(hpath), htail),
+        )
+        .otherwise(
+            F.concat(
+                origin,
+                rfc_dots(F.concat(base_dir, hpath)),
+                htail,
+            )
+        )
+    )

@@ -248,3 +248,71 @@ def q_web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.lastmod").alias("lastmod"),
         F.col("u.priority").alias("priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# href resolution: as-written links -> absolute URLs (the WAT link step)
+# ---------------------------------------------------------------------------
+
+_RESOLVE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS sch,
+    's' || CAST(doc_id % 5 AS VARCHAR) || '.src.example' AS host
+  FROM documents
+)
+SELECT doc_id, CAST(v.variant AS INTEGER) AS variant,
+  CASE v.variant
+    WHEN 0 THEN 'https://abs' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example/x/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN sch || '://cdn' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.example/y?z=' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN sch || '://' || host || '/w/' || CAST(doc_id AS VARCHAR)
+                 || '?ref=1'
+    WHEN 3 THEN sch || '://' || host || '/a/img/' || CAST(doc_id AS VARCHAR)
+                 || '.png'
+    ELSE        sch || '://' || host || '/a/b/sub/' || CAST(doc_id AS VARCHAR)
+                 || '#frag' || CAST(doc_id AS VARCHAR)
+  END AS resolved
+FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4)) v(variant)
+"""
+
+
+@register("web_url_resolve", _RESOLVE_ORACLE)
+def q_web_url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five href shapes per doc (absolute, protocol-relative, absolute-path
+    with dot segments, directory-climbing relative, plain relative with a
+    fragment) resolved against a deterministic base page URL by the REAL
+    resolve_href expression; the oracle rebuilds every absolute URL from
+    doc_id arithmetic — scheme adoption, origin attach, §5.3.3 directory
+    merge and dot-segment removal all sit under the value hash."""
+    from ocr_spark.functions.urlnorm import resolve_href
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    v = F.col("variant")
+    base = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "https").otherwise("http"),
+        F.lit("://s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".src.example/a/b/page"), did, F.lit(".html"),
+    )
+    href = (
+        F.when(v == 0, F.concat(
+            F.lit("https://abs"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/x/"), did))
+        .when(v == 1, F.concat(
+            F.lit("//cdn"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example/y?z="), did))
+        .when(v == 2, F.concat(F.lit("/w/./"), did, F.lit("/../"), did,
+                               F.lit("?ref=1")))
+        .when(v == 3, F.concat(F.lit("../img/"), did, F.lit(".png")))
+        .otherwise(F.concat(F.lit("sub/"), did, F.lit("#frag"), did))
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(5)])).alias("variant"),
+    ).select(
+        "doc_id",
+        F.col("variant").cast("int").alias("variant"),
+        resolve_href(base, href).alias("resolved"),
+    )

@@ -155,3 +155,66 @@ def test_canon_plan_is_map_side(spark):
     assert p2.count("Exchange") == 1
     for p in (p1, p2):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_resolve_matches_urljoin(spark):
+    """resolve_href against the stdlib's RFC 3986 implementation, over the
+    synthesized five-shape corpus AND adversarial shapes the synthesis
+    never emits (./, over-popping ../, query-bearing base, empty-path
+    base, scheme'd href passthrough)."""
+    from urllib.parse import urljoin
+
+    from ocr_spark.functions.urlnorm import resolve_href
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "https").otherwise("http"),
+        F.lit("://s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".src.example/a/b/page"), did, F.lit(".html"),
+    )
+    href = (
+        F.when(F.col("variant") == 0,
+               F.concat(F.lit("https://abs.example/x/"), did))
+        .when(F.col("variant") == 1, F.concat(F.lit("//cdn.example/y?z="), did))
+        .when(F.col("variant") == 2,
+              F.concat(F.lit("/w/./"), did, F.lit("/../"), did, F.lit("?ref=1")))
+        .when(F.col("variant") == 3, F.concat(F.lit("../img/"), did, F.lit(".png")))
+        .otherwise(F.concat(F.lit("sub/"), did, F.lit("#frag"), did))
+    )
+    rows = (
+        d.select("doc_id", F.explode(F.array(*[F.lit(i) for i in range(5)]))
+                 .alias("variant"))
+        .select(base.alias("b"), href.alias("h"),
+                resolve_href(base, href).alias("g"))
+        .collect()
+    )
+    assert len(rows) > 400
+    for r in rows:
+        assert r["g"] == urljoin(r["b"], r["h"]), (r["b"], r["h"])
+
+    hand = [
+        ("https://a.example/p/q/r.html", "./"),
+        ("https://a.example/p/q/r.html", "../../../../up"),
+        ("https://a.example", "c"),
+        ("https://a.example/a/b/?q=1", "c?d=2"),
+        ("https://a.example/a/", "mailto:x@y"),
+        ("http://a.example/a/", "page?x#y"),
+        ("https://a.example/a/b.html", "."),
+        ("https://a.example/a/b.html", ".."),
+        ("https://a.example/a/b.html", "?x=1"),
+        ("https://a.example/a/b.html", "c/./d/../e"),
+    ]
+    df = spark.createDataFrame(hand, "b string, h string")
+    from ocr_spark.functions.urlnorm import resolve_href as rh
+    for r in df.select("b", "h", rh(F.col("b"), F.col("h")).alias("g")).collect():
+        assert r["g"] == urljoin(r["b"], r["h"]), (r["b"], r["h"])
+
+
+def test_resolve_plan_is_map_side(spark):
+    plan = (
+        wu.q_web_url_resolve(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
