@@ -1125,3 +1125,45 @@ def q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = extract_metadata(_meta_pages(spark, sf_dir))
     return m.select("url", "title", "description", "canonical", "og_title")
+
+
+_LINKS_RESOLVED_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+    'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.src.example/d/'
+      || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS INT) AS link_id,
+  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.partner.example/x/'
+    || CAST(doc_id AS VARCHAR) AS href_abs
+FROM d
+UNION ALL
+SELECT url, CAST(1 AS INT) AS link_id,
+  'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.src.example/w/'
+    || CAST(doc_id AS VARCHAR) || '?ref=1' AS href_abs
+FROM d
+UNION ALL
+SELECT url, CAST(2 AS INT) AS link_id,
+  'https://h' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.partner.example/y?d='
+    || CAST(doc_id AS VARCHAR) AS href_abs
+FROM d
+"""
+
+
+@register("extract_links_resolved", _LINKS_RESOLVED_ORACLE)
+def q_extract_links_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAT link record end-to-end: the REAL parse (extract_outlinks)
+    composed with the REAL RFC 3986 resolution (urlnorm.resolve_href) —
+    absolute hrefs pass through, path-absolute ones attach the page
+    origin, protocol-relative ones adopt the page scheme. Still one
+    MapInArrow hop + a JVM projection: zero Exchange. The oracle rebuilds
+    every absolute URL from doc_id arithmetic."""
+    from ocr_spark.functions.urlnorm import resolve_href
+    from ocr_spark.operators.extract import extract_outlinks
+
+    links = extract_outlinks(_link_pages(spark, sf_dir))
+    return links.select(
+        "url", "link_id",
+        resolve_href(F.col("url"), F.col("href")).alias("href_abs"),
+    )

@@ -504,3 +504,18 @@ def test_linkgraph_job_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "lg" / "ranks")).collect()
     }
     assert got == want
+
+
+def test_links_resolved_all_absolute(spark):
+    """Every resolved link is an absolute http(s) URL and the pass-through
+    arm is byte-identical to its as-written href."""
+    from ocr_spark import queries_webgraph as wg
+
+    rows = wg.q_extract_links_resolved(spark, SF_SMALL).collect()
+    assert len(rows) > 100
+    assert all(r["href_abs"].startswith(("http://", "https://")) for r in rows)
+    raw = {(r["url"], r["link_id"]): r["href"]
+           for r in wg.q_extract_links(spark, SF_SMALL).collect()}
+    for r in rows:
+        if r["link_id"] == 0:  # the absolute arm passes through unchanged
+            assert r["href_abs"] == raw[(r["url"], r["link_id"])]
