@@ -287,7 +287,9 @@ def label_blocks(parsed: DataFrame) -> DataFrame:
     )
 
 
-def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
+def assemble(
+    labeled: DataFrame, stats: bool = False, keep_meta: bool = False
+) -> DataFrame:
     """Ops 15+17: span offsets + byte-identical assembly, all JVM-side.
 
     Span start offsets are a prefix sum of content-block strides
@@ -354,6 +356,7 @@ def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
         "warc_ts",
         "lang",
         *(["bytes_in"] if stats else []),
+        *(["meta"] if keep_meta else []),
         F.array_join(
             F.transform("content", lambda b: b["text"]), spec.SEP
         ).alias("extracted_text"),
@@ -367,6 +370,7 @@ def assemble(labeled: DataFrame, stats: bool = False) -> DataFrame:
         "warc_ts",
         "lang",
         *(["bytes_in"] if stats else []),
+        *(["meta"] if keep_meta else []),
         "extracted_text",
         "spans",
         F.sha2(F.coalesce(F.col("extracted_text"), F.lit("")), 256).alias(
@@ -433,18 +437,23 @@ def extract_pages(
     repartition: int | None = None,
     stats: bool = False,
     input_counter=None,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Full fused extraction: pages → extracted (SURVEY §3.2).
 
     ``repartition`` (optional) forces a salted exchange before the parse —
     used when input splits are unbalanced or to bound output file counts;
     the default (None) keeps the plan shuffle-free. ``stats=True`` adds a
-    per-row ``bytes_in`` column for lineage accounting.
+    per-row ``bytes_in`` column for lineage accounting. ``keep_meta=True``
+    carries the SPEC §6 ``meta`` struct through to the output rows (the
+    one-product consumers — e.g. the streaming flagship — get metadata
+    without a second parse or a second sink).
     """
     if "part_id" not in df.columns:
         df = with_part_id(df, num_parts)
     if repartition:
         df = salted(df, repartition)
     return assemble(
-        label_blocks(parse_pages(df, num_parts, input_counter)), stats=stats
+        label_blocks(parse_pages(df, num_parts, input_counter)),
+        stats=stats, keep_meta=keep_meta,
     )

@@ -358,8 +358,13 @@ def incremental_extract(
     run_id: str = "stream",
     watermark: str = DEFAULT_WATERMARK,
     dedup: bool = True,
+    meta: bool = False,
 ) -> tuple[DataStreamWriter, _BatchCommitter]:
     """§3.4 flagship: pages files → dedup'd extraction → idempotent append.
+
+    ``meta=True`` carries the SPEC §6 ``meta`` struct on every output row
+    (title/description/canonical/og_title from the SAME parse — a stream
+    has one sink, so metadata rides the rows instead of a second product).
 
     Returns (writer, committer); caller picks the trigger, e.g.::
 
@@ -369,7 +374,7 @@ def incremental_extract(
     src = stream_pages(spark, pages_dir)
     if dedup:
         src = dedup_recrawls(src, watermark)
-    extracted = extract_pages(src)
+    extracted = extract_pages(src, keep_meta=meta)
     committer = _BatchCommitter(out_dir, run_id)
     writer = (
         extracted.writeStream.foreachBatch(committer)

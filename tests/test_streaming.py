@@ -612,3 +612,28 @@ def test_incremental_hostlinks_matches_batch(spark, tmp_path):
         for r in hostlinks_totals(spark, out).collect()
     }
     assert got2 == want
+
+
+def test_incremental_extract_with_meta(spark, fixture_df, pages_dir,
+                                       tmp_path, golden_records):
+    """meta=True: the streamed rows carry the SPEC §6 metadata struct from
+    the same parse, byte-equal to the goldens per url; the text columns are
+    unchanged."""
+    from ocr_spark.streaming.incremental import incremental_extract
+
+    out = str(tmp_path / "outm")
+    ckpt = str(tmp_path / "ckptm")
+    writer, _ = incremental_extract(spark, pages_dir, out, ckpt, meta=True)
+    _drain(writer)
+
+    rows = spark.read.parquet(f"{out}/data").collect()
+    assert len(rows) == fixture_df.select("url").distinct().count()
+    golden_by_url = {g["url"]: g for g in golden_records}
+    n_titled = 0
+    for r in rows:
+        g = golden_by_url[r.url]
+        assert r.text_sha256 == g["text_sha256"], r.url
+        m = r.meta.asDict()
+        assert m == g["meta"], r.url
+        n_titled += bool(m["title"])
+    assert n_titled > 50  # the corpus has real titles
