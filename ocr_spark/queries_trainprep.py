@@ -1,0 +1,199 @@
+"""Training-set preparation operators: context-window chunking, group-keyed
+holdout splitting, and the cross-split near-dup leakage guard.
+
+These are the steps between a cleaned corpus and a data loader: documents
+get cut into model-context-sized token windows, assigned to train/val/test
+at the GROUP level (site/source, never per-doc — per-doc splits leak
+near-duplicate content across the boundary), and the split is then audited
+against the MinHash candidate pairs so no near-dup pair straddles it.
+
+Same contract as every other registry module: declarative DataFrame plans
+with exactly-equivalent DuckDB oracles (value-hash checked by the driver
+and tests/test_oracle.py); all randomness is md5-derived so both engines
+compute identical bits; no Python UDFs; integer/string arithmetic only in
+checked outputs. Plan shapes pinned in tests/test_plans.py; python
+reference gates in tests/test_trainprep.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+from ocr_spark.queries_textml import (
+    _bands_sql,
+    _minhash_sql_base,
+    _WORDS_SPARK,
+    _WORDS_SQL,
+    NUM_PERMS,
+    minhash_candidate_pairs,
+)
+
+# --- context-window chunking --------------------------------------------------------
+# A model with a fixed context consumes fixed-size token windows; retrieval
+# corpora want overlapping windows so no span is split across a boundary
+# without context. W tokens per chunk, stride S (overlap W-S). Chunk count
+# for an n-token doc: 1 if n <= W else 1 + ceil((n-W)/S) — pure integer
+# arithmetic, identical in both engines. The plan is map-side only: words,
+# chunk count, sequence-explode, slice — no shuffle anywhere; at 100 TB the
+# chunk table is produced at scan parallelism and the explode's row
+# amplification (~n/S rows per doc) is the unavoidable output size, not a
+# plan artifact.
+
+CHUNK_W = 64  # tokens per window
+CHUNK_S = 48  # stride (overlap = 16)
+
+
+@register(
+    "pipe_chunk_windows",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), c AS (
+  SELECT doc_id, words, len(words) AS n,
+    CASE WHEN len(words) <= {CHUNK_W} THEN 1
+         ELSE CAST((len(words) - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+              AS BIGINT) + 1 END AS n_chunks
+  FROM d
+), e AS (
+  -- scalar-list range + unnest: duckdb 1.0 rejects lateral column args
+  -- to the generate_series TABLE function, but the list form is row-wise
+  SELECT doc_id, words, unnest(range(0, n_chunks)) AS ci FROM c
+)
+SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+  CAST(len(words[ci * {CHUNK_S} + 1 : ci * {CHUNK_S} + {CHUNK_W}]) AS INT)
+    AS n_tok,
+  md5(array_to_string(
+    words[ci * {CHUNK_S} + 1 : ci * {CHUNK_S} + {CHUNK_W}], ' '))
+    AS chunk_md5
+FROM e
+""",
+)
+def q_pipe_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (W=64, S=48). The md5 of every
+    chunk's exact text is under the driver hash, so window boundaries,
+    clamping at the tail, and the empty-doc arm are all graded."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK.format(col="text")).alias("words")
+    )
+    n = F.size("words").cast("bigint")
+    n_chunks = F.when(n <= CHUNK_W, F.lit(1).cast("bigint")).otherwise(
+        F.floor((n - CHUNK_W + CHUNK_S - 1) / CHUNK_S) + 1
+    )
+    c = d.select(
+        "doc_id", "words",
+        F.posexplode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+        .alias("_p", "ci"),
+    )
+    chunk = F.slice(
+        F.col("words"), F.col("ci").cast("int") * CHUNK_S + 1, CHUNK_W
+    )
+    return c.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# --- group-keyed holdout split ------------------------------------------------------
+# The split key is the GROUP (source/site), not the document: two near-dup
+# pages from one site must land in the same split or the holdout is
+# contaminated. Assignment is a pure function of md5(seed || group) against
+# fixed hex-prefix thresholds — map-only, no shuffle, identical on every
+# engine/retry/cluster size, and stable when the corpus grows (adding docs
+# to a group never moves the group).
+
+SPLIT_SEED = "split-seed-1:"
+_T_TRAIN = "e6"  # 230/256 ~ 90%
+_T_VAL = "f3"    # 13/256  ~ 5%; rest ~5% test
+
+
+def split_expr(group_col: str) -> F.Column:
+    """train/val/test from the group key's seeded md5 prefix."""
+    h = F.substring(F.md5(F.concat(F.lit(SPLIT_SEED), F.col(group_col))), 1, 2)
+    return (
+        F.when(h < _T_TRAIN, F.lit("train"))
+        .when(h < _T_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_sql(group_col: str) -> str:
+    return (
+        f"CASE WHEN substring(md5('{SPLIT_SEED}' || {group_col}), 1, 2)"
+        f" < '{_T_TRAIN}' THEN 'train'"
+        f" WHEN substring(md5('{SPLIT_SEED}' || {group_col}), 1, 2)"
+        f" < '{_T_VAL}' THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "pipe_split_holdout",
+    f"""
+SELECT doc_id, source, {_split_sql('source')} AS split
+FROM documents
+""",
+)
+def q_pipe_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc split assignment derived from the doc's GROUP hash. Map-only
+    scan+project; the per-group single-split invariant is structural (the
+    assignment is a function of the group key alone) and pinned in
+    tests/test_trainprep.py."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "source", split_expr("source").alias("split"))
+
+
+# --- cross-split leakage guard ------------------------------------------------------
+# Group-keyed splitting prevents within-site leakage by construction, but
+# near-duplicate content ALSO crosses sites (syndication, mirrors). The
+# guard joins the MinHash band candidate pairs to the split assignment and
+# flags every pair whose endpoints fall in different splits — the list a
+# pipeline either drops from train or uses to veto the split seed. Cost is
+# the candidate-pair join (linear band shuffle, documented in
+# queries_textml) plus two broadcast-sized lookups of the per-doc split —
+# at 100 TB the split column rides the existing dedup pass for free.
+
+@register(
+    "pipe_split_leakage",
+    _minhash_sql_base(NUM_PERMS)
+    + _bands_sql()
+    + f"""
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.band = b.band AND a.doc_id < b.doc_id
+), sp AS (
+  SELECT doc_id, {_split_sql('source')} AS split FROM documents
+)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+  CAST(sa.split != sb.split AS INT) AS is_leak
+FROM pairs p
+JOIN sp sa ON p.doc_a = sa.doc_id
+JOIN sp sb ON p.doc_b = sb.doc_id
+""",
+)
+def q_pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every near-dup candidate pair annotated with its endpoints' splits
+    and an is_leak flag (1 = the pair straddles the holdout boundary).
+    Emitting all pairs rather than only leaks keeps the driver row nonzero
+    and puts the whole split join under the value hash."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    sp = docs.select("doc_id", split_expr("source").alias("split"))
+    sa = sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "split_a", "split_b",
+            (F.col("split_a") != F.col("split_b")).cast("int")
+            .alias("is_leak"),
+        )
+    )
