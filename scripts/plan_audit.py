@@ -489,6 +489,28 @@ def main() -> None:
         tree_of(q["web_sitemap_parse"](spark, sf)),
     ))
 
+    sections.append((
+        "pipe_chunk_windows / pipe_split_holdout (round 4 — training prep)",
+        "Both are map-only: ZERO Exchange, zero Python. Chunking is "
+        "words → integer chunk count → sequence-posexplode → slice, so "
+        "the chunk table is produced at scan parallelism and the only "
+        "cost is the inherent ~n/S output amplification; the holdout "
+        "split is a pure function of md5(seed || group), so assignment "
+        "is identical on every engine, retry, and cluster size, and "
+        "adding documents never moves an existing group.",
+        tree_of(q["pipe_chunk_windows"](spark, sf)),
+    ))
+
+    sections.append((
+        "pipe_split_leakage (round 4 — cross-split near-dup guard)",
+        "The candidate pairs come from the linear MinHash band self-join "
+        "(ReuseExchange computes the signature pipeline once); the split "
+        "column is a map-side expression joined back by doc id. No "
+        "single-partition Exchange; at 100 TB the split annotation rides "
+        "the dedup pass the pipeline already runs.",
+        tree_of(q["pipe_split_leakage"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are
