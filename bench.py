@@ -85,6 +85,9 @@ HEADLINE = [
     # late round-4 URL canonicalization & frontier block
     "web_url_canon",        # webtext: zero-Exchange URL canonicalization
     "web_frontier",         # webtext: diff -> robots -> politeness as ONE plan
+    # late round-4 training-prep & retrieval block
+    "pipe_chunk_windows",   # training prep: context-window chunking (map-only)
+    "search_bm25_topk",     # retrieval: postings build + broadcast BM25 top-k
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

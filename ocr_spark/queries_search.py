@@ -1,0 +1,247 @@
+"""Full-text retrieval operators: inverted-index build, BM25 ranked
+search, and positional phrase matching.
+
+A webtext corpus is not only filtered and deduplicated — it is SEARCHED:
+retrieval-augmented training, eval-set mining, and corpus debugging all
+want "which documents match this query, ranked". The Spark-first shapes:
+
+* ``search_postings`` — the classic inverted-index build: one explode of
+  the token array and ONE shuffle on (term, doc_id). Document length (the
+  BM25 ``dl``) is computed map-side from the token array and carried
+  *through* the explode as a grouping column (functionally dependent on
+  doc_id, so it adds no cardinality), which removes the postings⋈docs
+  join every naive formulation pays. At 100 TB this is the linear index
+  pass; partitioning the output by term is what makes query-time pruned.
+* ``search_bm25_topk`` — query-time scoring. Query terms and the corpus
+  stats (N, avgdl, per-term df) are tiny and BROADCAST; the corpus-sized
+  postings stream joins against them map-side, so the only shuffles are
+  the index build itself and the final per-doc score aggregation over the
+  *matched* postings (a few rows per query term per doc, not the corpus).
+  The top-k is TakeOrderedAndProject (per-partition heads + driver merge
+  of k rows), never a global sort.
+* ``search_phrase`` — the standard positional-postings phrase plan:
+  postings carry token positions; a phrase "w1 w2" is p1 ⋈ p2 on
+  (doc_id, p2.pos = p1.pos + 1) with each side pre-filtered to one term.
+  Only the term-filtered slivers of the index shuffle. The phrase itself
+  is data-derived (the corpus's most frequent bigram) so the query is
+  deterministic at every scale factor with no hard-coded vocabulary.
+
+Float determinism follows the engine convention (see queries_webgraph's
+quality-LR notes): the single libm call (ln for idf) and the IEEE-exact
+arithmetic around it are quantized to e4 fixed-point PER (term, doc)
+posting, and everything after that is BIGINT — so cross-engine equality
+is integer equality and aggregation order cannot matter. BM25 constants
+k1 = 1.2, b = 0.75 are written as e-notation literals ("12e-1") because a
+plain decimal literal parses as DECIMAL in DuckDB but DOUBLE in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+from ocr_spark.queries_textml import _WORDS_SPARK, _WORDS_SQL
+
+# BM25 constants (Robertson/Okapi defaults).
+BM25_K1 = "12e-1"  # 1.2
+BM25_B = "75e-2"   # 0.75
+BM25_TOPK = 20
+N_QUERY_TERMS = 3
+
+# Shared oracle CTE: tokenized docs with dl, and the (term, doc_id, tf, dl)
+# postings. len() returns BIGINT in DuckDB; Spark sizes are cast to match.
+_POSTINGS_CTE_SQL = f"""
+d AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), tok AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS term
+  FROM d
+), post AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, dl
+  FROM tok GROUP BY term, doc_id, dl
+)
+"""
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, tf, dl) inverted index. dl rides the explode so no
+    join back to the documents table is ever needed."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK.format(col="text")).alias("words")
+    )
+    tok = d.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("dl"),
+        F.explode("words").alias("term"),
+    )
+    return tok.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).select("term", "doc_id", "tf", "dl")
+
+
+@register(
+    "search_postings",
+    f"""
+WITH {_POSTINGS_CTE_SQL}
+SELECT term, doc_id, tf, dl FROM post
+""",
+)
+def q_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: every (term, doc_id, tf, dl) posting is under
+    the driver value-hash, so tokenization, tf counting, and the dl
+    carry-through are all graded row-exactly."""
+    return _postings(spark, sf_dir)
+
+
+# --- BM25 ranked search --------------------------------------------------------------
+# idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))        (one libm call)
+# tfnorm   = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+# contrib  = round(idf * tfnorm * 1e4)  → BIGINT per (term, doc) posting
+# score_e4 = sum(contrib) per doc       → integer aggregation, order-free
+# Query terms are the corpus's N_QUERY_TERMS highest-df terms (ties by
+# term ASC) — deterministic, data-derived, no fixed vocabulary.
+
+_IDF_SQL = (
+    "ln(1e0 + (CAST(n_docs - df AS DOUBLE) + 5e-1)"
+    " / (CAST(df AS DOUBLE) + 5e-1))"
+)
+_TFNORM_SQL = (
+    f"CAST(tf AS DOUBLE) * ({BM25_K1} + 1e0)"
+    f" / (CAST(tf AS DOUBLE) + {BM25_K1}"
+    f" * (1e0 - {BM25_B} + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+)
+_CONTRIB_SQL = (
+    f"CAST(round({_IDF_SQL} * {_TFNORM_SQL} * 1e4, 0) AS BIGINT)"
+)
+
+
+@register(
+    "search_bm25_topk",
+    f"""
+WITH {_POSTINGS_CTE_SQL},
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+), qt AS (
+  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {N_QUERY_TERMS}
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(words)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM d
+), contrib AS (
+  SELECT post.doc_id, {_CONTRIB_SQL} AS c_e4
+  FROM post JOIN qt ON post.term = qt.term CROSS JOIN stats
+)
+SELECT doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4,
+  CAST(count(*) AS BIGINT) AS n_match
+FROM contrib GROUP BY doc_id
+ORDER BY score_e4 DESC, doc_id ASC LIMIT {BM25_TOPK}
+""",
+)
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k}: highest-df query terms, e4-quantized per-posting
+    contributions, integer per-doc sums, TakeOrderedAndProject top-k."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK.format(col="text")).alias("words")
+    )
+    post = _postings(spark, sf_dir)
+    # df is vocabulary-sized; the top-N query terms and the 1-row corpus
+    # stats are broadcast so scoring never reshuffles the postings.
+    df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = df_.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+        N_QUERY_TERMS
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.size("words").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    contrib = (
+        post.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_CONTRIB_SQL).alias("c_e4"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c_e4").cast("bigint").alias("score_e4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_match"),
+    )
+    return scored.orderBy(
+        F.col("score_e4").desc(), F.col("doc_id").asc()
+    ).limit(BM25_TOPK)
+
+
+# --- positional phrase match ---------------------------------------------------------
+# The phrase is the corpus's most frequent adjacent bigram (ties: bigram
+# ASC). Derivation is map-side array math; the MATCH is the real
+# positional-postings self-join — the plan a phrase query runs against an
+# index at scale, where only the two term-filtered slivers move.
+
+
+@register(
+    "search_phrase",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), d2 AS (
+  SELECT doc_id, words FROM d WHERE len(words) >= 2
+), e AS (
+  SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM d2
+), bg AS (
+  SELECT words[i] || ' ' || words[i + 1] AS bigram, count(*) AS n
+  FROM e GROUP BY 1
+), top1 AS (
+  SELECT bigram FROM bg ORDER BY n DESC, bigram ASC LIMIT 1
+)
+SELECT e.doc_id, top1.bigram AS bigram,
+  CAST(count(*) AS BIGINT) AS n_occ
+FROM e CROSS JOIN top1
+WHERE e.words[e.i] || ' ' || e.words[e.i + 1] = top1.bigram
+GROUP BY e.doc_id, top1.bigram
+""",
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc occurrence counts of the corpus's top bigram, matched via
+    the positional-postings self-join (p2.pos = p1.pos + 1)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK.format(col="text")).alias("words")
+    ).where(F.size("words") >= 2)
+    # Top bigram: map-side sequence/element_at (sequence(1, n-1) is safe —
+    # n >= 2 here; Spark's sequence DESCENDS for stop < start, hence the
+    # filter above) then one agg. Vocabulary²-bounded, tiny.
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1), i ->"
+                " concat(element_at(words, i), ' ',"
+                " element_at(words, i + 1)))"
+            )
+        ).alias("bigram")
+    ).groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top1 = bg.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(1)
+
+    # Positional postings (doc_id, pos, term); pos is 1-based to match the
+    # oracle's 1-based list indexing.
+    pos = d.select(
+        "doc_id", F.posexplode("words").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    phrase = F.broadcast(top1.select(
+        "bigram", w1.alias("w1"), w2.alias("w2")
+    ))
+    p1 = pos.crossJoin(phrase).where(F.col("term") == F.col("w1")).select(
+        "doc_id", "pos", "bigram"
+    )
+    p2 = pos.crossJoin(phrase).where(F.col("term") == F.col("w2")).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("pos2") == F.col("pos") + 1),
+    )
+    return hits.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )

@@ -502,6 +502,17 @@ def main() -> None:
     ))
 
     sections.append((
+        "search_bm25_topk (round 4 — retrieval block)",
+        "The postings build is the one explode + one shuffle; query terms "
+        "and the 1-row corpus stats reach the postings via "
+        "BroadcastExchange (the corpus-sized stream never reshuffles for "
+        "them), scoring aggregates only the matched postings, and the "
+        "top-k plans as TakeOrderedAndProject — per-partition heads + a "
+        "k-row driver merge, never a global Sort+Exchange.",
+        tree_of(q["search_bm25_topk"](spark, sf)),
+    ))
+
+    sections.append((
         "pipe_split_leakage (round 4 — cross-split near-dup guard)",
         "The candidate pairs come from the linear MinHash band self-join "
         "(ReuseExchange computes the signature pipeline once); the split "
