@@ -1,0 +1,194 @@
+"""Registry entries for the REAL media decode paths (operators/media.py):
+BMP image decode, nearest-neighbor resize, and WAV PCM16 audio decode.
+
+Grading pattern is the same first-principles split the WARC splitter uses
+(queries_webingest): the Spark side SYNTHESIZES deterministic media bytes
+from integer parameters of doc_id (no external data), runs the REAL
+byte-level decoder on them, and returns integer features; the DuckDB
+oracle never sees a byte — it recomputes the expected features in closed
+form from the same integer parameters (nested list_transform/list_sum
+over the pixel/sample index ranges). So header layout, row padding,
+bottom-up row order, BGR channel order, RIFF chunk walking, and the
+resize index map are all under the driver's value hash: any decoder bug
+shifts a sum and the hash breaks.
+
+Image parameters are chosen adversarially: widths 17..29 cover every
+w % 4 residue (BMP rows pad to 4-byte boundaries — the classic decoder
+bug), and the three channels use row-gradient / column-gradient /
+diagonal-gradient patterns so a flipped row order, swapped channel, or
+transposed axis each corrupt a different sum.
+
+Scale shape: synth and decode are each ONE Arrow-batched mapInPandas at
+scan parallelism — zero Exchange end-to-end (pinned in PLANS.md). At
+100 TB the payloads stay columnar in executor-local Arrow batches and
+never hit the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ocr_spark.operators.media import (
+    bmp_features,
+    bmp_resize,
+    encode_bmp,
+    encode_wav,
+    wav_features,
+)
+from ocr_spark.queries import register, t
+
+# BMP synth parameters — every value a closed-form function of doc_id.
+#   w = 17 + doc_id % 13   (17..29: all four w % 4 residues)
+#   h = 9 + doc_id % 7     (9..15)
+#   R[r, c] = (base_r + r) % 256        base_r = (doc_id * 37) % 256
+#   G[r, c] = (base_g + c) % 256        base_g = (doc_id * 59) % 256
+#   B[r, c] = (base_b + r + c) % 256    base_b = (doc_id * 83) % 256
+RESIZE_W = 16
+RESIZE_H = 8
+
+# WAV synth parameters.
+#   rate = 8000 + (doc_id % 5) * 1000
+#   n    = 200 + doc_id % 300
+#   s[i] = ((doc_id * 7919 + i * 104729) % 4001) - 2000   (int16-safe)
+
+
+def _bmp_params(doc_id: int):
+    return (
+        17 + doc_id % 13,
+        9 + doc_id % 7,
+        (doc_id * 37) % 256,
+        (doc_id * 59) % 256,
+        (doc_id * 83) % 256,
+    )
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    w, h, br, bg, bb = _bmp_params(doc_id)
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    px = np.stack(
+        [
+            np.broadcast_to((br + r) % 256, (h, w)),
+            np.broadcast_to((bg + c) % 256, (h, w)),
+            (bb + r + c) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_bmp(px)
+
+
+def synth_wav(doc_id: int) -> bytes:
+    rate = 8000 + (doc_id % 5) * 1000
+    n = 200 + doc_id % 300
+    i = np.arange(n, dtype=np.int64)
+    s = ((doc_id * 7919 + i * 104729) % 4001 - 2000).astype(np.int16)
+    return encode_wav(s, rate)
+
+
+def _synth_stage(make) -> callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [make(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return fn
+
+
+def _payloads(spark: SparkSession, sf_dir: str, make) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_synth_stage(make), "doc_id bigint, payload binary")
+    )
+
+
+# Oracle fragments: closed-form channel sums over the synth gradients.
+_BMP_P_SQL = """
+p AS (
+  SELECT doc_id,
+    17 + doc_id % 13 AS w, 9 + doc_id % 7 AS h,
+    (doc_id * 37) % 256 AS br, (doc_id * 59) % 256 AS bg,
+    (doc_id * 83) % 256 AS bb
+  FROM documents
+)
+"""
+
+
+@register(
+    "mm_decode_bmp",
+    f"""
+WITH {_BMP_P_SQL}
+SELECT doc_id, true AS ok, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(w * list_sum(list_transform(range(0, h), r -> (br + r) % 256))
+       AS BIGINT) AS sum_r,
+  CAST(h * list_sum(list_transform(range(0, w), c -> (bg + c) % 256))
+       AS BIGINT) AS sum_g,
+  CAST(list_sum(list_transform(range(0, h), r ->
+         list_sum(list_transform(range(0, w), c -> (bb + r + c) % 256))))
+       AS BIGINT) AS sum_b
+FROM p
+""",
+)
+def q_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a gradient BMP per doc, decode it with the REAL parser,
+    grade dimensions + exact per-channel pixel sums against the oracle's
+    closed-form recomputation."""
+    return bmp_features(_payloads(spark, sf_dir, synth_bmp))
+
+
+@register(
+    "mm_resize_bmp",
+    f"""
+WITH {_BMP_P_SQL}
+SELECT doc_id, true AS ok,
+  CAST({RESIZE_W} AS INT) AS width, CAST({RESIZE_H} AS INT) AS height,
+  CAST({RESIZE_W} * list_sum(list_transform(range(0, {RESIZE_H}),
+         r2 -> (br + (r2 * h) // {RESIZE_H}) % 256)) AS BIGINT) AS sum_r,
+  CAST({RESIZE_H} * list_sum(list_transform(range(0, {RESIZE_W}),
+         c2 -> (bg + (c2 * w) // {RESIZE_W}) % 256)) AS BIGINT) AS sum_g,
+  CAST(list_sum(list_transform(range(0, {RESIZE_H}), r2 ->
+         list_sum(list_transform(range(0, {RESIZE_W}), c2 ->
+           (bb + (r2 * h) // {RESIZE_H} + (c2 * w) // {RESIZE_W}) % 256))))
+       AS BIGINT) AS sum_b
+FROM p
+""",
+)
+def q_mm_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> nearest-neighbor resize to {W}x{H} -> re-encode ->
+    decode AGAIN: two independent trips through the real parser, with the
+    oracle recomputing the resampled gradient sums from the floor-index
+    map (out[r2,c2] = in[(r2*h)//H, (c2*w)//W])."""
+    resized = bmp_resize(
+        _payloads(spark, sf_dir, synth_bmp), RESIZE_W, RESIZE_H
+    ).select("doc_id", "resized")
+    return bmp_features(resized, payload_col="resized")
+
+
+@register(
+    "mm_audio_wav",
+    """
+WITH p AS (
+  SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate,
+    200 + doc_id % 300 AS n
+  FROM documents
+)
+SELECT doc_id, true AS ok, CAST(rate AS INT) AS sample_rate,
+  CAST(n AS INT) AS n_samples,
+  CAST(list_sum(list_transform(range(0, n), i ->
+         abs((doc_id * 7919 + i * 104729) % 4001 - 2000))) AS BIGINT)
+    AS sum_abs
+FROM p
+""",
+)
+def q_mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a PCM16 WAV per doc, decode it with the real RIFF chunk
+    walker, grade rate + sample count + exact sum of |sample|."""
+    return wav_features(_payloads(spark, sf_dir, synth_wav))

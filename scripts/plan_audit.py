@@ -513,6 +513,15 @@ def main() -> None:
     ))
 
     sections.append((
+        "mm_resize_bmp (round 4 — real media decode)",
+        "The heaviest media entry: synth -> REAL BMP decode -> "
+        "nearest-neighbor resample -> re-encode -> decode again, all as "
+        "Arrow-batched mapInPandas hops at scan parallelism — ZERO "
+        "Exchange end-to-end, payloads never leave the executor.",
+        tree_of(q["mm_resize_bmp"](spark, sf)),
+    ))
+
+    sections.append((
         "pipe_split_leakage (round 4 — cross-split near-dup guard)",
         "The candidate pairs come from the linear MinHash band self-join "
         "(ReuseExchange computes the signature pipeline once); the split "

@@ -1,0 +1,227 @@
+"""Tests for the REAL codec-free media decode paths (operators/media.py):
+BMP encode/decode/resize and WAV PCM16 encode/decode, plus the graded
+Spark stages. The decoders are checked against independent references —
+stdlib ``wave`` for WAV, hand-built byte layouts and pure-Python pixel
+loops for BMP — never only against the sibling encoders.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.media import (
+    bmp_features,
+    bmp_resize,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resize_nn,
+    wav_features,
+)
+from ocr_spark.queries import QUERIES
+import ocr_spark.queries_media as qm
+from tests.test_plans import _plan
+
+
+def _rand_px(rng, h, w):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(
+        np.uint8
+    )
+
+
+# --- BMP -----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w", [17, 18, 19, 20, 1])  # every w % 4 residue
+def test_bmp_roundtrip_all_padding_residues(w):
+    rng = np.random.default_rng(w)
+    px = _rand_px(rng, 5, w)
+    out = decode_bmp(encode_bmp(px))
+    assert out.shape == px.shape
+    assert np.array_equal(out, px)
+
+
+def test_bmp_roundtrip_1x1():
+    px = np.array([[[7, 200, 13]]], dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_decoder_reads_padding_from_spec():
+    # Hand-build a 2x2 bottom-up BMP (row stride 8: 6 pixel bytes + 2 pad)
+    # without the encoder: pixel (0,0)=RGB(1,2,3) (1,1)=RGB(10,20,30).
+    row_top = bytes([3, 2, 1, 0, 0, 0, 0xAA, 0xBB])  # BGR + junk padding
+    row_bot = bytes([0, 0, 0, 30, 20, 10, 0xCC, 0xDD])
+    body = row_bot + row_top  # bottom-up: file row 0 = image row 1
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    px = decode_bmp(hdr + body)
+    assert px[0, 0].tolist() == [1, 2, 3]
+    assert px[1, 1].tolist() == [10, 20, 30]
+    assert px[0, 1].tolist() == [0, 0, 0]
+
+
+def test_bmp_decoder_topdown_negative_height():
+    px = _rand_px(np.random.default_rng(3), 4, 6)
+    data = bytearray(encode_bmp(px))
+    # flip to top-down: negate biHeight and reverse the stored row order
+    struct.pack_into("<i", data, 22, -4)
+    row_len = (6 * 3 + 3) & ~3
+    body = bytes(data[54:])
+    rows = [body[i * row_len : (i + 1) * row_len] for i in range(4)]
+    data[54:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(data)), px)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        None,
+        b"",
+        b"BM" + b"\x00" * 10,  # truncated header
+        b"PNG not a bmp at all, but long enough to clear 54 bytes" + b"\x00" * 20,
+        encode_bmp(np.zeros((2, 2, 3), np.uint8))[:-5],  # truncated body
+    ],
+)
+def test_bmp_decoder_rejects_malformed(payload):
+    assert decode_bmp(payload) is None
+
+
+def test_bmp_decoder_rejects_unsupported_bpp():
+    data = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", data, 28, 8)  # claim 8 bpp
+    assert decode_bmp(bytes(data)) is None
+
+
+def test_resize_nn_matches_pure_python_loops():
+    rng = np.random.default_rng(11)
+    px = _rand_px(rng, 7, 13)
+    out = resize_nn(px, 5, 9)
+    for r2 in range(9):
+        for c2 in range(5):
+            assert (
+                out[r2, c2].tolist()
+                == px[(r2 * 7) // 9, (c2 * 13) // 5].tolist()
+            )
+
+
+# --- WAV -----------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_stdlib_cross_check():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, size=333, dtype=np.int64).astype(
+        np.int16
+    )
+    blob = encode_wav(s, 16000)
+    rate, out = decode_wav(blob)
+    assert rate == 16000 and np.array_equal(out, s)
+    # independent reference: stdlib wave must parse the same bytes
+    with wave.open(io.BytesIO(blob)) as wf:
+        assert wf.getframerate() == 16000
+        assert wf.getnchannels() == 1 and wf.getsampwidth() == 2
+        ref = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    assert np.array_equal(ref, s)
+
+
+def test_wav_decoder_walks_extra_chunks():
+    s = np.arange(-50, 50, dtype=np.int16)
+    blob = bytearray(encode_wav(s, 8000))
+    # splice an odd-length LIST chunk between fmt and data (word-aligned
+    # per RIFF: 5-byte body + 1 pad byte)
+    extra = struct.pack("<4sI", b"LIST", 5) + b"abcde" + b"\x00"
+    insert_at = 12 + 8 + 16  # after fmt chunk
+    blob[insert_at:insert_at] = extra
+    struct.pack_into("<I", blob, 4, len(blob) - 8)
+    rate, out = decode_wav(bytes(blob))
+    assert rate == 8000 and np.array_equal(out, s)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: None,
+        lambda b: b[:10],
+        lambda b: b"JUNK" + b[4:],  # bad RIFF magic
+        lambda b: b[:8] + b"AVI " + b[12:],  # not WAVE
+        lambda b: b[:-3],  # truncated data chunk
+    ],
+)
+def test_wav_decoder_rejects_malformed(mutate):
+    blob = encode_wav(np.zeros(16, np.int16), 8000)
+    assert decode_wav(mutate(blob)) is None
+
+
+def test_wav_decoder_rejects_stereo():
+    blob = bytearray(encode_wav(np.zeros(16, np.int16), 8000))
+    struct.pack_into("<H", blob, 12 + 8 + 2, 2)  # channels = 2
+    assert decode_wav(bytes(blob)) is None
+
+
+# --- Spark stages --------------------------------------------------------------------
+
+
+def test_bmp_features_stage_and_malformed_rows(spark):
+    good = encode_bmp(np.full((3, 5, 3), 9, np.uint8))
+    df = spark.createDataFrame(
+        [(1, good), (2, b"not a bmp"), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in bmp_features(df).collect()}
+    assert rows[1].ok and rows[1].width == 5 and rows[1].height == 3
+    assert rows[1].sum_r == rows[1].sum_g == rows[1].sum_b == 9 * 15
+    assert not rows[2].ok and rows[2].width is None
+    assert not rows[3].ok
+
+
+def test_wav_features_stage(spark):
+    s = np.array([-3, 4, -5], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, encode_wav(s, 9000)), (2, b"xx")],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in wav_features(df).collect()}
+    assert rows[1].ok and rows[1].sample_rate == 9000
+    assert rows[1].n_samples == 3 and rows[1].sum_abs == 12
+    assert not rows[2].ok
+
+
+def test_resize_stage_output_redecodes(spark):
+    px = _rand_px(np.random.default_rng(2), 10, 21)
+    df = spark.createDataFrame(
+        [(1, encode_bmp(px))], "doc_id bigint, payload binary"
+    )
+    row = bmp_resize(df, 6, 4).collect()[0]
+    assert row.ok and row.width == 6 and row.height == 4
+    out = decode_bmp(bytes(row.resized))
+    assert np.array_equal(out, resize_nn(px, 6, 4))
+
+
+def test_synth_params_match_oracle_formulas():
+    # the python synth and the SQL oracle share only these formulas; pin
+    # them against hand-computed values so neither drifts silently
+    w, h, br, bg, bb = qm._bmp_params(40)
+    assert (w, h) == (17 + 1, 9 + 5)
+    assert (br, bg, bb) == ((40 * 37) % 256, (40 * 59) % 256, (40 * 83) % 256)
+    px = decode_bmp(qm.synth_bmp(40))
+    assert px.shape == (h, w, 3)
+    assert px[2, 3].tolist() == [
+        (br + 2) % 256, (bg + 3) % 256, (bb + 2 + 3) % 256
+    ]
+    rate, s = decode_wav(qm.synth_wav(40))
+    assert rate == 8000 and len(s) == 200 + 40 % 300
+    assert s[7] == (40 * 7919 + 7 * 104729) % 4001 - 2000
+
+
+def test_media_plans_are_map_only(spark):
+    sf = "/root/testdata/sf0.001"
+    for name in ["mm_decode_bmp", "mm_audio_wav", "mm_resize_bmp"]:
+        plan = _plan(QUERIES[name](spark, sf))
+        assert "Exchange" not in plan, name
