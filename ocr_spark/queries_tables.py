@@ -1,0 +1,84 @@
+"""Registry entries for the snapshot table layer (tables_snapshot.py):
+time travel and rollback as driver-graded, value-hash-oracled queries.
+
+Each entry builds a real snapshot table in a scratch dir from the
+documents table (deterministic content), exercises the commit protocol —
+create → append → compact / rollback — through the REAL code path, and
+returns rows read back through snapshot resolution. The DuckDB oracle
+recomputes the expected contents from the documents table alone, so the
+value hash grades the whole chain: atomic commits, file-list resolution,
+time-travel isolation, compaction data-identity, rollback semantics.
+Crash windows, expiry, and orphan reclamation are pytest-gated
+(tests/test_tables_snapshot.py) — by design, like the other sinks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark import tables_snapshot as snap
+from ocr_spark.queries import register, t
+
+
+def _docs_halves(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    return (
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+@register(
+    "table_snap_timetravel",
+    """
+SELECT doc_id, md5(text) AS text_md5, 'v1' AS at FROM documents
+WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, md5(text) AS text_md5, 'current' AS at FROM documents
+""",
+)
+def q_table_snap_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create(evens) → append(odds) → compact, then read v1 (time travel
+    must still see ONLY the evens, from the original files) and CURRENT
+    (the compacted rewrite must be data-identical to evens+odds)."""
+    evens, odds = _docs_halves(spark, sf_dir)
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="ocr-spark-snaptbl-"), "tbl"
+    )
+    snap.create(evens, root)
+    snap.append(odds, root)
+    snap.compact(spark, root, target_file_bytes=1 << 20)
+    v1 = snap.read(spark, root, version=1).withColumn("at", F.lit("v1"))
+    cur = snap.read(spark, root).withColumn("at", F.lit("current"))
+    return v1.unionByName(cur)
+
+
+@register(
+    "table_snap_rollback",
+    """
+SELECT doc_id, md5(text) AS text_md5,
+  CAST(3 AS BIGINT) AS n_versions
+FROM documents WHERE doc_id % 2 = 0
+""",
+)
+def q_table_snap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create(evens) → append(odds) → rollback(to v1): CURRENT must read
+    exactly the evens again, and history must stay linear (3 versions —
+    rollback commits forward, it never rewrites the log)."""
+    evens, odds = _docs_halves(spark, sf_dir)
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="ocr-spark-snaptbl-"), "tbl"
+    )
+    snap.create(evens, root)
+    snap.append(odds, root)
+    snap.rollback(root, to_version=1)
+    n_versions = len(snap.versions(root))
+    return snap.read(spark, root).withColumn(
+        "n_versions", F.lit(n_versions).cast("bigint")
+    )

@@ -1,0 +1,150 @@
+"""Tests for the snapshot table layer (tables_snapshot.py): commit
+atomicity, snapshot isolation / time travel, rollback linearity,
+compaction data-identity and file-count reduction, expiry + orphan
+reclamation, and the crash windows of the commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ocr_spark import tables_snapshot as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text"
+    )
+
+
+def _rows(df):
+    return sorted((r.doc_id, r.text) for r in df.collect())
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_create_append_read(spark, root):
+    assert snap.create(_df(spark, 0, 10), root) == 1
+    assert snap.append(_df(spark, 10, 15), root) == 2
+    assert snap.current_version(root) == 2
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 15))
+
+
+def test_time_travel_is_isolated_from_later_commits(spark, root):
+    snap.create(_df(spark, 0, 10), root)
+    snap.append(_df(spark, 10, 20), root)
+    snap.compact(spark, root)
+    assert _rows(snap.read(spark, root, version=1)) == _rows(
+        _df(spark, 0, 10)
+    )
+    assert _rows(snap.read(spark, root, version=2)) == _rows(
+        _df(spark, 0, 20)
+    )
+
+
+def test_compact_reduces_files_and_preserves_data(spark, root):
+    snap.create(_df(spark, 0, 200).repartition(16), root)
+    before = len(snap._read_snapshot(root, 1)["files"])
+    assert before == 16
+    snap.compact(spark, root, target_file_bytes=1 << 30)
+    cur = snap._read_snapshot(root, snap.current_version(root))
+    assert len(cur["files"]) == 1
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 200))
+    # old version still reads the old files
+    assert _rows(snap.read(spark, root, version=1)) == _rows(
+        _df(spark, 0, 200)
+    )
+
+
+def test_rollback_commits_forward(spark, root):
+    snap.create(_df(spark, 0, 5), root)
+    snap.append(_df(spark, 5, 9), root)
+    v = snap.rollback(root, to_version=1)
+    assert v == 3 and snap.current_version(root) == 3
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 5))
+    ops = [h["op"] for h in snap.history(root)]
+    assert ops == ["create", "append", "rollback:1"]
+    # the rolled-past version is still time-travelable
+    assert _rows(snap.read(spark, root, version=2)) == _rows(
+        _df(spark, 0, 9)
+    )
+
+
+def test_expire_reclaims_unreachable_and_orphans(spark, root):
+    snap.create(_df(spark, 0, 10).repartition(4), root)
+    snap.compact(spark, root, target_file_bytes=1 << 30)  # v2: 1 file
+    # simulate a crashed commit: a staged data file no snapshot lists
+    orphan = os.path.join(root, "data", "99999999-00000-part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    dropped, deleted = snap.expire(root, keep_last=1)
+    assert dropped == 1  # v1 gone
+    assert deleted == 5  # v1's 4 files + the orphan
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 10))
+    assert snap.versions(root) == [2]
+    with pytest.raises(FileNotFoundError):
+        snap.read(spark, root, version=1)
+
+
+def test_expire_never_drops_current(spark, root):
+    snap.create(_df(spark, 0, 4), root)
+    snap.append(_df(spark, 4, 6), root)
+    snap.rollback(root, to_version=1)
+    dropped, _ = snap.expire(root, keep_last=1)
+    assert snap.current_version(root) in snap.versions(root)
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 4))
+
+
+def test_crash_before_pointer_swap_leaves_old_table(spark, root):
+    """Steps 1-3 of the commit protocol done, CURRENT swap (step 4) not:
+    readers must still see the parent snapshot, and expire must reclaim
+    the half-committed snapshot's files."""
+    snap.create(_df(spark, 0, 6), root)
+    # replay append's internals, stopping before the CURRENT swap
+    prev = snap._read_snapshot(root, 1)
+    files = snap._stage_and_move(_df(spark, 6, 9), root, 2)
+    s = {
+        "version": 2, "parent": 1, "op": "append",
+        "files": prev["files"] + files, "schema": prev["schema"],
+        "ts": "crash",
+    }
+    snap._atomic_write(snap._snap_path(root, 2), json.dumps(s))
+    # no CURRENT swap — the reader still resolves v1
+    assert snap.current_version(root) == 1
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 6))
+    # recovery path A: retry the commit by swapping the pointer
+    snap._atomic_write(os.path.join(root, snap._CURRENT), "v00000002\n")
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 9))
+
+
+def test_crash_mid_stage_leaves_only_orphans(spark, root):
+    """A crash during step 2 (files moved, no snapshot JSON): the table
+    is untouched and expire reclaims the moved files."""
+    snap.create(_df(spark, 0, 6), root)
+    snap._stage_and_move(_df(spark, 6, 9), root, 2)  # no commit
+    assert snap.versions(root) == [1]
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 6))
+    _, deleted = snap.expire(root, keep_last=1)
+    assert deleted > 0
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 6))
+
+
+def test_empty_append_and_empty_table_read(spark, root):
+    snap.create(_df(spark, 0, 3).limit(0), root)
+    df = snap.read(spark, root)
+    assert df.count() == 0
+    assert set(df.columns) == {"doc_id", "text"}
+    snap.append(_df(spark, 0, 3), root)
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 3))
+
+
+def test_create_refuses_existing(spark, root):
+    snap.create(_df(spark, 0, 2), root)
+    with pytest.raises(ValueError):
+        snap.create(_df(spark, 0, 2), root)
