@@ -60,6 +60,48 @@ def q_table_snap_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_snap_merge",
+    """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN md5(text || '!') ELSE md5(text) END
+    AS text_md5
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, md5(text || '+') AS text_md5
+FROM documents WHERE doc_id % 7 = 0
+""",
+)
+def q_table_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE: create(documents), then upsert a source that
+    UPDATES every doc_id % 3 == 0 row (payload recomputed over text||'!')
+    and INSERTS a shifted-key row per doc_id % 7 == 0. CURRENT must read
+    the merged contents exactly — update-in-place, untouched rows
+    preserved, inserts present."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.md5("text").alias("text_md5"))
+    updates = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.md5(F.concat(F.col("text"), F.lit("!"))).alias("text_md5"),
+        )
+    )
+    inserts = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.md5(F.concat(F.col("text"), F.lit("+"))).alias("text_md5"),
+        )
+    )
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="ocr-spark-snaptbl-"), "tbl"
+    )
+    snap.create(base.repartition(4), root)
+    snap.merge(spark, updates.unionByName(inserts), root, "doc_id")
+    return snap.read(spark, root)
+
+
+@register(
     "table_snap_rollback",
     """
 SELECT doc_id, md5(text) AS text_md5,

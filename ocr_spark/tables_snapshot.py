@@ -192,6 +192,76 @@ def compact(
     return _commit(root, files, "compact", snap["schema"], parent)
 
 
+def merge(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key_col: str,
+    validate: bool = False,
+) -> int:
+    """Copy-on-write MERGE (upsert): source rows replace table rows with
+    the same ``key_col`` value; source keys absent from the table insert.
+
+    Scale shape: the "which files contain a matching key" probe reads
+    ONLY the key column (column-pruned parquet scan) plus the file name,
+    semi-joined against the source keys — at 100 TB that's the cheap
+    pass. Then only the AFFECTED files are rewritten: their non-matched
+    rows are kept (anti-join against the source keys), the full source is
+    unioned in, and the commit's file list is (parent - affected) +
+    rewritten — every untouched file is carried over by name, never read.
+
+    ``source`` must be key-unique (an upsert with duplicate source keys
+    has no defined winner); pass ``validate=True`` to spend one count job
+    enforcing that.
+    """
+    parent = current_version(root)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {root}")
+    if validate:
+        from pyspark.sql import functions as F
+
+        dups = (
+            source.groupBy(key_col).count().where(F.col("count") > 1)
+        )
+        if dups.limit(1).count() > 0:
+            raise ValueError("merge source has duplicate keys")
+    prev = _read_snapshot(root, parent)
+    if not prev["files"]:
+        files = _stage_and_move(source, root, parent + 1)
+        return _commit(root, files, "merge", prev["schema"], parent)
+
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(root, "data", f) for f in prev["files"]]
+    keys = source.select(key_col).distinct()
+    probe = (
+        spark.read.parquet(*paths)
+        .select(key_col, F.input_file_name().alias("_file"))
+        .join(F.broadcast(keys), key_col, "left_semi")
+        .select("_file")
+        .distinct()
+    )
+    affected = {
+        os.path.basename(r._file.split("://")[-1])
+        for r in probe.collect()
+    }
+    untouched = [f for f in prev["files"] if f not in affected]
+    if affected:
+        kept = (
+            spark.read.parquet(
+                *[os.path.join(root, "data", f) for f in sorted(affected)]
+            )
+            .join(F.broadcast(keys), key_col, "left_anti")
+        )
+        new_data = kept.unionByName(source)
+    else:
+        new_data = source
+    files = _stage_and_move(new_data, root, parent + 1)
+    return _commit(
+        root, untouched + files, "merge", prev["schema"], parent
+    )
+
+
 def rollback(root: str, to_version: int) -> int:
     """Commit a NEW snapshot whose content is ``to_version``'s file list
     (history stays linear; nothing is deleted)."""

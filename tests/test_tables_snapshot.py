@@ -148,3 +148,76 @@ def test_create_refuses_existing(spark, root):
     snap.create(_df(spark, 0, 2), root)
     with pytest.raises(ValueError):
         snap.create(_df(spark, 0, 2), root)
+
+
+# --- copy-on-write MERGE -------------------------------------------------------------
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id bigint, text string")
+
+
+def test_merge_updates_and_inserts(spark, root):
+    snap.create(_df(spark, 0, 10), root)
+    src = _kv(spark, [(3, "UP3"), (7, "UP7"), (42, "NEW")])
+    v = snap.merge(spark, src, root, "doc_id")
+    assert v == 2
+    expect = sorted(
+        [(i, f"t{i}") for i in range(10) if i not in (3, 7)]
+        + [(3, "UP3"), (7, "UP7"), (42, "NEW")]
+    )
+    assert _rows(snap.read(spark, root)) == expect
+    # pre-merge snapshot is intact
+    assert _rows(snap.read(spark, root, version=1)) == _rows(
+        _df(spark, 0, 10)
+    )
+
+
+def test_merge_prunes_untouched_files(spark, root):
+    """Keys only in the first append's files: the second append's files
+    must be carried into the merge snapshot BY NAME, never rewritten."""
+    snap.create(_df(spark, 0, 10), root)
+    snap.append(_df(spark, 10, 20), root)
+    v2_files = set(snap._read_snapshot(root, 2)["files"])
+    v1_files = set(snap._read_snapshot(root, 1)["files"])
+    appended = v2_files - v1_files
+    # which v1 files actually hold keys 0/5 (file-level ground truth)
+    from pyspark.sql import functions as F
+
+    holders = {
+        os.path.basename(r._f.split("://")[-1])
+        for r in spark.read.parquet(
+            *[os.path.join(root, "data", f) for f in v1_files]
+        )
+        .select("doc_id", F.input_file_name().alias("_f"))
+        .where(F.col("doc_id").isin(0, 5))
+        .collect()
+    }
+    snap.merge(spark, _kv(spark, [(0, "X0"), (5, "X5")]), root, "doc_id")
+    merged = set(snap._read_snapshot(root, 3)["files"])
+    assert appended <= merged              # untouched files carried over
+    assert v1_files & merged == v1_files - holders  # only holders rewritten
+    assert not (holders & merged)
+    expect = sorted(
+        [(i, f"t{i}") for i in range(20) if i not in (0, 5)]
+        + [(0, "X0"), (5, "X5")]
+    )
+    assert _rows(snap.read(spark, root)) == expect
+
+
+def test_merge_pure_insert_touches_nothing(spark, root):
+    snap.create(_df(spark, 0, 5), root)
+    old = set(snap._read_snapshot(root, 1)["files"])
+    snap.merge(spark, _kv(spark, [(100, "NEW")]), root, "doc_id")
+    merged = snap._read_snapshot(root, 2)["files"]
+    assert old <= set(merged)
+    assert _rows(snap.read(spark, root)) == sorted(
+        [(i, f"t{i}") for i in range(5)] + [(100, "NEW")]
+    )
+
+
+def test_merge_validate_rejects_duplicate_source_keys(spark, root):
+    snap.create(_df(spark, 0, 5), root)
+    src = _kv(spark, [(1, "a"), (1, "b")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.merge(spark, src, root, "doc_id", validate=True)
