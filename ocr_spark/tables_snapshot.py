@@ -87,35 +87,66 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX: the commit point
 
 
-def _stage_and_move(df: DataFrame, root: str, version: int) -> list[str]:
+def _file_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet FOOTER (no data read) for
+    the JSON-safe primitive columns — the scan-planning metadata that
+    lets read_where skip whole files."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # binary stats aren't JSON-safe; stay prunable-less
+            if not isinstance(lo, (int, float, str)):
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
+def _stage_and_move(
+    df: DataFrame, root: str, version: int
+) -> tuple[list[str], dict]:
     """Write df's partitions to staging (executor-parallel), then rename
     the parquet parts into data/ under snapshot-unique names. Returns the
-    relative file names. Renames are metadata ops — no data through the
-    driver."""
+    relative file names plus their footer min/max stats. Renames are
+    metadata ops — no data through the driver; stats come from footers,
+    not data pages."""
     staging = tempfile.mkdtemp(prefix=f"snap-stage-{version}-")
     try:
         df.write.mode("overwrite").parquet(staging)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         out = []
+        stats = {}
         parts = sorted(
             n for n in os.listdir(staging)
             if n.startswith("part-") and n.endswith(".parquet")
         )
         for i, name in enumerate(parts):
             rel = f"{version:08d}-{i:05d}-{name}"
-            os.replace(
-                os.path.join(staging, name),
-                os.path.join(root, "data", rel),
-            )
+            dest = os.path.join(root, "data", rel)
+            os.replace(os.path.join(staging, name), dest)
             out.append(rel)
-        return out
+            stats[rel] = _file_stats(dest)
+        return out, stats
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
 
 def _commit(
     root: str, files: list[str], op: str, schema_json: str,
-    parent: int | None,
+    parent: int | None, stats: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1 if parent is not None else 1
     os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
@@ -125,6 +156,9 @@ def _commit(
         "op": op,
         "files": files,
         "schema": schema_json,
+        # per-file column [min, max] for scan planning; keyed by the
+        # file names in ``files`` (a file missing here is never pruned)
+        "stats": {f: (stats or {}).get(f, {}) for f in files},
         "ts": datetime.now(timezone.utc).isoformat(),
     }
     _atomic_write(_snap_path(root, version), json.dumps(snap, indent=1))
@@ -137,8 +171,10 @@ def create(df: DataFrame, root: str) -> int:
     if current_version(root) is not None:
         raise ValueError(f"snapshot table already exists at {root}")
     os.makedirs(root, exist_ok=True)
-    files = _stage_and_move(df, root, 1)
-    return _commit(root, files, "create", df.schema.json(), parent=None)
+    files, stats = _stage_and_move(df, root, 1)
+    return _commit(
+        root, files, "create", df.schema.json(), parent=None, stats=stats
+    )
 
 
 def append(df: DataFrame, root: str) -> int:
@@ -147,9 +183,10 @@ def append(df: DataFrame, root: str) -> int:
     if parent is None:
         raise ValueError(f"no snapshot table at {root}")
     prev = _read_snapshot(root, parent)
-    files = _stage_and_move(df, root, parent + 1)
+    files, stats = _stage_and_move(df, root, parent + 1)
     return _commit(
-        root, prev["files"] + files, "append", prev["schema"], parent
+        root, prev["files"] + files, "append", prev["schema"], parent,
+        stats={**prev.get("stats", {}), **stats},
     )
 
 
@@ -171,6 +208,90 @@ def read(
     )
 
 
+def read_where(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Range scan with FILE-LEVEL skipping: files whose footer [min, max]
+    for ``col`` (recorded in the snapshot at commit time) cannot overlap
+    [lo, hi] are never opened. The predicate is still applied to the
+    surviving files, so the result is exact — the stats only prune.
+    Files with no recorded stats for ``col`` are conservatively read.
+
+    Returns (df, files_read, files_skipped) so callers (and tests) can
+    see the planning effect. At 100 TB this is the difference between
+    opening every footer and opening only the overlapping slice — the
+    same planning Iceberg does from its manifests.
+    """
+    from pyspark.sql import functions as F
+
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise ValueError(f"no snapshot table at {root}")
+    snap = _read_snapshot(root, v)
+    stats = snap.get("stats", {})
+    keep = []
+    skipped = 0
+    for f in snap["files"]:
+        mm = stats.get(f, {}).get(col)
+        if mm is not None and (mm[1] < lo or mm[0] > hi):
+            skipped += 1
+        else:
+            keep.append(f)
+    if not keep:
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        return spark.createDataFrame([], schema), 0, skipped
+    df = spark.read.parquet(
+        *[os.path.join(root, "data", f) for f in keep]
+    ).where(F.col(col).between(lo, hi))
+    return df, len(keep), skipped
+
+
+def stream_sink(root: str):
+    """The foreachBatch function streaming_append installs: appends each
+    micro-batch as one commit tagged ``stream-append:<batch_id>``. On
+    restart/retry Spark may replay a batch whose commit already landed,
+    so the sink first scans the (linear, small) snapshot log for the tag
+    and no-ops — append+tag is idempotent under the one replay Spark can
+    deliver. Exposed at module level so the replay window is directly
+    testable."""
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        tag = f"stream-append:{batch_id}"
+        for v in versions(root):
+            if _read_snapshot(root, v)["op"] == tag:
+                return  # replayed batch: already committed
+        parent = current_version(root)
+        if parent is None:
+            os.makedirs(root, exist_ok=True)
+            files, stats = _stage_and_move(bdf, root, 1)
+            _commit(root, files, tag, bdf.schema.json(), None, stats)
+            return
+        prev = _read_snapshot(root, parent)
+        files, stats = _stage_and_move(bdf, root, parent + 1)
+        _commit(
+            root, prev["files"] + files, tag, prev["schema"], parent,
+            stats={**prev.get("stats", {}), **stats},
+        )
+
+    return _sink
+
+
+def streaming_append(stream_df: DataFrame, root: str, checkpoint: str):
+    """Exactly-once Structured Streaming sink into a snapshot table (see
+    :func:`stream_sink` for the commit/replay semantics). Returns the
+    DataStreamWriter for the caller to trigger/start."""
+    return (
+        stream_df.writeStream.foreachBatch(stream_sink(root))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
 def compact(
     spark: SparkSession, root: str, target_file_bytes: int = 128 << 20
 ) -> int:
@@ -188,8 +309,10 @@ def compact(
     )
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = read(spark, root, parent).repartition(n_out)
-    files = _stage_and_move(df, root, parent + 1)
-    return _commit(root, files, "compact", snap["schema"], parent)
+    files, stats = _stage_and_move(df, root, parent + 1)
+    return _commit(
+        root, files, "compact", snap["schema"], parent, stats=stats
+    )
 
 
 def merge(
@@ -227,8 +350,10 @@ def merge(
             raise ValueError("merge source has duplicate keys")
     prev = _read_snapshot(root, parent)
     if not prev["files"]:
-        files = _stage_and_move(source, root, parent + 1)
-        return _commit(root, files, "merge", prev["schema"], parent)
+        files, stats = _stage_and_move(source, root, parent + 1)
+        return _commit(
+            root, files, "merge", prev["schema"], parent, stats=stats
+        )
 
     from pyspark.sql import functions as F
 
@@ -256,9 +381,10 @@ def merge(
         new_data = kept.unionByName(source)
     else:
         new_data = source
-    files = _stage_and_move(new_data, root, parent + 1)
+    files, stats = _stage_and_move(new_data, root, parent + 1)
     return _commit(
-        root, untouched + files, "merge", prev["schema"], parent
+        root, untouched + files, "merge", prev["schema"], parent,
+        stats={**prev.get("stats", {}), **stats},
     )
 
 
@@ -271,7 +397,7 @@ def rollback(root: str, to_version: int) -> int:
     target = _read_snapshot(root, to_version)
     return _commit(
         root, target["files"], f"rollback:{to_version}",
-        target["schema"], parent,
+        target["schema"], parent, stats=target.get("stats"),
     )
 
 

@@ -108,7 +108,7 @@ def test_crash_before_pointer_swap_leaves_old_table(spark, root):
     snap.create(_df(spark, 0, 6), root)
     # replay append's internals, stopping before the CURRENT swap
     prev = snap._read_snapshot(root, 1)
-    files = snap._stage_and_move(_df(spark, 6, 9), root, 2)
+    files, _stats = snap._stage_and_move(_df(spark, 6, 9), root, 2)
     s = {
         "version": 2, "parent": 1, "op": "append",
         "files": prev["files"] + files, "schema": prev["schema"],
@@ -221,3 +221,109 @@ def test_merge_validate_rejects_duplicate_source_keys(spark, root):
     src = _kv(spark, [(1, "a"), (1, "b")])
     with pytest.raises(ValueError, match="duplicate keys"):
         snap.merge(spark, src, root, "doc_id", validate=True)
+
+
+# --- file-skipping stats + read_where ------------------------------------------------
+
+
+def test_read_where_skips_nonoverlapping_files(spark, root):
+    """Three appends with disjoint key ranges -> a range scan must open
+    only the overlapping files, and still return exact results."""
+    snap.create(_df(spark, 0, 100).coalesce(1), root)
+    snap.append(_df(spark, 100, 200).coalesce(1), root)
+    snap.append(_df(spark, 200, 300).coalesce(1), root)
+    df, read_n, skipped = snap.read_where(spark, root, "doc_id", 120, 180)
+    assert (read_n, skipped) == (1, 2)
+    assert _rows(df) == _rows(_df(spark, 120, 181))
+    # fully out-of-range scan opens nothing
+    df0, read0, skip0 = snap.read_where(spark, root, "doc_id", 900, 999)
+    assert (read0, skip0) == (0, 3) and df0.count() == 0
+    assert set(df0.columns) == {"doc_id", "text"}
+
+
+def test_read_where_exact_on_boundaries_and_unknown_col(spark, root):
+    snap.create(_df(spark, 0, 50).coalesce(1), root)
+    snap.append(_df(spark, 50, 100).coalesce(1), root)
+    # boundary values land inside min/max, never sliced away
+    df, read_n, skipped = snap.read_where(spark, root, "doc_id", 49, 50)
+    assert _rows(df) == _rows(_df(spark, 49, 51))
+    assert read_n == 2 and skipped == 0
+    # string footer stats prune too: file 2 holds t50..t99, all > "t2"
+    df2, read2, skip2 = snap.read_where(spark, root, "text", "t1", "t2")
+    assert (read2, skip2) == (1, 1)
+    assert sorted(r.text for r in df2.collect()) == ["t1", "t10", "t11",
+        "t12", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t2"]
+    # a file with NO recorded stats for the column: conservative read
+    cur = snap._read_snapshot(root, snap.current_version(root))
+    for f in cur["files"]:
+        cur["stats"][f].pop("text", None)
+    snap._atomic_write(
+        snap._snap_path(root, cur["version"]), json.dumps(cur)
+    )
+    _, read3, skip3 = snap.read_where(spark, root, "text", "t1", "t2")
+    assert (read3, skip3) == (2, 0)
+
+
+def test_stats_survive_compact_and_merge(spark, root):
+    snap.create(_df(spark, 0, 100).coalesce(1), root)
+    snap.append(_df(spark, 100, 200).coalesce(1), root)
+    snap.compact(spark, root, target_file_bytes=128)  # forces >1 file
+    cur = snap._read_snapshot(root, snap.current_version(root))
+    assert all(
+        "doc_id" in cur["stats"][f] for f in cur["files"]
+    )
+    snap.merge(spark, _kv(spark, [(5, "X")]), root, "doc_id")
+    cur = snap._read_snapshot(root, snap.current_version(root))
+    assert set(cur["stats"].keys()) == set(cur["files"])
+    assert all("doc_id" in s for s in cur["stats"].values())
+
+
+# --- exactly-once streaming append ---------------------------------------------------
+
+
+def test_streaming_append_exactly_once(spark, tmp_path, root):
+    import os as _os
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    _df(spark, 0, 5).coalesce(1).write.parquet(src + "/f1")
+    _df(spark, 5, 9).coalesce(1).write.parquet(src + "/f2")
+    # flatten: the file source wants files, not dirs
+    files = []
+    for d in ("f1", "f2"):
+        for n in _os.listdir(f"{src}/{d}"):
+            if n.endswith(".parquet"):
+                _os.replace(f"{src}/{d}/{n}", f"{src}/{d}-{n}")
+                files.append(f"{src}/{d}-{n}")
+    stream = (
+        spark.readStream.schema(_df(spark, 0, 1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = snap.streaming_append(stream, root, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 9))
+    ops = [h["op"] for h in snap.history(root)]
+    assert sorted(ops) == ["stream-append:0", "stream-append:1"]
+
+    # replay batch 0 (the retry Spark can deliver): invoke the REAL sink
+    # the way foreachBatch would on a post-commit retry — must no-op
+    n_before = len(snap.versions(root))
+    snap.stream_sink(root)(spark.read.parquet(files[0]), 0)
+    assert len(snap.versions(root)) == n_before
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 9))
+
+    # restart with a NEW file: only the new batch lands
+    _df(spark, 9, 12).coalesce(1).write.parquet(src + "/f3")
+    for n in _os.listdir(f"{src}/f3"):
+        if n.endswith(".parquet"):
+            _os.replace(f"{src}/f3/{n}", f"{src}/f3-{n}")
+    q2 = snap.streaming_append(stream, root, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination()
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 12))
+    assert len(snap.versions(root)) == n_before + 1
