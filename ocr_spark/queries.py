@@ -712,8 +712,8 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (search_postings, search_bm25_topk, search_phrase — same status), then
 # the queries_media block (mm_decode_bmp, mm_resize_bmp, mm_audio_wav —
 # real codec-free decode, same status), then the queries_tables block
-# (table_snap_timetravel, table_snap_rollback — snapshot table layer,
-# same status), then as
+# (table_snap_timetravel, table_snap_merge, table_snap_evolve,
+# table_snap_rollback — snapshot table layer, same status), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's

@@ -102,6 +102,38 @@ def q_table_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_snap_evolve",
+    """
+SELECT doc_id, md5(text) AS text_md5, 'xx' AS lang
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, md5(text) AS text_md5, lang
+FROM documents WHERE doc_id % 2 = 1
+""",
+)
+def q_table_snap_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution without rewrites: create(evens) without a lang
+    column, add_column(lang, default='xx') — metadata-only — then append
+    the odds WITH real lang values. The read must fill 'xx' exactly for
+    the pre-evolution files and pass the real values through for the
+    post-evolution ones (per-file column sets, not global mergeSchema)."""
+    d = t(spark, sf_dir, "documents")
+    evens = d.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    odds = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang"
+    )
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="ocr-spark-snaptbl-"), "tbl"
+    )
+    snap.create(evens, root)
+    snap.add_column(root, "lang", "string", default="xx")
+    snap.append(odds, root)
+    return snap.read(spark, root)
+
+
+@register(
     "table_snap_rollback",
     """
 SELECT doc_id, md5(text) AS text_md5,

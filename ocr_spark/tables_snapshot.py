@@ -87,13 +87,17 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX: the commit point
 
 
-def _file_stats(path: str) -> dict:
-    """Per-column [min, max] from the parquet FOOTER (no data read) for
-    the JSON-safe primitive columns — the scan-planning metadata that
-    lets read_where skip whole files."""
+def _file_stats(path: str) -> tuple[dict, list[str]]:
+    """From the parquet FOOTER (no data read): per-column [min, max] for
+    the JSON-safe primitive columns (the scan-planning metadata that lets
+    read_where skip whole files) plus the file's column names (what lets
+    schema evolution fill defaults for files written before a column
+    existed)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    cols_present = list(pf.schema_arrow.names)
+    md = pf.metadata
     out: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -112,7 +116,7 @@ def _file_stats(path: str) -> dict:
                 out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
             else:
                 out[name] = [lo, hi]
-    return out
+    return out, cols_present
 
 
 def _stage_and_move(
@@ -138,7 +142,8 @@ def _stage_and_move(
             dest = os.path.join(root, "data", rel)
             os.replace(os.path.join(staging, name), dest)
             out.append(rel)
-            stats[rel] = _file_stats(dest)
+            mm, cols_present = _file_stats(dest)
+            stats[rel] = {"minmax": mm, "cols": cols_present}
         return out, stats
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -147,6 +152,7 @@ def _stage_and_move(
 def _commit(
     root: str, files: list[str], op: str, schema_json: str,
     parent: int | None, stats: dict | None = None,
+    defaults: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1 if parent is not None else 1
     os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
@@ -159,6 +165,9 @@ def _commit(
         # per-file column [min, max] for scan planning; keyed by the
         # file names in ``files`` (a file missing here is never pruned)
         "stats": {f: (stats or {}).get(f, {}) for f in files},
+        # values that materialize for columns added AFTER a file was
+        # written (schema evolution); empty for never-evolved tables
+        "defaults": defaults or {},
         "ts": datetime.now(timezone.utc).isoformat(),
     }
     _atomic_write(_snap_path(root, version), json.dumps(snap, indent=1))
@@ -187,7 +196,60 @@ def append(df: DataFrame, root: str) -> int:
     return _commit(
         root, prev["files"] + files, "append", prev["schema"], parent,
         stats={**prev.get("stats", {}), **stats},
+        defaults=prev.get("defaults"),
     )
+
+
+def _apply_schema(spark, df: DataFrame, snap: dict) -> DataFrame:
+    """Project a raw file scan to the snapshot's authoritative schema:
+    columns added after a file was written materialize as their recorded
+    default (schema evolution never rewrites data files); columns dropped
+    from the schema are projected away even though old files still hold
+    them (a later compact physically drops the bytes)."""
+    from pyspark.sql import functions as F
+
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    defaults = snap.get("defaults", {})
+    for field in schema.fields:
+        if field.name not in df.columns:
+            df = df.withColumn(
+                field.name,
+                F.lit(defaults.get(field.name)).cast(field.dataType),
+            )
+    return df.select([f.name for f in schema.fields])
+
+
+def _read_files(spark: SparkSession, root: str, snap: dict,
+                files: list[str]) -> DataFrame:
+    """Read a file subset under the snapshot's authoritative schema.
+    Files are GROUPED by the column set their footer recorded at commit
+    time, each group is scanned separately, and :func:`_apply_schema`
+    fills evolved columns per group — so a default applies exactly to the
+    files written before the column existed, never to real nulls written
+    after. The number of groups is the number of distinct historical
+    schemas among the files (tiny), not the file count."""
+    if not files:
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        return spark.createDataFrame([], schema)
+    stats = snap.get("stats", {})
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        cols = stats.get(f, {}).get("cols")
+        key = tuple(sorted(cols)) if cols is not None else ("*unknown*",)
+        groups.setdefault(key, []).append(f)
+    out = None
+    for key, grp in sorted(groups.items()):
+        reader = spark.read
+        if key == ("*unknown*",):
+            # pre-cols manifests: merge footers, defaults best-effort
+            reader = reader.option("mergeSchema", "true")
+        df = _apply_schema(
+            spark,
+            reader.parquet(*[os.path.join(root, "data", f) for f in grp]),
+            snap,
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def read(
@@ -195,17 +257,13 @@ def read(
 ) -> DataFrame:
     """Read a snapshot (CURRENT by default; pass ``version`` to time
     travel). Readers resolve the pointer once — a concurrent commit never
-    changes the file set under a running query."""
+    changes the file set under a running query. The snapshot's schema is
+    authoritative: see :func:`_read_files` for evolution semantics."""
     v = version if version is not None else current_version(root)
     if v is None:
         raise ValueError(f"no snapshot table at {root}")
     snap = _read_snapshot(root, v)
-    if not snap["files"]:
-        schema = StructType.fromJson(json.loads(snap["schema"]))
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(
-        *[os.path.join(root, "data", f) for f in snap["files"]]
-    )
+    return _read_files(spark, root, snap, snap["files"])
 
 
 def read_where(
@@ -237,17 +295,14 @@ def read_where(
     keep = []
     skipped = 0
     for f in snap["files"]:
-        mm = stats.get(f, {}).get(col)
+        mm = stats.get(f, {}).get("minmax", {}).get(col)
         if mm is not None and (mm[1] < lo or mm[0] > hi):
             skipped += 1
         else:
             keep.append(f)
-    if not keep:
-        schema = StructType.fromJson(json.loads(snap["schema"]))
-        return spark.createDataFrame([], schema), 0, skipped
-    df = spark.read.parquet(
-        *[os.path.join(root, "data", f) for f in keep]
-    ).where(F.col(col).between(lo, hi))
+    df = _read_files(spark, root, snap, keep).where(
+        F.col(col).between(lo, hi)
+    )
     return df, len(keep), skipped
 
 
@@ -276,6 +331,7 @@ def stream_sink(root: str):
         _commit(
             root, prev["files"] + files, tag, prev["schema"], parent,
             stats={**prev.get("stats", {}), **stats},
+            defaults=prev.get("defaults"),
         )
 
     return _sink
@@ -310,6 +366,8 @@ def compact(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = read(spark, root, parent).repartition(n_out)
     files, stats = _stage_and_move(df, root, parent + 1)
+    # compact physically materializes evolved columns (read() applied
+    # the schema), so the rewritten files need no defaults any more
     return _commit(
         root, files, "compact", snap["schema"], parent, stats=stats
     )
@@ -352,7 +410,8 @@ def merge(
     if not prev["files"]:
         files, stats = _stage_and_move(source, root, parent + 1)
         return _commit(
-            root, files, "merge", prev["schema"], parent, stats=stats
+            root, files, "merge", prev["schema"], parent, stats=stats,
+            defaults=prev.get("defaults"),
         )
 
     from pyspark.sql import functions as F
@@ -385,6 +444,55 @@ def merge(
     return _commit(
         root, untouched + files, "merge", prev["schema"], parent,
         stats={**prev.get("stats", {}), **stats},
+        defaults=prev.get("defaults"),
+    )
+
+
+def add_column(
+    root: str, name: str, spark_type: str, default=None
+) -> int:
+    """Schema evolution: add a column WITHOUT rewriting any data file.
+    Rows in files written before the evolution read back as ``default``
+    (recorded in the manifest); files written after carry real values.
+    ``spark_type`` is a Spark SQL type string (``"bigint"``, ``"string"``,
+    ...). Metadata-only: the commit reuses the parent's file list."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    parent = current_version(root)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {root}")
+    prev = _read_snapshot(root, parent)
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    if name in schema.fieldNames():
+        raise ValueError(f"column {name} already exists")
+    schema = schema.add(name, _parse_datatype_string(spark_type))
+    defaults = dict(prev.get("defaults", {}))
+    if default is not None:
+        defaults[name] = default
+    return _commit(
+        root, prev["files"], f"add-column:{name}", schema.json(),
+        parent, stats=prev.get("stats"), defaults=defaults,
+    )
+
+
+def drop_column(root: str, name: str) -> int:
+    """Schema evolution: drop a column WITHOUT rewriting any data file —
+    the column is projected away at read time; a later compact physically
+    removes the bytes. Metadata-only commit."""
+    parent = current_version(root)
+    if parent is None:
+        raise ValueError(f"no snapshot table at {root}")
+    prev = _read_snapshot(root, parent)
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    if name not in schema.fieldNames():
+        raise ValueError(f"no column {name}")
+    kept = StructType([f for f in schema.fields if f.name != name])
+    defaults = {
+        k: v for k, v in prev.get("defaults", {}).items() if k != name
+    }
+    return _commit(
+        root, prev["files"], f"drop-column:{name}", kept.json(),
+        parent, stats=prev.get("stats"), defaults=defaults,
     )
 
 
@@ -398,6 +506,7 @@ def rollback(root: str, to_version: int) -> int:
     return _commit(
         root, target["files"], f"rollback:{to_version}",
         target["schema"], parent, stats=target.get("stats"),
+        defaults=target.get("defaults"),
     )
 
 

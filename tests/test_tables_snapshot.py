@@ -256,7 +256,7 @@ def test_read_where_exact_on_boundaries_and_unknown_col(spark, root):
     # a file with NO recorded stats for the column: conservative read
     cur = snap._read_snapshot(root, snap.current_version(root))
     for f in cur["files"]:
-        cur["stats"][f].pop("text", None)
+        cur["stats"][f]["minmax"].pop("text", None)
     snap._atomic_write(
         snap._snap_path(root, cur["version"]), json.dumps(cur)
     )
@@ -270,12 +270,12 @@ def test_stats_survive_compact_and_merge(spark, root):
     snap.compact(spark, root, target_file_bytes=128)  # forces >1 file
     cur = snap._read_snapshot(root, snap.current_version(root))
     assert all(
-        "doc_id" in cur["stats"][f] for f in cur["files"]
+        "doc_id" in cur["stats"][f]["minmax"] for f in cur["files"]
     )
     snap.merge(spark, _kv(spark, [(5, "X")]), root, "doc_id")
     cur = snap._read_snapshot(root, snap.current_version(root))
     assert set(cur["stats"].keys()) == set(cur["files"])
-    assert all("doc_id" in s for s in cur["stats"].values())
+    assert all("doc_id" in s["minmax"] for s in cur["stats"].values())
 
 
 # --- exactly-once streaming append ---------------------------------------------------
@@ -327,3 +327,71 @@ def test_streaming_append_exactly_once(spark, tmp_path, root):
     q2.awaitTermination()
     assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 12))
     assert len(snap.versions(root)) == n_before + 1
+
+
+# --- schema evolution (metadata-only) ------------------------------------------------
+
+
+def test_add_column_defaults_old_rows(spark, root):
+    snap.create(_df(spark, 0, 3), root)
+    files_before = snap._read_snapshot(root, 1)["files"]
+    v = snap.add_column(root, "lang", "string", default="en")
+    # metadata-only: the file list is untouched
+    assert snap._read_snapshot(root, v)["files"] == files_before
+    got = sorted(
+        (r.doc_id, r.text, r.lang) for r in snap.read(spark, root).collect()
+    )
+    assert got == [(i, f"t{i}", "en") for i in range(3)]
+    # new appends carry real values; old files keep defaulting
+    new = spark.createDataFrame(
+        [(9, "t9", "fr")], "doc_id bigint, text string, lang string"
+    )
+    snap.append(new, root)
+    got = sorted(
+        (r.doc_id, r.lang) for r in snap.read(spark, root).collect()
+    )
+    assert got == [(0, "en"), (1, "en"), (2, "en"), (9, "fr")]
+    # time travel to v1 shows the pre-evolution schema
+    assert set(snap.read(spark, root, version=1).columns) == {
+        "doc_id", "text"
+    }
+
+
+def test_add_column_null_default_and_compact_materializes(spark, root):
+    snap.create(_df(spark, 0, 2), root)
+    snap.add_column(root, "score", "bigint")
+    assert [r.score for r in snap.read(spark, root).collect()] == [
+        None, None,
+    ]
+    snap.compact(spark, root)
+    cur = snap._read_snapshot(root, snap.current_version(root))
+    # post-compact the files physically contain the column
+    import pyarrow.parquet as pq
+
+    f = os.path.join(root, "data", cur["files"][0])
+    assert "score" in pq.ParquetFile(f).schema_arrow.names
+
+
+def test_drop_column_projects_away_without_rewrite(spark, root):
+    snap.create(_df(spark, 0, 3), root)
+    files_before = snap._read_snapshot(root, 1)["files"]
+    v = snap.drop_column(root, "text")
+    assert snap._read_snapshot(root, v)["files"] == files_before
+    assert snap.read(spark, root).columns == ["doc_id"]
+    # time travel still shows it
+    assert "text" in snap.read(spark, root, version=1).columns
+    # appends after the drop need only the surviving schema
+    snap.append(
+        spark.createDataFrame([(7,)], "doc_id bigint"), root
+    )
+    assert sorted(
+        r.doc_id for r in snap.read(spark, root).collect()
+    ) == [0, 1, 2, 7]
+
+
+def test_evolution_guards(spark, root):
+    snap.create(_df(spark, 0, 2), root)
+    with pytest.raises(ValueError, match="already exists"):
+        snap.add_column(root, "text", "string")
+    with pytest.raises(ValueError, match="no column"):
+        snap.drop_column(root, "nope")
