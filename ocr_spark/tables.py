@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ICEBERG_PREFIX = "iceberg:"
+# Homegrown snapshot tables (ocr_spark.tables_snapshot): the table-format
+# semantics — atomic commits, time travel, idempotent per-batch overwrite —
+# without the env-blocked Iceberg jar. location = "snapshot:<dir>".
+SNAPSHOT_PREFIX = "snapshot:"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -38,10 +42,17 @@ def iceberg_available(spark: SparkSession) -> bool:
 def read_table(
     spark: SparkSession, location: str, schema=None
 ) -> DataFrame:
-    """Op 1: load a table from an ``iceberg:`` location or a parquet path."""
+    """Op 1: load a table from an ``iceberg:`` / ``snapshot:`` location
+    or a parquet path."""
     if location.startswith(ICEBERG_PREFIX):
         return spark.read.format("iceberg").load(
             location[len(ICEBERG_PREFIX):]
+        )
+    if location.startswith(SNAPSHOT_PREFIX):
+        from ocr_spark import tables_snapshot
+
+        return tables_snapshot.read(
+            spark, location[len(SNAPSHOT_PREFIX):]
         )
     reader = spark.read
     if schema is not None:
@@ -55,13 +66,37 @@ def write_table(
     mode: str = "append",
     partition_by: tuple[str, ...] | None = None,
 ) -> None:
-    """Op 4: write to an ``iceberg:`` table or a parquet directory.
+    """Op 4: write to an ``iceberg:`` / ``snapshot:`` table or a parquet
+    directory.
 
     Modes: ``append``; ``overwrite_partitions`` (Iceberg
-    ``overwritePartitions()`` / parquet dynamic partition overwrite — the
+    ``overwritePartitions()`` / parquet dynamic partition overwrite /
+    snapshot-table overwrite_matching on the first partition column — the
     idempotent per-partition commit the runner relies on); ``create``
     (``createOrReplace()`` / full overwrite).
     """
+    if location.startswith(SNAPSHOT_PREFIX):
+        from ocr_spark import tables_snapshot as snap
+
+        root = location[len(SNAPSHOT_PREFIX):]
+        spark = df.sparkSession
+        if mode == "create":
+            snap.replace(spark, df, root)
+        elif mode == "append":
+            if snap.current_version(root) is None:
+                snap.create(df, root)
+            else:
+                snap.append(df, root)
+        elif mode == "overwrite_partitions":
+            if not partition_by:
+                raise ValueError(
+                    "overwrite_partitions on a snapshot table needs"
+                    " partition_by"
+                )
+            snap.overwrite_matching(spark, df, root, partition_by[0])
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return
     if location.startswith(ICEBERG_PREFIX):
         writer = df.writeTo(location[len(ICEBERG_PREFIX):])
         if mode == "append":

@@ -448,6 +448,71 @@ def merge(
     )
 
 
+def replace(spark: SparkSession, df: DataFrame, root: str) -> int:
+    """createOrReplace semantics: create the table if absent, else commit
+    a snapshot containing ONLY df's files (prior versions remain
+    time-travelable until expired)."""
+    parent = current_version(root)
+    if parent is None:
+        return create(df, root)
+    prev = _read_snapshot(root, parent)
+    files, stats = _stage_and_move(df, root, parent + 1)
+    return _commit(
+        root, files, "replace", df.schema.json(), parent, stats=stats
+    )
+
+
+def overwrite_matching(
+    spark: SparkSession, df: DataFrame, root: str, key_col: str
+) -> int:
+    """Dynamic-overwrite semantics at file granularity: delete every row
+    whose ``key_col`` value appears in df, then append df — the
+    idempotent per-batch commit the extraction runner uses (re-running a
+    crashed batch replaces exactly that batch's partitions, never
+    duplicates them). Unlike :func:`merge`, keys are PARTITION labels
+    (many rows share one), not row identities.
+
+    Same copy-on-write shape as merge: a column-pruned probe finds the
+    files holding matching keys; only those rewrite (keeping their
+    non-matching rows); untouched files carry over by name."""
+    parent = current_version(root)
+    if parent is None:
+        os.makedirs(root, exist_ok=True)
+        return create(df, root)
+    from pyspark.sql import functions as F
+
+    prev = _read_snapshot(root, parent)
+    keys = df.select(key_col).distinct()
+    untouched = list(prev["files"])
+    kept = None
+    if prev["files"]:
+        paths = [os.path.join(root, "data", f) for f in prev["files"]]
+        probe = (
+            spark.read.parquet(*paths)
+            .select(key_col, F.input_file_name().alias("_file"))
+            .join(F.broadcast(keys), key_col, "left_semi")
+            .select("_file")
+            .distinct()
+        )
+        affected = {
+            os.path.basename(r._file.split("://")[-1])
+            for r in probe.collect()
+        }
+        untouched = [f for f in prev["files"] if f not in affected]
+        if affected:
+            kept = _read_files(
+                spark, root, prev, sorted(affected)
+            ).join(F.broadcast(keys), key_col, "left_anti")
+    new_data = df if kept is None else kept.unionByName(df)
+    files, stats = _stage_and_move(new_data, root, parent + 1)
+    return _commit(
+        root, untouched + files, "overwrite_matching", prev["schema"],
+        parent,
+        stats={**prev.get("stats", {}), **stats},
+        defaults=prev.get("defaults"),
+    )
+
+
 def add_column(
     root: str, name: str, spark_type: str, default=None
 ) -> int:

@@ -395,3 +395,75 @@ def test_evolution_guards(spark, root):
         snap.add_column(root, "text", "string")
     with pytest.raises(ValueError, match="no column"):
         snap.drop_column(root, "nope")
+
+
+# --- overwrite_matching + runner integration (snapshot: locations) -------------------
+
+
+def test_overwrite_matching_is_idempotent(spark, root):
+    base = spark.createDataFrame(
+        [(0, 10, "a"), (0, 11, "b"), (1, 20, "c"), (2, 30, "d")],
+        "part_id bigint, doc_id bigint, text string",
+    )
+    snap.create(base, root)
+    batch = spark.createDataFrame(
+        [(0, 10, "A2"), (0, 12, "NEW"), (1, 20, "C2")],
+        "part_id bigint, doc_id bigint, text string",
+    )
+    snap.overwrite_matching(spark, batch, root, "part_id")
+    expect = sorted([(0, 10, "A2"), (0, 12, "NEW"), (1, 20, "C2"),
+                     (2, 30, "d")])
+    got = lambda: sorted(  # noqa: E731
+        (r.part_id, r.doc_id, r.text)
+        for r in snap.read(spark, root).collect()
+    )
+    assert got() == expect
+    # the crash-rerun: applying the SAME batch again must not duplicate
+    snap.overwrite_matching(spark, batch, root, "part_id")
+    assert got() == expect
+
+
+def test_write_table_routes_snapshot_prefix(spark, root):
+    from ocr_spark.tables import read_table, write_table
+
+    loc = f"snapshot:{root}"
+    write_table(_df(spark, 0, 5), loc, mode="append")
+    write_table(_df(spark, 5, 8), loc, mode="append")
+    assert _rows(read_table(spark, loc)) == _rows(_df(spark, 0, 8))
+    write_table(_df(spark, 0, 3), loc, mode="create")
+    assert _rows(read_table(spark, loc)) == _rows(_df(spark, 0, 3))
+    # full history survived the replace
+    assert len(snap.versions(root)) == 3
+
+
+def test_runner_extracts_into_snapshot_table(spark, fixture_df, tmp_path):
+    """The production runner writes its DATA sink into a snapshot table
+    (data_location='snapshot:...') with no runner changes, and the
+    crash window (data written, manifest commit lost) stays idempotent
+    through overwrite_matching."""
+    import json as _json
+
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.operators.runner import Manifest, run_extract
+    from ocr_spark.tables import read_table
+
+    out_dir = str(tmp_path / "out")
+    loc = f"snapshot:{tmp_path / 'snaptbl'}"
+    run_extract(spark, fixture_df, out_dir, run_id="r1", num_parts=4,
+                parts_per_batch=2, data_location=loc)
+    direct = extract_pages(fixture_df, num_parts=4).collect()
+
+    def key(rows):
+        return sorted(
+            (r.url, r.warc_ts.isoformat(), r.text_sha256) for r in rows
+        )
+
+    assert key(read_table(spark, loc).collect()) == key(direct)
+
+    # crash window: drop one manifest commit, rerun — no duplicate rows
+    victim = Manifest(out_dir).dir / "part-00001.json"
+    victim.unlink()
+    run_extract(spark, fixture_df, out_dir, run_id="r2", num_parts=4,
+                parts_per_batch=2, data_location=loc)
+    assert key(read_table(spark, loc).collect()) == key(direct)
+    assert _json.loads(victim.read_text())["run_id"] == "r2"
