@@ -467,3 +467,29 @@ def test_runner_extracts_into_snapshot_table(spark, fixture_df, tmp_path):
                 parts_per_batch=2, data_location=loc)
     assert key(read_table(spark, loc).collect()) == key(direct)
     assert _json.loads(victim.read_text())["run_id"] == "r2"
+
+
+def test_clustered_compact_enables_file_skipping(spark, root):
+    """Round-robin layout: every file spans the whole key domain, nothing
+    prunes. After compact(cluster_by=...): files cover narrow disjoint
+    ranges and a point-ish range query opens ~1 file."""
+    snap.create(_df(spark, 0, 4000).repartition(8), root)
+    _, read_a, skip_a = snap.read_where(spark, root, "doc_id", 100, 120)
+    assert (read_a, skip_a) == (8, 0)  # hash layout: no pruning possible
+    v1 = snap._read_snapshot(root, 1)
+    total = sum(
+        os.path.getsize(os.path.join(root, "data", f)) for f in v1["files"]
+    )
+    # target ~8 output files, each covering a narrow disjoint key range
+    snap.compact(
+        spark, root, target_file_bytes=max(1, total // 8),
+        cluster_by="doc_id",
+    )
+    cur = snap._read_snapshot(root, snap.current_version(root))
+    n_files = len(cur["files"])
+    assert n_files >= 4
+    df, read_b, skip_b = snap.read_where(spark, root, "doc_id", 100, 120)
+    assert read_b <= 2 and skip_b == n_files - read_b
+    assert sorted(r.doc_id for r in df.collect()) == list(range(100, 121))
+    # clustering is data-identical
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 4000))
