@@ -618,6 +618,27 @@ def expire(root: str, keep_last: int = 2) -> tuple[int, int]:
     return dropped, deleted
 
 
+def read_appended(
+    spark: SparkSession, root: str, since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: the rows in files ADDED between
+    ``since_version`` (exclusive) and ``version`` (default CURRENT) — the
+    file-level changelog an incremental consumer reads instead of
+    rescanning the table. For append-only histories this is exactly the
+    new rows; a merge/overwrite_matching in the window surfaces its
+    rewritten files' rows too (kept + updated — file-level, not row-diff),
+    and a compact's rewrite is all-files-new by construction, so callers
+    schedule maintenance between consumption points or diff downstream."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise ValueError(f"no snapshot table at {root}")
+    base = set(_read_snapshot(root, since_version)["files"])
+    snap = _read_snapshot(root, v)
+    added = [f for f in snap["files"] if f not in base]
+    return _read_files(spark, root, snap, added)
+
+
 def history(root: str) -> list[dict]:
     """Snapshot log (version, op, parent, n_files, ts) — the audit trail
     an operator reads before a rollback."""

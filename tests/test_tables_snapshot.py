@@ -493,3 +493,19 @@ def test_clustered_compact_enables_file_skipping(spark, root):
     assert sorted(r.doc_id for r in df.collect()) == list(range(100, 121))
     # clustering is data-identical
     assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 4000))
+
+
+def test_read_appended_incremental_consumption(spark, root):
+    snap.create(_df(spark, 0, 5), root)
+    v1 = snap.current_version(root)
+    snap.append(_df(spark, 5, 9), root)
+    snap.append(_df(spark, 9, 12), root)
+    # consumer checkpointed at v1: sees exactly the appends since
+    got = _rows(snap.read_appended(spark, root, since_version=v1))
+    assert got == _rows(_df(spark, 5, 12))
+    # caught-up consumer sees nothing
+    cur = snap.current_version(root)
+    assert snap.read_appended(spark, root, since_version=cur).count() == 0
+    # bounded window: v1 -> v2 only
+    got2 = _rows(snap.read_appended(spark, root, v1, version=2))
+    assert got2 == _rows(_df(spark, 5, 9))
