@@ -53,6 +53,12 @@ from pyspark.sql.types import StructType
 _CURRENT = "CURRENT"
 
 
+class ConflictError(RuntimeError):
+    """A commit raced another writer: CURRENT moved after the writer read
+    its parent snapshot. The losing writer re-reads and retries; nothing
+    was made visible (the pointer swap never happened)."""
+
+
 def _snap_path(root: str, version: int) -> str:
     return os.path.join(root, "snapshots", f"v{version:08d}.json")
 
@@ -154,6 +160,16 @@ def _commit(
     parent: int | None, stats: dict | None = None,
     defaults: dict | None = None,
 ) -> int:
+    # Optimistic concurrency: the writer computed this commit against
+    # ``parent``; if another writer landed a commit in between, CURRENT
+    # moved and committing would silently drop that writer's rows from
+    # the lineage. Refuse instead — the caller re-reads and retries.
+    live = current_version(root)
+    if live != parent:
+        raise ConflictError(
+            f"concurrent commit detected at {root}: expected CURRENT"
+            f" v{parent}, found v{live}"
+        )
     version = (parent or 0) + 1 if parent is not None else 1
     os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
     snap = {

@@ -509,3 +509,19 @@ def test_read_appended_incremental_consumption(spark, root):
     # bounded window: v1 -> v2 only
     got2 = _rows(snap.read_appended(spark, root, v1, version=2))
     assert got2 == _rows(_df(spark, 5, 9))
+
+
+def test_concurrent_commit_conflict_detected(spark, root):
+    """Writer A reads v1, writer B commits v2, writer A's commit must
+    refuse (CURRENT moved) and leave B's commit intact."""
+    snap.create(_df(spark, 0, 4), root)
+    prev = snap._read_snapshot(root, 1)  # writer A's view
+    snap.append(_df(spark, 4, 6), root)  # writer B wins
+    files, stats = snap._stage_and_move(_df(spark, 6, 8), root, 99)
+    with pytest.raises(snap.ConflictError):
+        snap._commit(
+            root, prev["files"] + files, "append", prev["schema"],
+            parent=1, stats=stats,
+        )
+    assert snap.current_version(root) == 2
+    assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 6))
