@@ -10,9 +10,22 @@ uses (a table IS a pointer to a manifest listing immutable files):
 
     <root>/data/<version>-<seq>-part-*.parquet   immutable data files
     <root>/snapshots/v<NNNNNNNN>.json            {version, parent, op,
-                                                  files, schema, ts}
+                                                  files, schema, defaults,
+                                                  stats: {file: {minmax,
+                                                  cols}}, ts}
     <root>/CURRENT                               text pointer, swapped
                                                  atomically (os.replace)
+
+Capabilities: create/append/replace, snapshot-isolated reads + time
+travel (read), range scans with footer-stats file skipping (read_where),
+copy-on-write upsert (merge) and dynamic overwrite (overwrite_matching),
+clustered compaction (compact cluster_by), schema evolution without
+rewrites (add_column/drop_column), forward-committing rollback, snapshot
+expiry + orphan reclamation (expire), incremental consumption
+(read_appended), exactly-once streaming ingestion (streaming_append),
+and optimistic-concurrency conflict detection on every commit
+(ConflictError). tables.read_table/write_table route "snapshot:<dir>"
+locations here, so the extraction runner uses all of this unchanged.
 
 Commit protocol (single writer, any number of readers):
   1. Spark writes new data files to a staging dir (executor-parallel).
