@@ -713,7 +713,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the queries_media block (mm_decode_bmp, mm_resize_bmp, mm_audio_wav —
 # real codec-free decode, same status), then the queries_tables block
 # (table_snap_timetravel, table_snap_merge, table_snap_evolve,
-# table_snap_rollback — snapshot table layer, same status), then as
+# table_snap_rollback — snapshot table layer, same status), then the
+# queries_cluster block (cluster_kmeans, dedup_semantic — integer-exact
+# k-means + SemDeDup, same status), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's
@@ -774,6 +776,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_search  # noqa: F401
     from ocr_spark import queries_media  # noqa: F401
     from ocr_spark import queries_tables  # noqa: F401
+    from ocr_spark import queries_cluster  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

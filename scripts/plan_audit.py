@@ -531,6 +531,38 @@ def main() -> None:
         tree_of(q["pipe_split_leakage"](spark, sf)),
     ))
 
+    sections.append((
+        "cluster_kmeans (round 4 — integer-exact distributed k-means)",
+        "One Lloyd round = a BroadcastNestedLoopJoin of the k-row "
+        "centroid frame (argmin collapsed by a partial-aggregating "
+        "groupBy(id): the shuffle carries ONE row per vector, not k) "
+        "plus a posexplode'd groupBy(cid, dim) whose map-side combine "
+        "caps every task's shuffle output at k*dim rows. Rounds are "
+        "eagerly materialized (k-row persist+count, graph.pagerank "
+        "contract) so plan depth stays 1; the returned assignment is "
+        "localCheckpoint'd, which is why the audited tree below is the "
+        "checkpoint-free construction (checkpoint=False).",
+        tree_of(
+            __import__(
+                "ocr_spark.functions.cluster", fromlist=["kmeans_assign"]
+            ).kmeans_assign(
+                spark.read.parquet(f"{sf}/embeddings.parquet"),
+                k=8, rounds=2, checkpoint=False,
+            )
+        ),
+    ))
+
+    sections.append((
+        "dedup_semantic (round 4 — SemDeDup within k-means clusters)",
+        "The pair space is an equi-join on the CLUSTER id (never "
+        "corpus-quadratic; the skew bound is the largest cluster and the "
+        "production knob is k). The cosine test is pure BIGINT HOF "
+        "arithmetic on e3-quantized vectors — no Python, no float in "
+        "the decision. Dropped ids distinct + left join back for the "
+        "per-vector flag.",
+        tree_of(q["dedup_semantic"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are
