@@ -201,3 +201,99 @@ def pagerank(
     nodes.unpersist()
     dangling.unpersist()
     return ranks.select("node", F.col("r").alias("rank_e6"))
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) → (node, hub_e6, auth_e6).
+
+    All-integer update with MAX-normalization so a DuckDB oracle can
+    replay it exactly (the pagerank discipline — sums are BIGINT sums,
+    divisions are non-negative integer DIV, so aggregation order can
+    never change a bit):
+
+        a_raw(v) = sum_{u->v} h(u);  a(v) = (a_raw * 1e6) DIV max(a_raw)
+        h_raw(u) = sum_{u->v} a(v);  h(u) = (h_raw * 1e6) DIV max(h_raw)
+
+    Max-normalization replaces the textbook L2 norm (a sqrt would leave
+    the integer domain); the fixed point is the same principal
+    eigenvector direction, scaled so the top node sits at 1e6. Nodes
+    without in-edges have authority 0; without out-edges, hub 0.
+
+    Overflow headroom: a_raw <= max_in_degree * 1e6; the later *1e6
+    keeps everything < 2^63 while max_in_degree < ~9e6 — at true web
+    scale normalize each round by the running max BEFORE the multiply
+    (documented knob, not needed at driver SFs).
+
+    Scale shape per round: two shuffles (groupBy dst, groupBy src), each
+    partial-aggregated map-side; the normalizer is a 1-row broadcast.
+    Rounds are eagerly materialized with localCheckpoint (not bare
+    persist): each score frame references its predecessor TWICE (via the
+    aggregate and via its max), so an unbroken lazy lineage is 4^iters
+    plan subtrees — the checkpoint keeps the plan O(1) deep per round.
+    On a real cluster use reliable checkpointing for fault tolerance
+    (localCheckpoint trades that away, per this module's CC notes).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes.count()
+    h = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("h"))
+    a = None
+    for _ in range(iters):
+        araw = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        amax = araw.agg(F.max("s").alias("mx"))
+        a = (
+            nodes.join(araw, nodes["node"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr("(s * 1000000) DIV mx"), F.lit(0)
+                ).cast("bigint").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+        )
+        hmax = hraw.agg(F.max("s").alias("mx"))
+        h = (
+            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr("(s * 1000000) DIV mx"), F.lit(0)
+                ).cast("bigint").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        h.join(a.select("node", "a"), "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_e6"),
+            F.col("a").alias("auth_e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -715,7 +715,8 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (table_snap_timetravel, table_snap_merge, table_snap_evolve,
 # table_snap_rollback — snapshot table layer, same status), then the
 # queries_cluster block (cluster_kmeans, dedup_semantic — integer-exact
-# k-means + SemDeDup, same status), then as
+# k-means + SemDeDup, same status) and graph_hits (HITS beside
+# PageRank, same status), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's

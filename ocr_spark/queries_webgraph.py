@@ -1167,3 +1167,82 @@ def q_extract_links_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "link_id",
         resolve_href(F.col("url"), F.col("href")).alias("href_abs"),
     )
+
+
+# --- HITS (hubs & authorities) -------------------------------------------------------
+# Kleinberg's HITS next to PageRank completes the classic link-analysis
+# pair: PageRank scores global importance, HITS scores the hub/authority
+# duality a crawl scheduler uses to find index pages vs content pages.
+# Same determinism contract as pagerank: scores are e6 fixed-point
+# BIGINTs; normalization is by the MAX (an integer), not the L2 norm (a
+# sqrt would leave the integer domain); division operands are always
+# non-negative, so Spark `DIV` and DuckDB `//` agree and the unrolled-CTE
+# oracle replays the state machine exactly.
+#
+# Graph: the DIRECTED part -> supplier bipartite edges from lineitem
+# (distinct pairs; same node-id spaces as graph_pagerank). Directed means
+# parts accrue only hub mass and suppliers only authority mass — the
+# bipartite special case that makes the expected fixpoint easy to reason
+# about in tests. At corpus scale the same loop runs over
+# graph_hostlinks' host edges.
+
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+ar{k} AS (
+  SELECT e.dst AS node, sum(p.h) AS s
+  FROM e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst
+),
+a{k} AS (
+  SELECT n.node,
+    CAST(coalesce((ar.s * 1000000) // (SELECT max(s) FROM ar{k}), 0)
+         AS BIGINT) AS a
+  FROM n LEFT JOIN ar{k} ar ON ar.node = n.node
+),
+hr{k} AS (
+  SELECT e.src AS node, sum(q.a) AS s
+  FROM e JOIN a{k} q ON q.node = e.dst GROUP BY e.src
+),
+h{k} AS (
+  SELECT n.node,
+    CAST(coalesce((hr.s * 1000000) // (SELECT max(s) FROM hr{k}), 0)
+         AS BIGINT) AS h
+  FROM n LEFT JOIN hr{k} hr ON hr.node = n.node
+)""")
+        prev_h = f"h{k}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS src,
+    l_suppkey + {_PR_SUPP_OFFSET} AS dst
+  FROM lineitem
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+{",".join(steps)}
+SELECT n.node AS node_id, h.h AS hub_e6, a.a AS auth_e6
+FROM n JOIN h{HITS_ITERS} h ON h.node = n.node
+JOIN a{HITS_ITERS} a ON a.node = n.node
+"""
+
+
+@register("graph_hits", _hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegates to functions/graph.hits (integer-exact, max-normalized,
+    eager localCheckpoint'd rounds — see its docstring). The returned
+    frame is checkpointed (plan already evaluated)."""
+    from ocr_spark.functions.graph import hits
+
+    li = t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey") + _PR_SUPP_OFFSET).cast("bigint").alias("dst"),
+    ).distinct()
+    out = hits(e, iters=HITS_ITERS)
+    return out.select(
+        F.col("node").alias("node_id"), "hub_e6", "auth_e6"
+    )

@@ -519,3 +519,59 @@ def test_links_resolved_all_absolute(spark):
     for r in rows:
         if r["link_id"] == 0:  # the absolute arm passes through unchanged
             assert r["href_abs"] == raw[(r["url"], r["link_id"])]
+
+
+# --- HITS ---------------------------------------------------------------------------
+
+
+def _hits_py(edges, iters):
+    """From-scratch integer HITS replay: max-normalized e6 fixed point."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    h = {n: 1_000_000 for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        ar = {}
+        for u, v in edges:
+            ar[v] = ar.get(v, 0) + h[u]
+        mx = max(ar.values())
+        a = {n: (ar.get(n, 0) * 1_000_000) // mx for n in nodes}
+        hr = {}
+        for u, v in edges:
+            hr[u] = hr.get(u, 0) + a[v]
+        mx = max(hr.values())
+        h = {n: (hr.get(n, 0) * 1_000_000) // mx for n in nodes}
+    return h, a
+
+
+def test_hits_matches_python_reference(spark):
+    from ocr_spark.queries_webgraph import HITS_ITERS, q_graph_hits
+
+    rows = _duck(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    edges = {(p, s + _PR_SUPP_OFFSET) for p, s in rows}
+    h, a = _hits_py(edges, HITS_ITERS)
+    got = {
+        r.node_id: (r.hub_e6, r.auth_e6)
+        for r in q_graph_hits(spark, SF_SMALL).collect()
+    }
+    assert got == {n: (h[n], a[n]) for n in h}
+
+
+def test_hits_bipartite_sides_and_top(spark):
+    """Directed part->supplier graph: suppliers can have no hub mass and
+    parts no authority mass; the max hub and max authority are exactly
+    1e6 (max normalization); the round-1 top authority is a supplier of
+    maximal in-degree and must stay a top-decile authority at the
+    fixpoint."""
+    from ocr_spark.queries_webgraph import q_graph_hits
+
+    df = q_graph_hits(spark, SF_SMALL)
+    rows = df.collect()
+    parts = [r for r in rows if r.node_id < _PR_SUPP_OFFSET]
+    supps = [r for r in rows if r.node_id >= _PR_SUPP_OFFSET]
+    assert parts and supps
+    assert all(r.auth_e6 == 0 for r in parts)
+    assert all(r.hub_e6 == 0 for r in supps)
+    assert max(r.hub_e6 for r in parts) == 1_000_000
+    assert max(r.auth_e6 for r in supps) == 1_000_000
