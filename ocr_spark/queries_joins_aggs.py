@@ -611,3 +611,91 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.filter(F.col("lang") == "en").select("doc_id")
     b = d.filter(F.col("n_chars") >= 200).select("doc_id")
     return a.intersect(b)
+
+
+# --- one-pass table profiling ---------------------------------------------------------
+# The data-quality surface every warehouse ships (DESCRIBE EXTENDED /
+# ANALYZE): per-column null counts, exact distinct counts, min/max and
+# length stats, emitted LONG-FORM (column, metric, value) so the report
+# shape is stable as columns are added. ONE scan: every metric is an
+# aggregate of the same pass, partial-aggregated map-side into a single
+# row, then unpivoted with stack() — a map-only reshape, no second
+# Exchange. Exact distincts make it 3 aggregate sub-plans under one
+# union in Spark (expand), still linear; at 100 TB swap the exact
+# distincts for approx_count_distinct in the same frame (documented knob
+# — the graded entry keeps exact so the oracle is exact).
+
+_PROFILE_METRICS_SQL = """
+SELECT 'doc_id' AS col, 'n_null' AS metric,
+       count(*) - count(doc_id) AS value FROM documents
+UNION ALL SELECT 'doc_id', 'n_distinct', count(DISTINCT doc_id) FROM documents
+UNION ALL SELECT 'doc_id', 'min', min(doc_id) FROM documents
+UNION ALL SELECT 'doc_id', 'max', max(doc_id) FROM documents
+UNION ALL SELECT 'text', 'n_null', count(*) - count(text) FROM documents
+UNION ALL SELECT 'text', 'n_distinct', count(DISTINCT text) FROM documents
+UNION ALL SELECT 'text', 'min_len', min(CAST(length(text) AS BIGINT)) FROM documents
+UNION ALL SELECT 'text', 'max_len', max(CAST(length(text) AS BIGINT)) FROM documents
+UNION ALL SELECT 'text', 'sum_len', sum(CAST(length(text) AS BIGINT)) FROM documents
+UNION ALL SELECT 'lang', 'n_null', count(*) - count(lang) FROM documents
+UNION ALL SELECT 'lang', 'n_distinct', count(DISTINCT lang) FROM documents
+UNION ALL SELECT 'source', 'n_null', count(*) - count(source) FROM documents
+UNION ALL SELECT 'source', 'n_distinct', count(DISTINCT source) FROM documents
+UNION ALL SELECT 'n_chars', 'n_null', count(*) - count(n_chars) FROM documents
+UNION ALL SELECT 'n_chars', 'min', min(n_chars) FROM documents
+UNION ALL SELECT 'n_chars', 'max', max(n_chars) FROM documents
+UNION ALL SELECT 'n_chars', 'sum', sum(n_chars) FROM documents
+UNION ALL SELECT '*', 'n_rows', count(*) FROM documents
+"""
+
+
+@register("profile_table", _PROFILE_METRICS_SQL)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of `documents` → (col, metric, value).
+    The Spark side computes every metric in ONE agg over one scan and
+    unpivots with stack(); the oracle spells the same numbers as a
+    UNION ALL of scalar aggregates (clarity over economy — the driver
+    only compares values)."""
+    d = t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    row = d.agg(
+        (n - F.count("doc_id")).alias("doc_id_nn"),
+        F.countDistinct("doc_id").alias("doc_id_nd"),
+        F.min("doc_id").alias("doc_id_min"),
+        F.max("doc_id").alias("doc_id_max"),
+        (n - F.count("text")).alias("text_nn"),
+        F.countDistinct("text").alias("text_nd"),
+        F.min(F.length("text").cast("bigint")).alias("text_minl"),
+        F.max(F.length("text").cast("bigint")).alias("text_maxl"),
+        F.sum(F.length("text").cast("bigint")).alias("text_suml"),
+        (n - F.count("lang")).alias("lang_nn"),
+        F.countDistinct("lang").alias("lang_nd"),
+        (n - F.count("source")).alias("source_nn"),
+        F.countDistinct("source").alias("source_nd"),
+        (n - F.count("n_chars")).alias("nc_nn"),
+        F.min("n_chars").alias("nc_min"),
+        F.max("n_chars").alias("nc_max"),
+        F.sum("n_chars").alias("nc_sum"),
+        n.alias("n_rows"),
+    )
+    return row.selectExpr(
+        """stack(18,
+        'doc_id', 'n_null', CAST(doc_id_nn AS BIGINT),
+        'doc_id', 'n_distinct', CAST(doc_id_nd AS BIGINT),
+        'doc_id', 'min', CAST(doc_id_min AS BIGINT),
+        'doc_id', 'max', CAST(doc_id_max AS BIGINT),
+        'text', 'n_null', CAST(text_nn AS BIGINT),
+        'text', 'n_distinct', CAST(text_nd AS BIGINT),
+        'text', 'min_len', text_minl,
+        'text', 'max_len', text_maxl,
+        'text', 'sum_len', text_suml,
+        'lang', 'n_null', CAST(lang_nn AS BIGINT),
+        'lang', 'n_distinct', CAST(lang_nd AS BIGINT),
+        'source', 'n_null', CAST(source_nn AS BIGINT),
+        'source', 'n_distinct', CAST(source_nd AS BIGINT),
+        'n_chars', 'n_null', CAST(nc_nn AS BIGINT),
+        'n_chars', 'min', CAST(nc_min AS BIGINT),
+        'n_chars', 'max', CAST(nc_max AS BIGINT),
+        'n_chars', 'sum', CAST(nc_sum AS BIGINT),
+        '*', 'n_rows', CAST(n_rows AS BIGINT)
+        ) AS (col, metric, value)"""
+    )

@@ -156,3 +156,42 @@ def q_table_snap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.read(spark, root).withColumn(
         "n_versions", F.lit(n_versions).cast("bigint")
     )
+
+
+@register(
+    "table_snap_cdc",
+    """
+SELECT doc_id, md5(text) AS text_md5, 'D' AS _op
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, md5(text || '!') AS text_md5, 'I' AS _op
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, md5(text || '+') AS text_md5, 'I' AS _op
+FROM documents WHERE doc_id % 7 = 0
+""",
+)
+def q_table_snap_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC through the REAL chain: create(base) → merge
+    (update %3, insert shifted %7) → changes(v1, v2). The changelog must
+    be EXACTLY the update old/new image pairs plus the inserts — the
+    merge's kept rows were rewritten into new files but must cancel via
+    the multiset diff, and the untouched files are never read at all
+    (see tables_snapshot.changes). The oracle derives the expected
+    changelog from doc_id arithmetic alone."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.md5("text").alias("text_md5"))
+    updates = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.md5(F.concat(F.col("text"), F.lit("!"))).alias("text_md5"),
+    )
+    inserts = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit("+"))).alias("text_md5"),
+    )
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="ocr-spark-snaptbl-"), "tbl"
+    )
+    snap.create(base.repartition(4), root)
+    snap.merge(spark, updates.unionByName(inserts), root, "doc_id")
+    return snap.changes(spark, root, from_version=1)

@@ -668,6 +668,49 @@ def read_appended(
     return _read_files(spark, root, snap, added)
 
 
+def changes(
+    spark: SparkSession, root: str, from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change-data-capture between two versions → the target
+    version's schema plus ``_op`` ('I' inserted / 'D' deleted); an update
+    surfaces as its 'D' old image + 'I' new image pair.
+
+    File-aware, which is what makes it cheap: files carried BY NAME
+    between the two versions hold identical rows by the layer's
+    immutability invariant and are never opened — only the removed and
+    added file sets are read. Rows that merely MOVED between files (a
+    compact's rewrite, a merge's kept rows) cancel via the multiset
+    difference (exceptAll both ways), so a pure-rewrite window yields an
+    EMPTY changelog. This is read_appended's row-exact sibling: that one
+    is the cheap file-level feed for append-mostly consumers; this one is
+    the exact diff a downstream mirror applies.
+
+    If the schema evolved in the window, both sides are projected to the
+    TARGET version's schema (defaults fill old-side columns added since),
+    so the diff compares like with like.
+    """
+    from pyspark.sql import functions as F
+
+    v2 = to_version if to_version is not None else current_version(root)
+    if v2 is None:
+        raise ValueError(f"no snapshot table at {root}")
+    s1 = _read_snapshot(root, from_version)
+    s2 = _read_snapshot(root, v2)
+    f1, f2 = set(s1["files"]), set(s2["files"])
+    old = _apply_schema(
+        spark,
+        _read_files(spark, root, s1, sorted(f1 - f2)),
+        s2,
+    )
+    new = _read_files(spark, root, s2, sorted(f2 - f1))
+    dels = old.exceptAll(new)
+    ins = new.exceptAll(old)
+    return dels.withColumn("_op", F.lit("D")).unionByName(
+        ins.withColumn("_op", F.lit("I"))
+    )
+
+
 def history(root: str) -> list[dict]:
     """Snapshot log (version, op, parent, n_files, ts) — the audit trail
     an operator reads before a rollback."""

@@ -314,3 +314,18 @@ def test_text_normalize_stays_jvm_side(spark):
     plan = _plan(q_text_normalize(spark, SF_SMALL))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_profile_table_is_one_scan_no_python(spark):
+    """Every profile metric comes from ONE pass over the table: a single
+    parquet scan (Expand implements the exact distincts over the same
+    scan), a global partial/final agg, and a map-only stack() reshape —
+    no Python anywhere."""
+    from ocr_spark.queries_joins_aggs import q_profile_table
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(q_profile_table(spark, SF_SMALL))
+    # count tree nodes, not text mentions: formatted explain prints each
+    # node once in the tree and once in the detail section
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Python" not in plan

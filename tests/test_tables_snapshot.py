@@ -525,3 +525,71 @@ def test_concurrent_commit_conflict_detected(spark, root):
         )
     assert snap.current_version(root) == 2
     assert _rows(snap.read(spark, root)) == _rows(_df(spark, 0, 6))
+
+
+# --- row-level CDC (changes) ----------------------------------------------------------
+
+
+def _cdc(df):
+    return sorted((r._op, r.doc_id, r.text) for r in df.collect())
+
+
+def test_changes_append_window_is_inserts_only(spark, root):
+    snap.create(_df(spark, 0, 10), root)
+    snap.append(_df(spark, 10, 15), root)
+    got = _cdc(snap.changes(spark, root, from_version=1))
+    assert got == sorted(
+        ("I", i, f"t{i}") for i in range(10, 15)
+    )
+
+
+def test_changes_pure_rewrite_is_empty(spark, root):
+    """compact() moves every row to new files; the multiset diff must
+    cancel them all — a pure-rewrite window yields an empty changelog."""
+    snap.create(_df(spark, 0, 20).repartition(6), root)
+    snap.compact(spark, root)
+    assert snap.changes(spark, root, from_version=1).count() == 0
+
+
+def test_changes_merge_emits_update_pairs_and_skips_carried_files(
+    spark, root
+):
+    """An update surfaces as its D/I image pair, kept rows in rewritten
+    files cancel, and files carried by name between the versions are
+    never opened by the changelog scan (inputFiles pin)."""
+    snap.create(_df(spark, 0, 40), root)
+    snap.append(_df(spark, 40, 80), root)  # carried: key 7 not in here
+    src = spark.createDataFrame(
+        [(7, "UPDATED"), (1000, "NEW")], "doc_id bigint, text string"
+    )
+    snap.merge(spark, src, root, "doc_id")
+    ch = snap.changes(spark, root, from_version=2)
+    assert _cdc(ch) == sorted(
+        [("D", 7, "t7"), ("I", 7, "UPDATED"), ("I", 1000, "NEW")]
+    )
+    # file-awareness: every carried file stays unread
+    s1 = snap._read_snapshot(root, 2)
+    s2 = snap._read_snapshot(root, 3)
+    carried = set(s1["files"]) & set(s2["files"])
+    assert carried, "merge rewrote every file — pin needs a carried file"
+    read = {os.path.basename(p) for p in ch.inputFiles()}
+    assert not (read & carried)
+
+
+def test_changes_across_schema_evolution_uses_target_schema(spark, root):
+    snap.create(_df(spark, 0, 4), root)
+    snap.add_column(root, "lang", "string", default="xx")
+    snap.append(
+        spark.createDataFrame(
+            [(100, "tX", "en")], "doc_id bigint, text string, lang string"
+        ),
+        root,
+    )
+    got = sorted(
+        (r._op, r.doc_id, r.text, r.lang)
+        for r in snap.changes(spark, root, from_version=1).collect()
+    )
+    assert got == [("I", 100, "tX", "en")]
+    # and diffing from v0-equivalent (v1) to v2 (the metadata-only
+    # evolution) is empty: no files changed
+    assert snap.changes(spark, root, 1, to_version=2).count() == 0
