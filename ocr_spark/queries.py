@@ -716,7 +716,11 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table_snap_rollback — snapshot table layer, same status), then the
 # queries_cluster block (cluster_kmeans, dedup_semantic — integer-exact
 # k-means + SemDeDup, same status) and graph_hits (HITS beside
-# PageRank, same status), then as
+# PageRank, same status), then profile_table (one-pass column stats) and
+# table_snap_cdc (row-level CDC) and every other entry registered after
+# this note was last updated (grep registrations newer than
+# CORRECTNESS_r04's key set — anything without a driver row EVER leads),
+# then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's
@@ -739,6 +743,16 @@ _PRIORITY_R04 = [
     "extract_wrapped",
     # (4) rows-only in r03, value-hash oracle added this round
     "stream_dedup_minhash",
+    # (5) the rest of the frozen r04 head-50, listed EXPLICITLY so a new
+    # registration in an early-imported module (e.g. queries_joins_aggs)
+    # cannot displace the window mid-round — insertion order alone proved
+    # fragile the day profile_table landed at slot 36 and pushed
+    # extract_links past the cap.
+    "stream_dedup_cc", "sim_ann_ivf_trained", "pipe_pack_hashed",
+    "dedup_substr_spans", "text_ppl_proxy", "text_gopher_rules",
+    "pipe_mix_domains", "pipe_shuffle_shard", "sim_ann_pq",
+    "dedup_substr_clean", "dedup_substr_prod", "text_collocations",
+    "tokenizer_bpe_merges", "tokenizer_bpe_encode", "extract_links",
 ]
 
 # Everything with a green hash (or rows-only-by-design) driver row in
