@@ -1,0 +1,182 @@
+"""Sketch registry entries (SURVEY §2 scale block): Bloom seen-set,
+count-min heavy hitters, HyperLogLog distinct — see functions/sketch.py
+for the integer-exactness argument and the 100 TB scale story.
+
+All three are value-hash oracled: the DuckDB SQL rebuilds the SAME sketch
+from the same md5 bit math, so the driver hash covers every register/word/
+cell the Spark side produced, not a tolerance band.
+
+* ``sketch_bloom_seen`` — the crawl-frontier membership question ("did we
+  fetch this URL already?") answered by a 4096-bit filter built over the
+  even-doc_id half of the corpus and probed with every URL. Output
+  (doc_id, truth, bloom_hit): the no-false-negative invariant is visible
+  in the graded values (truth ⇒ hit), and any false positives are
+  hash-determined, identical in both engines.
+* ``sketch_cms_heavy`` — token heavy hitters by count-min estimate
+  (d=3 × w=64 matrix), top 20 with the exact count alongside so the
+  one-sided error (est ≥ true, always) sits under the hash too.
+* ``sketch_hll_distinct`` — distinct URL count: the full register table
+  plus the integer raw-HLL estimate and the exact distinct, long-form
+  (bucket, val) with est at bucket −1 and truth at bucket −2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+from ocr_spark.functions import sketch as sk
+
+# deterministic URL shape shared by query and oracle: 24 hosts, path = id
+_URL_SPARK = (
+    "concat('https://h', CAST(doc_id % 24 AS STRING), '.test/p/',"
+    " CAST(doc_id AS STRING))"
+)
+_URL_DUCK = (
+    "'https://h' || CAST(doc_id % 24 AS VARCHAR) || '.test/p/'"
+    " || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _bloom_oracle() -> str:
+    keys = (
+        f"SELECT {_URL_DUCK} AS url FROM documents WHERE doc_id % 2 = 0"
+    )
+    probes = f"SELECT doc_id, {_URL_DUCK} AS url FROM documents"
+    probe_sql = sk.bloom_sql_cte(keys, probes, "doc_id", "url")
+    return f"""
+SELECT d.doc_id, d.doc_id % 2 = 0 AS truth, p.bloom_hit
+FROM documents d JOIN ({probe_sql}) p USING (doc_id)
+"""
+
+
+@register("sketch_bloom_seen", _bloom_oracle())
+def q_sketch_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set membership through the real Bloom build + probe.
+
+    Plan: the filter build is one explode + one bit_or shuffle bounded by
+    m/32 rows; the probe joins the ≤128-word filter BROADCAST (pinned in
+    tests/test_plans.py) and folds k bits with bool_and — the probe side
+    never holds filter-sized state."""
+    d = t(spark, sf_dir, "documents")
+    urls = d.selectExpr("doc_id", f"{_URL_SPARK} AS url")
+    seen = urls.where(F.col("doc_id") % 2 == 0).select("url")
+    bloom = sk.bloom_build(seen, "url")
+    hits = sk.bloom_probe(urls, bloom, "doc_id", "url")
+    return (
+        urls.select("doc_id", (F.col("doc_id") % 2 == 0).alias("truth"))
+        .join(hits, "doc_id")
+        .select("doc_id", "truth", "bloom_hit")
+    )
+
+
+def _cms_cells_duck(d: int, w: int) -> str:
+    return ", ".join(
+        f"{{'row': {i}::BIGINT, 'col': {sk.mdhash_duck('tok', i)} % {w}}}"
+        for i in range(d)
+    )
+
+
+_CMS_ORACLE = f"""
+WITH _toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                x -> x != '')) AS tok
+  FROM documents
+),
+_cells AS (
+  SELECT unnest([{_cms_cells_duck(sk.CMS_D, sk.CMS_W)}],
+                recursive := true) FROM _toks
+),
+_cms AS (
+  SELECT row, col, count(*) AS cnt FROM _cells GROUP BY 1, 2
+),
+_true AS (
+  SELECT tok, count(*) AS true_cnt FROM _toks GROUP BY 1
+),
+_probe AS (
+  SELECT tok, unnest([{_cms_cells_duck(sk.CMS_D, sk.CMS_W)}],
+                     recursive := true)
+  FROM (SELECT DISTINCT tok FROM _toks)
+),
+_est AS (
+  SELECT p.tok, min(c.cnt) AS est
+  FROM _probe p JOIN _cms c USING (row, col) GROUP BY 1
+)
+SELECT e.tok, e.est, tr.true_cnt
+FROM _est e JOIN _true tr USING (tok)
+ORDER BY e.est DESC, e.tok ASC LIMIT 20
+"""
+
+
+@register("sketch_cms_heavy", _CMS_ORACLE)
+def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy hitters by count-min estimate, exact count alongside.
+
+    Plan: the token stream feeds ONE count shuffle whose map-side combine
+    caps task output at d·w = 192 rows; estimation joins the matrix
+    broadcast; the final top-20 is TakeOrderedAndProject. The exact-count
+    branch exists to put the ≥-truth invariant under the driver hash —
+    production drops it (that is the point of the sketch)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.selectExpr(
+        "explode(filter(split(lower(text), ' '), x -> x != '')) AS tok"
+    )
+    cms = sk.cms_build(toks, "tok")
+    est = sk.cms_estimate(toks.distinct(), cms, "tok")
+    true_cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return (
+        est.join(true_cnt, "tok")
+        .orderBy(F.col("est").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+def _hll_oracle() -> str:
+    keys = f"SELECT {_URL_DUCK} AS url FROM documents"
+    regs = sk.hll_sql_registers(keys, "url")
+    # IDENTICAL constants to hll_estimate — never recomputed here (an
+    # early draft derived scale independently and was off by one bit)
+    rank_max = sk.HLL_RANK_MAX
+    scale = 1 << rank_max
+    num = sk.HLL_ALPHA_E6 * sk.HLL_M * sk.HLL_M * scale
+    return f"""
+WITH _regs AS ({regs}),
+_s AS (
+  SELECT sum(1::BIGINT << CAST({rank_max} - reg AS INT))
+         + ({sk.HLL_M}::BIGINT - count(*)) * {scale}::BIGINT AS s
+  FROM _regs
+)
+SELECT bucket, reg AS val FROM _regs
+UNION ALL
+SELECT -1::BIGINT, CAST({num}::BIGINT // (s * 1000000) AS BIGINT) FROM _s
+UNION ALL
+SELECT -2::BIGINT, CAST(count(DISTINCT {_URL_DUCK}) AS BIGINT)
+FROM documents
+"""
+
+
+@register("sketch_hll_distinct", _hll_oracle())
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table + integer raw estimate + exact distinct,
+    long-form (bucket, val); est rides bucket −1, truth bucket −2.
+
+    Plan: one max shuffle bounded at m=64 rows per task for the
+    registers; the estimate is a second tiny agg over them. The graded
+    truth row is the accuracy exhibit — production uses the registers
+    alone (mergeable by MAX across partitions/days, pinned in
+    tests/test_sketch.py)."""
+    d = t(spark, sf_dir, "documents")
+    urls = d.selectExpr(f"{_URL_SPARK} AS url")
+    regs = sk.hll_registers(urls, "url")
+    est = sk.hll_estimate(regs).selectExpr(
+        "CAST(-1 AS BIGINT) AS bucket", "est AS val"
+    )
+    truth = urls.agg(
+        F.countDistinct("url").alias("val")
+    ).selectExpr("CAST(-2 AS BIGINT) AS bucket", "CAST(val AS BIGINT) AS val")
+    return regs.selectExpr("bucket", "reg AS val").unionByName(
+        est
+    ).unionByName(truth)

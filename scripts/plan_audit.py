@@ -563,6 +563,47 @@ def main() -> None:
         tree_of(q["dedup_semantic"](spark, sf)),
     ))
 
+    sections.append((
+        "profile_table (round 4 — one-pass column profiling)",
+        "Every metric (nulls, exact distincts, min/max, lengths) is an "
+        "aggregate of ONE parquet scan: Expand implements the "
+        "multi-distinct over the same pass, the global agg is "
+        "partial/final, and the long-form reshape is a map-only "
+        "Generate(stack). At 100 TB the knob is swapping exact distincts "
+        "for approx_count_distinct in the same frame.",
+        tree_of(q["profile_table"](spark, sf)),
+    ))
+
+    sections.append((
+        "sketch_bloom_seen (round 4 — Bloom seen-set, integer-exact)",
+        "The filter build is an explode + ONE bit_or shuffle bounded by "
+        "m/32 rows (input size never appears in the shuffle); the probe "
+        "joins the <=128-word filter BROADCAST and folds the k bits with "
+        "a partial-aggregating bool_and. No Python anywhere; the md5 bit "
+        "math is replayed exactly by the DuckDB oracle.",
+        tree_of(q["sketch_bloom_seen"](spark, sf)),
+    ))
+
+    sections.append((
+        "sketch_cms_heavy (round 4 — count-min heavy hitters)",
+        "The token stream feeds one count shuffle whose map-side combine "
+        "caps task output at d*w = 192 rows; estimation joins the matrix "
+        "broadcast; the final top-20 is TakeOrderedAndProject (no global "
+        "sort). The exact-count branch exists only to put the one-sided "
+        "error under the driver hash.",
+        tree_of(q["sketch_cms_heavy"](spark, sf)),
+    ))
+
+    sections.append((
+        "sketch_hll_distinct (round 4 — HyperLogLog registers + integer "
+        "estimate)",
+        "One max shuffle, map-side-combined to <=64 rows per task, then "
+        "a tiny agg for the integer raw-HLL estimate. Registers merge by "
+        "elementwise MAX (test-pinned) — per-partition/per-day sketches "
+        "fold without re-reading data.",
+        tree_of(q["sketch_hll_distinct"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

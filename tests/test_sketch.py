@@ -1,0 +1,243 @@
+"""Sketch block gates (functions/sketch.py, queries_sketch.py): each
+structure is checked against an independent pure-Python reference built
+from hashlib — the same md5 bit math, none of the Spark/SQL code — plus
+the invariants that make each sketch trustworthy at scale:
+
+* Bloom: exact word-table equality, NO false negative ever, probe plan
+  keeps the filter on the broadcast side.
+* Count-min: exact matrix equality, one-sided error (est ≥ true for
+  EVERY token, not just the graded top-20).
+* HLL: exact register equality, the MERGE law (registers of a union =
+  elementwise max of the parts' registers — what makes it distributable),
+  estimate within the raw-HLL error envelope on the synth corpus, and
+  partition invariance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import sketch as sk
+from tests.conftest import SF_SMALL
+
+_OFFS = (0, 7, 14, 21)  # 0-based equivalents of the module's 1/8/15/22
+
+
+def _h(s: str, slot: int) -> int:
+    hx = hashlib.md5(s.encode()).hexdigest()
+    return int(hx[_OFFS[slot]:_OFFS[slot] + 7], 16)
+
+
+def _urls(n=300):
+    return [f"https://h{i % 24}.test/p/{i}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(_urls())], "doc_id bigint, url string"
+    )
+
+
+# --- Bloom ------------------------------------------------------------------
+
+
+def _ref_bloom(keys, m=sk.BLOOM_M_BITS, k=sk.BLOOM_K):
+    words: dict[int, int] = {}
+    for s in keys:
+        for i in range(k):
+            pos = _h(s, i) % m
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    return words
+
+
+def test_bloom_words_equal_reference(spark, url_df):
+    keys = url_df.where(F.col("doc_id") % 2 == 0)
+    got = {
+        r.word: r.bits for r in sk.bloom_build(keys, "url").collect()
+    }
+    want = _ref_bloom([u for i, u in enumerate(_urls()) if i % 2 == 0])
+    assert got == want
+
+
+def test_bloom_no_false_negatives_and_probe_matches_reference(
+    spark, url_df
+):
+    keys = url_df.where(F.col("doc_id") % 2 == 0)
+    bloom = sk.bloom_build(keys, "url")
+    hits = {
+        r.doc_id: r.bloom_hit
+        for r in sk.bloom_probe(url_df, bloom, "doc_id", "url").collect()
+    }
+    words = _ref_bloom([u for i, u in enumerate(_urls()) if i % 2 == 0])
+
+    def ref_hit(s):
+        for i in range(sk.BLOOM_K):
+            pos = _h(s, i) % sk.BLOOM_M_BITS
+            if not (words.get(pos // 32, 0) >> (pos % 32)) & 1:
+                return False
+        return True
+
+    for i, u in enumerate(_urls()):
+        assert hits[i] == ref_hit(u)
+        if i % 2 == 0:
+            assert hits[i], f"false negative for member {u}"
+
+
+def test_bloom_partition_invariance(spark, url_df):
+    keys = url_df.where(F.col("doc_id") % 2 == 0)
+    a = sorted(
+        map(tuple, sk.bloom_build(keys.repartition(1), "url").collect())
+    )
+    b = sorted(
+        map(tuple, sk.bloom_build(keys.repartition(13), "url").collect())
+    )
+    assert a == b
+
+
+# --- count-min ---------------------------------------------------------------
+
+
+def _tokens():
+    # skewed stream: token t_i appears i+1 times
+    out = []
+    for i in range(40):
+        out += [f"tok{i}"] * (i + 1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def tok_df(spark):
+    return spark.createDataFrame(
+        [(t,) for t in _tokens()], "tok string"
+    )
+
+
+def test_cms_matrix_equals_reference(spark, tok_df):
+    ref: dict[tuple[int, int], int] = {}
+    for t in _tokens():
+        for i in range(sk.CMS_D):
+            c = (i, _h(t, i) % sk.CMS_W)
+            ref[c] = ref.get(c, 0) + 1
+    got = {
+        (r.row, r.col): r.cnt
+        for r in sk.cms_build(tok_df, "tok").collect()
+    }
+    assert got == ref
+
+
+def test_cms_never_underestimates(spark, tok_df):
+    cms = sk.cms_build(tok_df, "tok")
+    est = {
+        r.tok: r.est
+        for r in sk.cms_estimate(
+            tok_df.distinct(), cms, "tok"
+        ).collect()
+    }
+    true = {}
+    for t in _tokens():
+        true[t] = true.get(t, 0) + 1
+    assert set(est) == set(true)
+    for t, n in true.items():
+        assert est[t] >= n, f"CMS under-counted {t}: {est[t]} < {n}"
+
+
+# --- HLL ---------------------------------------------------------------------
+
+
+def _ref_registers(keys):
+    regs: dict[int, int] = {}
+    for s in keys:
+        h = _h(s, 0)
+        b, rest = h % sk.HLL_M, h // sk.HLL_M
+        rank = (
+            sk.HLL_RANK_MAX
+            if rest == 0
+            else sk.HLL_RANK_MAX - rest.bit_length()
+        )
+        regs[b] = max(regs.get(b, 0), rank)
+    return regs
+
+
+def test_hll_registers_equal_reference(spark, url_df):
+    got = {
+        r.bucket: r.reg
+        for r in sk.hll_registers(url_df, "url").collect()
+    }
+    assert got == _ref_registers(_urls())
+
+
+def test_hll_merge_law(spark, url_df):
+    """registers(A ∪ B) == elementwise max(registers(A), registers(B)) —
+    the property that lets per-partition/per-day sketches fold without
+    touching raw data again."""
+    a = url_df.where(F.col("doc_id") < 150)
+    b = url_df.where(F.col("doc_id") >= 150)
+    ra = {r.bucket: r.reg for r in sk.hll_registers(a, "url").collect()}
+    rb = {r.bucket: r.reg for r in sk.hll_registers(b, "url").collect()}
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    whole = {
+        r.bucket: r.reg
+        for r in sk.hll_registers(url_df, "url").collect()
+    }
+    assert whole == merged
+
+
+def test_hll_estimate_in_raw_envelope(spark, url_df):
+    regs = sk.hll_registers(url_df, "url")
+    est = sk.hll_estimate(regs).collect()[0].est
+    # raw HLL with m=64: σ ≈ 1.04/√64 = 13%; allow 3σ on one corpus
+    assert abs(est - 300) <= 0.39 * 300, est
+
+
+def test_hll_partition_invariance(spark, url_df):
+    regs1 = sorted(
+        map(
+            tuple,
+            sk.hll_registers(url_df.repartition(1), "url").collect(),
+        )
+    )
+    regs17 = sorted(
+        map(
+            tuple,
+            sk.hll_registers(url_df.repartition(17), "url").collect(),
+        )
+    )
+    assert regs1 == regs17
+
+
+# --- plan pins ---------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bloom_probe_is_broadcast_no_python(spark):
+    from ocr_spark.queries_sketch import q_sketch_bloom_seen
+
+    plan = _plan(q_sketch_bloom_seen(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_cms_and_hll_stay_jvm_side(spark):
+    from ocr_spark.queries_sketch import (
+        q_sketch_cms_heavy,
+        q_sketch_hll_distinct,
+    )
+
+    for q in (q_sketch_cms_heavy, q_sketch_hll_distinct):
+        plan = _plan(q(spark, SF_SMALL))
+        assert "Python" not in plan
+    # the heavy-hitter top-20 must be a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in _plan(
+        q_sketch_cms_heavy(spark, SF_SMALL)
+    )
