@@ -195,3 +195,45 @@ def q_table_snap_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap.create(base.repartition(4), root)
     snap.merge(spark, updates.unionByName(inserts), root, "doc_id")
     return snap.changes(spark, root, from_version=1)
+
+
+def _zorder_oracle() -> str:
+    from ocr_spark.functions.zorder import zvalue_duck
+
+    # mirror with_zvalue exactly: per-column min/max over the projected
+    # frame, order-preserving 16-bit scale, then the bit interleave
+    z = zvalue_duck(["q0", "q1"], 16)
+    return f"""
+WITH _p AS (
+  SELECT doc_id, doc_id % 256 AS x, n_chars % 1000 AS y FROM documents
+),
+_r AS (
+  SELECT min(x) AS lox, max(x) AS hix, min(y) AS loy, max(y) AS hiy
+  FROM _p
+),
+_q AS (
+  SELECT doc_id,
+         CAST((x - lox) * 65535 // greatest(1, hix - lox) AS BIGINT) AS q0,
+         CAST((y - loy) * 65535 // greatest(1, hiy - loy) AS BIGINT) AS q1
+  FROM _p, _r
+)
+SELECT doc_id, {z} AS zval FROM _q
+"""
+
+
+@register("table_zorder_key", _zorder_oracle())
+def q_table_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order layout key through the REAL compaction path
+    (functions/zorder.with_zvalue): per-column min/max scaling + the
+    unrolled Morton interleave, every key under the driver hash. The
+    layout EFFECT — read_where pruning on both columns after
+    compact(zorder_by=...) — is pinned in tests/test_zorder.py; this
+    entry pins the arithmetic that produces it."""
+    from ocr_spark.functions.zorder import with_zvalue
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "doc_id % 256 AS x", "n_chars % 1000 AS y"
+    )
+    return with_zvalue(d, ["x", "y"]).selectExpr(
+        "doc_id", "_z AS zval"
+    )

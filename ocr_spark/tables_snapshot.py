@@ -382,6 +382,7 @@ def compact(
     root: str,
     target_file_bytes: int = 128 << 20,
     cluster_by: str | None = None,
+    zorder_by: list[str] | tuple[str, ...] | None = None,
 ) -> int:
     """Rewrite the CURRENT snapshot's rows into ceil(bytes/target) files
     and commit as a new snapshot. Data-identical by construction (one
@@ -394,7 +395,17 @@ def compact(
     :func:`read_where` into real file skipping. Without clustering, every
     file's min/max spans the whole domain and nothing prunes — at 100 TB
     this rewrite is the difference between a range query opening every
-    file and opening ~range/total of them."""
+    file and opening ~range/total of them.
+
+    ``zorder_by`` clusters on the Morton interleave of SEVERAL columns
+    instead (functions/zorder.py): each output file covers a small tile
+    of the multi-column space, so the recorded footer [min, max] is
+    narrow on EVERY listed column and :func:`read_where` prunes on any
+    of them — one rewrite, several prunable dimensions (linear
+    ``cluster_by`` prunes exactly one). The z column is layout-only:
+    computed, sorted on, dropped before the write."""
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("cluster_by and zorder_by are exclusive")
     parent = current_version(root)
     if parent is None:
         raise ValueError(f"no snapshot table at {root}")
@@ -410,6 +421,16 @@ def compact(
             cluster_by
         )
         op = f"compact:cluster_by={cluster_by}"
+    elif zorder_by is not None:
+        from ocr_spark.functions.zorder import with_zvalue
+
+        df = (
+            with_zvalue(df, list(zorder_by))
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        op = f"compact:zorder_by={','.join(zorder_by)}"
     else:
         df = df.repartition(n_out)
         op = "compact"

@@ -604,6 +604,18 @@ def main() -> None:
         tree_of(q["sketch_hll_distinct"](spark, sf)),
     ))
 
+    sections.append((
+        "table_zorder_key (round 4 — Morton layout key)",
+        "The z-value is an UNROLLED sum of shift/mask terms over "
+        "min/max-scaled columns — whole-stage-codegen'd map-only work on "
+        "top of the scan (the one tiny agg is the min/max ranges). "
+        "compact(zorder_by=...) sorts one rewrite by this key so "
+        "read_where prunes files on EVERY listed column "
+        "(tests/test_zorder.py pins both-column skipping vs the "
+        "single-column cluster_by contrast).",
+        tree_of(q["table_zorder_key"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are
