@@ -1,0 +1,226 @@
+"""Event-analytics registry entries (SURVEY §2 analytics face): the three
+queries every product/behavior warehouse runs on an event stream —
+sessionization, ordered funnels, cohort retention — over the driver's
+`events` table (event_id, ts, user_id, event_type, value, props).
+
+Determinism notes (the usual cross-engine traps, pre-empted):
+
+* Time arithmetic is MICROSECOND BIGINTs end-to-end — Spark
+  ``unix_micros(cast(ts as timestamp))`` (the parquet column is
+  TIMESTAMP_NTZ; the cast is identity under the engine's pinned UTC
+  session, the same assumption fn_datetime already grades) ≡ DuckDB
+  ``epoch_us(ts)`` — never float epoch
+  seconds (DuckDB's ``epoch()`` returns a fractional DOUBLE) and never
+  second-truncation (Spark's ``unix_timestamp`` floors).
+* Window order is (ts, event_id): ts alone can collide, and an
+  under-specified ORDER BY is the classic engine-dependent result.
+* Dates come from UTC casts on both sides (the session pins
+  spark.sql.session.timeZone=UTC; DuckDB timestamps are naive-UTC).
+
+Scale: all three are one-or-two linear shuffles on user_id — the natural
+partitioning key of any event store. Sessionization is a single window
+pass (no self-join); the funnel is chained conditional aggregations with
+the per-user step-1/2 frontiers joined back on the SAME user_id key
+(Exchange reuse, no timestamp-range self-join blowup); retention is two
+aggs over (user, day) granularity, never event×event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "events_sessionize",
+    f"""
+WITH _e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+_marks AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL
+                   OR us - prev_us > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM _e
+),
+_sess AS (
+  SELECT user_id, event_id, us,
+         sum(is_new) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM _marks
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(us) AS first_us, max(us) AS last_us
+FROM _sess GROUP BY 1, 2
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits), graded at
+    session granularity: (user, session_idx, n_events, first/last_us).
+
+    Plan: ONE user_id Exchange serves the lag window, the cumulative-sum
+    window AND the session aggregation (same partition key throughout);
+    no self-join. The streaming sibling is stream_session
+    (session_window with watermark) — this is the batch/backfill shape.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marks = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w_lag).isNull()
+            | (F.col("us") - F.lag("us").over(w_lag) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marks.withColumn(
+        "session_idx",
+        F.sum("is_new").over(
+            w_lag.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+
+
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+@register(
+    "events_funnel",
+    f"""
+WITH _e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+_s1 AS (
+  SELECT user_id, min(us) AS t1 FROM _e
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+),
+_s2 AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM _e e JOIN _s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.us > _s1.t1
+  GROUP BY 1
+),
+_s3 AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM _e e JOIN _s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.us > _s2.t2
+  GROUP BY 1
+)
+SELECT u.user_id,
+       CAST(CASE WHEN _s3.user_id IS NOT NULL THEN 3
+                 WHEN _s2.user_id IS NOT NULL THEN 2
+                 WHEN _s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS reached
+FROM (SELECT DISTINCT user_id FROM _e) u
+LEFT JOIN _s1 USING (user_id)
+LEFT JOIN _s2 USING (user_id)
+LEFT JOIN _s3 USING (user_id)
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup → view → purchase, strictly
+    later-in-time at each step): per-user deepest step reached.
+
+    Plan: each step is a conditional aggregation joined back ON user_id
+    — every Exchange in the chain is on the same key, so the sort/
+    partitioning is reused instead of re-shuffled, and nothing is ever
+    event×event (the naive formulation is a timestamp-range self-join).
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    s1 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    return (
+        users.join(s1.select("user_id", "t1"), "user_id", "left")
+        .join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("reached"),
+        )
+    )
+
+
+@register(
+    "events_retention",
+    """
+WITH _days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+_cohort AS (
+  SELECT user_id, min(d) AS cohort_day FROM _days GROUP BY 1
+)
+SELECT c.cohort_day,
+       CAST(dd.d - c.cohort_day AS BIGINT) AS day_offset,
+       count(DISTINCT dd.user_id) AS n_users
+FROM _days dd JOIN _cohort c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each later day they return — (cohort_day, day_offset,
+    n_users).
+
+    Plan: events collapse to (user, day) FIRST (the distinct is the only
+    pass over raw events), cohorts are a user-keyed agg joined back on
+    user_id, and the triangle agg runs over user×day rows — at 100 TB
+    the heavy input appears in exactly one shuffle."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    days = e.distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("bigint").alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -616,6 +616,24 @@ def main() -> None:
         tree_of(q["table_zorder_key"](spark, sf)),
     ))
 
+    sections.append((
+        "events_sessionize (round 4 — gap sessionization)",
+        "ONE user_id Exchange serves the lag window, the cumulative-sum "
+        "window and the session aggregation (same partition key "
+        "throughout, sort reused) — no self-join, no Python. Batch "
+        "sibling of stream_session.",
+        tree_of(q["events_sessionize"](spark, sf)),
+    ))
+
+    sections.append((
+        "events_funnel (round 4 — ordered 3-step funnel)",
+        "Each step is a conditional aggregation joined back on the SAME "
+        "user_id key — never a timestamp-range self-join (the naive "
+        "formulation is event-by-event quadratic). No CartesianProduct, "
+        "no BroadcastNestedLoopJoin (test-pinned).",
+        tree_of(q["events_funnel"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

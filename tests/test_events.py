@@ -1,0 +1,115 @@
+"""Event-analytics gates (queries_events.py): each query replayed by an
+independent pure-Python reference over the sf0.001 events table, plus the
+plan properties the 100 TB story rests on (one user-keyed Exchange chain,
+no event×event join, no Python)."""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pytest
+
+from ocr_spark.queries_events import (
+    SESSION_GAP_US,
+    _FUNNEL_STEPS,
+    q_events_funnel,
+    q_events_retention,
+    q_events_sessionize,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def raw_events():
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, epoch_us(ts) AS us, event_type,"
+        f" CAST(ts AS DATE) AS d"
+        f" FROM read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchall()
+    return rows
+
+
+def test_sessionize_matches_reference(spark, raw_events):
+    by_user = collections.defaultdict(list)
+    for u, eid, us, _t, _d in raw_events:
+        by_user[u].append((us, eid))
+    want = {}
+    for u, evs in by_user.items():
+        idx = 0
+        prev = None
+        for us, _eid in sorted(evs):
+            if prev is None or us - prev > SESSION_GAP_US:
+                idx += 1
+            key = (u, idx)
+            n, lo, hi = want.get(key, (0, us, us))
+            want[key] = (n + 1, min(lo, us), max(hi, us))
+            prev = us
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.first_us, r.last_us)
+        for r in q_events_sessionize(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_funnel_matches_reference(spark, raw_events):
+    by_user = collections.defaultdict(list)
+    for u, _eid, us, typ, _d in raw_events:
+        by_user[u].append((us, typ))
+    want = {}
+    for u, evs in by_user.items():
+        t_prev = None
+        reached = 0
+        for step in _FUNNEL_STEPS:
+            cand = [
+                us
+                for us, typ in evs
+                if typ == step and (t_prev is None or us > t_prev)
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            reached += 1
+        want[u] = reached
+    got = {
+        r.user_id: r.reached
+        for r in q_events_funnel(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_retention_matches_reference(spark, raw_events):
+    days = {(u, d) for u, _e, _us, _t, d in raw_events}
+    cohort = {}
+    for u, d in days:
+        cohort[u] = min(cohort.get(u, d), d)
+    want = collections.Counter(
+        (cohort[u], (d - cohort[u]).days) for u, d in days
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in q_events_retention(spark, SF_SMALL).collect()
+    }
+    assert got == dict(want)
+    # offset 0 row per cohort covers every cohort member
+    n_users = len({u for u, _d in days})
+    assert sum(v for (c, o), v in got.items() if o == 0) == n_users
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_sessionize_single_exchange_no_python(spark):
+    plan = _plan(q_events_sessionize(spark, SF_SMALL))
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_funnel_no_cartesian_no_python(spark):
+    plan = _plan(q_events_funnel(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
