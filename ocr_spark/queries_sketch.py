@@ -180,3 +180,40 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regs.selectExpr("bucket", "reg AS val").unionByName(
         est
     ).unionByName(truth)
+
+
+@register("stream_hll_registers", _hll_oracle())
+def q_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count maintenance as a driver-visible query:
+    the corpus URLs arrive as 3 file micro-batches, each batch commits
+    its ≤64-row register table exactly-once, and the MAX-folded totals
+    (+ integer estimate, + exact distinct) must equal the BATCH sketch —
+    the SAME oracle as sketch_hll_distinct, which is precisely the merge
+    law: any micro-batch slicing folds to the one true register table."""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.incremental import hll_totals, incremental_hll
+
+    d = t(spark, sf_dir, "documents")
+    urls = d.selectExpr("doc_id", f"{_URL_SPARK} AS url")
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-hll-")
+    src = os.path.join(work, "src")
+    urls.repartition(3).write.parquet(src)
+    out = os.path.join(work, "regs")
+    ckpt = os.path.join(work, "ckpt")
+    writer, _ = incremental_hll(
+        spark, src, urls.schema, out, ckpt, key_expr="url"
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    regs = hll_totals(spark, out)
+    est = sk.hll_estimate(regs).selectExpr(
+        "CAST(-1 AS BIGINT) AS bucket", "est AS val"
+    )
+    truth = urls.agg(F.countDistinct("url").alias("val")).selectExpr(
+        "CAST(-2 AS BIGINT) AS bucket", "CAST(val AS BIGINT) AS val"
+    )
+    return regs.selectExpr("bucket", "reg AS val").unionByName(
+        est
+    ).unionByName(truth)

@@ -728,3 +728,70 @@ def incremental_warc_ingest(
         .outputMode("append")
     )
     return writer, committer
+
+
+# --- streaming HLL maintenance (distinct-count registers over a stream) ------
+
+class _HLLRegisterCommitter(_BatchCommitter):
+    """foreachBatch function: reduce the micro-batch to its HLL register
+    table (functions/sketch.hll_registers) and commit it to
+    ``data/batch_id=N`` under the standard exactly-once protocol.
+
+    Registers fold by elementwise MAX (the merge law pinned in
+    tests/test_sketch.py), which is IDEMPOTENT — even a hypothetical
+    double-committed batch would fold to identical totals; the committer's
+    replay guard still keeps the file layout canonical. This is the
+    never-read-modify-write shape of _EdgeDeltaCommitter with max instead
+    of sum: the accumulated sketch is a pure fold over committed batch
+    partitions."""
+
+    def __init__(self, out_dir: str, run_id: str, key_expr: str) -> None:
+        super().__init__(out_dir, run_id)
+        self.key_expr = key_expr
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ocr_spark.functions.sketch import hll_registers
+
+        regs = hll_registers(
+            batch_df.selectExpr(f"{self.key_expr} AS _k"), "_k"
+        )
+        super().__call__(regs, batch_id)
+
+
+def incremental_hll(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_expr: str,
+    run_id: str = "stream",
+) -> tuple[DataStreamWriter, _HLLRegisterCommitter]:
+    """Streaming distinct-count maintenance: new parquet files under
+    ``src_dir`` become micro-batches; each batch contributes ≤ m register
+    rows (the batch reduction happens executor-side, map-side-combined),
+    so the committed state grows with BATCH COUNT, not with rows — the
+    reason one keeps a sketch instead of a seen-set at 100 TB. Readers
+    fold with :func:`hll_totals`; estimate via sketch.hll_estimate."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    committer = _HLLRegisterCommitter(out_dir, run_id, key_expr)
+    writer = (
+        src.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer
+
+
+def hll_totals(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold committed per-batch registers into the current sketch state
+    (bucket, reg) — one MAX aggregation over ≤ m rows per batch."""
+    return (
+        spark.read.parquet(f"{out_dir}/data")
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )

@@ -241,3 +241,51 @@ def test_cms_and_hll_stay_jvm_side(spark):
     assert "TakeOrderedAndProject" in _plan(
         q_sketch_cms_heavy(spark, SF_SMALL)
     )
+
+
+# --- streaming HLL maintenance ------------------------------------------------
+
+
+def test_stream_hll_two_waves_fold_to_batch_registers(spark, tmp_path):
+    """Wave 1 (2 files) then wave 2 (1 more file) through the exactly-once
+    committer: after each wave the MAX-folded totals equal the batch
+    registers of everything ingested so far (the merge law, live); an
+    idle re-run commits nothing new."""
+    from ocr_spark.streaming.incremental import hll_totals, incremental_hll
+
+    urls = _urls()
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    df.where(F.col("doc_id") < 200).repartition(2).write.parquet(src)
+
+    def run():
+        writer, committer = incremental_hll(
+            spark, src, df.schema, out, ckpt, key_expr="url"
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return committer
+
+    c1 = run()
+    got1 = {r.bucket: r.reg for r in hll_totals(spark, out).collect()}
+    assert got1 == _ref_registers(urls[:200])
+    n_wave1 = len(c1.committed())
+    assert n_wave1 == 2  # maxFilesPerTrigger=1 over 2 files
+
+    df.where(F.col("doc_id") >= 200).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    c2 = run()
+    got2 = {r.bucket: r.reg for r in hll_totals(spark, out).collect()}
+    assert got2 == _ref_registers(urls)
+    n_wave2 = len(c2.committed())
+    assert n_wave2 == 3  # exactly one more micro-batch
+
+    c3 = run()  # idle: no new files -> no new commits
+    assert len(c3.committed()) == n_wave2
+    got3 = {r.bucket: r.reg for r in hll_totals(spark, out).collect()}
+    assert got3 == got2
