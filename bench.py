@@ -88,6 +88,17 @@ HEADLINE = [
     # late round-4 training-prep & retrieval block
     "pipe_chunk_windows",   # training prep: context-window chunking (map-only)
     "search_bm25_topk",     # retrieval: postings build + broadcast BM25 top-k
+    # late round-4 clustering / profiling / sketches / layout / events
+    "cluster_kmeans",       # training-data: integer-exact Lloyd k-means
+    "dedup_semantic",       # training-data: SemDeDup within-cluster pairs
+    "profile_table",        # warehouse: one-pass column profile (Expand)
+    "sketch_bloom_seen",    # scale: Bloom build + broadcast probe
+    "sketch_cms_heavy",     # scale: count-min heavy hitters (192-cell matrix)
+    "sketch_hll_distinct",  # scale: HLL registers + integer estimate
+    "table_zorder_key",     # layout: Morton key over min/max-scaled columns
+    "events_sessionize",    # analytics: gap sessions (one user-keyed window)
+    "events_funnel",        # analytics: ordered 3-step funnel (no self-join)
+    "events_retention",     # analytics: cohort triangle
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -1246,3 +1246,122 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("node_id"), "hub_e6", "auth_e6"
     )
+
+
+# --- triangle counting -----------------------------------------------------------
+# The clustering-coefficient primitive. The graded graph is derived from
+# doc_id ARITHMETIC (u = id % 60, v = (id*7 + 3) % 60) so both engines
+# construct identical edges without sharing any code; the bipartite
+# lineitem graph the PageRank/HITS rows use is triangle-free by
+# construction, hence useless here.
+#
+# Algorithm: degree orientation — each undirected edge points from the
+# (degree, id)-smaller endpoint to the larger, making the orientation
+# acyclic, so every triangle has exactly ONE source node and is counted
+# once by joining wedges (a→b, a→c with b<c is NOT needed; the closing
+# edge b→c fixes the order). Scale: max out-degree under this orientation
+# is O(sqrt(2m)), which bounds the wedge join — the reason this is THE
+# distributed formulation (vs. the naive 3-cycle join whose hub wedges
+# explode quadratically in the hub degree).
+
+# three affine edge families on 40 nodes (a functional single-family map
+# has out-degree 1 per residue class and is triangle-free — found the hard
+# way); saturates to the same 92-edge graph at every SF >= 40 docs
+_TRI_FAMS = ((7, 3, 11, 5), (13, 7, 17, 11), (19, 1, 23, 9))
+_TRI_M = 40
+
+
+def _tri_edges_duck() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT (doc_id * {a} + {b}) % {_TRI_M} AS x,"
+        f" (doc_id * {c} + {d}) % {_TRI_M} AS y FROM documents"
+        for a, b, c, d in _TRI_FAMS
+    )
+    return f"""
+SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+FROM ({arms}) WHERE x != y
+"""
+
+
+_TRI_EDGES_DUCK = _tri_edges_duck()
+
+_TRIANGLES_ORACLE = f"""
+WITH _e AS ({_TRI_EDGES_DUCK}),
+_deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM _e UNION ALL SELECT v AS n FROM _e
+  ) GROUP BY 1
+),
+_o AS (
+  -- orient from (deg, id)-smaller to larger
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM _e e JOIN _deg du ON du.n = e.u JOIN _deg dv ON dv.n = e.v
+),
+_tri AS (
+  SELECT w.a, w.b, w.c FROM (
+    SELECT o1.a, o1.b AS b, o2.b AS c
+    FROM _o o1 JOIN _o o2 ON o2.a = o1.b
+  ) w JOIN _o o3 ON o3.a = w.a AND o3.b = w.c
+),
+_n AS (
+  SELECT n, count(*) AS n_triangles FROM (
+    SELECT a AS n FROM _tri UNION ALL
+    SELECT b AS n FROM _tri UNION ALL
+    SELECT c AS n FROM _tri
+  ) GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS node_id,
+       CAST(n_triangles AS BIGINT) AS n_triangles FROM _n
+"""
+
+
+@register("graph_triangles", _TRIANGLES_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts under degree orientation (see block
+    comment): two equi-joins over the oriented edge list, wedge size
+    bounded by the O(sqrt m) oriented out-degree. Ties in (deg, id) are
+    impossible ties-in-order: the pair is unique per node."""
+    d = t(spark, sf_dir, "documents")
+    pairs = ", ".join(
+        f"struct((doc_id * {a} + {b}) % {_TRI_M} AS x,"
+        f" (doc_id * {c} + {dd}) % {_TRI_M} AS y)"
+        for a, b, c, dd in _TRI_FAMS
+    )
+    e = (
+        d.selectExpr(f"explode(array({pairs})) AS _p")
+        .selectExpr(
+            "least(_p.x, _p.y) AS u", "greatest(_p.x, _p.y) AS v"
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.selectExpr("explode(array(u, v)) AS n")
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    o = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .selectExpr(
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN u ELSE v END AS a",
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN v ELSE u END AS b",
+        )
+    )
+    wedges = o.alias("o1").join(
+        o.alias("o2"), F.col("o1.b") == F.col("o2.a")
+    ).select(
+        F.col("o1.a").alias("wa"),
+        F.col("o1.b").alias("wb"),
+        F.col("o2.b").alias("wc"),
+    )
+    tri = wedges.join(
+        o.alias("o3"),
+        (F.col("wa") == F.col("o3.a")) & (F.col("wc") == F.col("o3.b")),
+    ).select("wa", "wb", "wc")
+    return (
+        tri.selectExpr("explode(array(wa, wb, wc)) AS node_id")
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

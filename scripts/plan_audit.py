@@ -634,6 +634,16 @@ def main() -> None:
         tree_of(q["events_funnel"](spark, sf)),
     ))
 
+    sections.append((
+        "graph_triangles (round 4 — degree-oriented triangle count)",
+        "Edges oriented from the (degree, id)-smaller endpoint bound the "
+        "wedge join by the O(sqrt m) oriented out-degree — the "
+        "distributed formulation; the naive 3-cycle join explodes "
+        "quadratically in hub degree. Two equi-joins + one count agg, "
+        "all JVM-side.",
+        tree_of(q["graph_triangles"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

@@ -575,3 +575,46 @@ def test_hits_bipartite_sides_and_top(spark):
     assert all(r.hub_e6 == 0 for r in supps)
     assert max(r.hub_e6 for r in parts) == 1_000_000
     assert max(r.auth_e6 for r in supps) == 1_000_000
+
+
+def test_graph_triangles_matches_bruteforce(spark):
+    """Degree-orientation count vs a brute-force enumeration over the
+    same arithmetic edge set (60 nodes — itertools is fine here)."""
+    import itertools
+
+    import duckdb
+
+    from ocr_spark.queries_webgraph import q_graph_triangles
+    from tests.conftest import SF_SMALL
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM"
+            f" read_parquet('{SF_SMALL}/documents.parquet')"
+        ).fetchall()
+    ]
+    from ocr_spark.queries_webgraph import _TRI_FAMS, _TRI_M
+
+    edges = set()
+    for i in ids:
+        for a, b, c, d in _TRI_FAMS:
+            u, v = (a * i + b) % _TRI_M, (c * i + d) % _TRI_M
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    nodes = sorted(adj)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    got = {
+        r.node_id: r.n_triangles
+        for r in q_graph_triangles(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
