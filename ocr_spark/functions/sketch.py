@@ -279,3 +279,63 @@ FROM (SELECT CAST({h} AS BIGINT) AS _h FROM ({keys_sql})) GROUP BY 1
 """
 # ^ the CAST matters: DuckDB's list_aggregate('sum') yields HUGEINT, which
 # pandas renders as float64 — the driver's schema compare would flag it
+
+
+# --- equi-width histogram quantile sketch ----------------------------------------------
+
+HIST_B = 64  # buckets
+HIST_DOMAIN = 1024  # frozen value domain [0, 1024); outside clamps to edges
+
+
+def hist_build(df: DataFrame, col: str, b: int = HIST_B,
+               domain: int = HIST_DOMAIN) -> DataFrame:
+    """(bucket, cnt) — equi-width histogram over the frozen domain.
+
+    The fourth sketch monoid: counts merge by SUM (hostlinks' fold), so
+    per-partition/per-day histograms combine without re-reading data —
+    the property tests pin it. ONE count shuffle, map-side-combined to
+    ≤ b rows per task. Values outside the domain clamp to the edge
+    buckets (the sketch stays total)."""
+    return (
+        df.selectExpr(
+            f"greatest(0, least({b - 1},"
+            f" CAST({col} AS BIGINT) * {b} div {domain})) AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(hist: DataFrame, qs: tuple[int, ...],
+                   b: int = HIST_B, domain: int = HIST_DOMAIN) -> DataFrame:
+    """(q, est_hi) — for each integer percentile q, the UPPER EDGE of the
+    first bucket whose cumulative count reaches ceil(q·N/100). Pure
+    integers: the estimate is a bucket boundary, never an interpolation
+    (floats would break the cross-engine contract); its error bound is
+    the bucket width domain/b."""
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    n = hist.agg(F.sum("cnt").alias("n"))
+    qlit = ", ".join(str(q) for q in qs)
+    probes = n.selectExpr(
+        f"explode(array({qlit})) AS q", "n"
+    ).selectExpr("q", "CAST(-(-q * n div 100) AS BIGINT) AS thr")
+    # -(-x div y) is ceil for positive ints in BOTH engines' truncating/
+    # flooring div (x, y > 0)
+    return (
+        probes.join(F.broadcast(cum), F.col("cum") >= F.col("thr"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("_bk"))
+        .selectExpr(
+            "CAST(q AS BIGINT) AS q",
+            f"CAST((_bk + 1) * {domain} div {b} AS BIGINT) AS est_hi",
+        )
+    )

@@ -217,3 +217,78 @@ def q_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regs.selectExpr("bucket", "reg AS val").unionByName(
         est
     ).unionByName(truth)
+
+
+_HIST_QS = (25, 50, 75, 90, 99)
+
+
+def _hist_oracle() -> str:
+    b, dom = sk.HIST_B, sk.HIST_DOMAIN
+    qlit = ", ".join(str(q) for q in _HIST_QS)
+    return f"""
+WITH _h AS (
+  SELECT greatest(0, least({b - 1}, n_chars * {b} // {dom})) AS bucket,
+         count(*) AS cnt
+  FROM documents GROUP BY 1
+),
+_cum AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM _h
+),
+_n AS (SELECT sum(cnt) AS n FROM _h),
+_probes AS (
+  SELECT q, CAST(-(-q * n // 100) AS BIGINT) AS thr
+  FROM (SELECT unnest([{qlit}]) AS q), _n
+),
+_est AS (
+  SELECT p.q, min(c.bucket) AS _bk
+  FROM _probes p JOIN _cum c ON c.cum >= p.thr GROUP BY 1
+),
+_ranked AS (
+  SELECT n_chars AS v,
+         row_number() OVER (ORDER BY n_chars) AS rn
+  FROM documents
+),
+_exact AS (
+  SELECT p.q, r.v FROM _probes p JOIN _ranked r ON r.rn = p.thr
+)
+SELECT CAST(e.q AS BIGINT) AS q,
+       CAST((e._bk + 1) * {dom} // {b} AS BIGINT) AS est_hi,
+       CAST(x.v AS BIGINT) AS exact_val
+FROM _est e JOIN _exact x ON x.q = e.q
+"""
+
+
+@register("sketch_hist_quantile", _hist_oracle())
+def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the mergeable equi-width histogram (the fourth
+    sketch monoid — counts fold by SUM), with the exact rank statistic
+    alongside so the error bound (≤ one bucket width, 16 here) sits
+    under the driver hash. Estimates are bucket edges — pure integers,
+    no interpolation floats.
+
+    Plan: one count shuffle map-side-combined to ≤64 rows; the quantile
+    probe is driver-free arithmetic over the broadcast cumulative
+    histogram. The exact branch (a global row_number) exists only for
+    the grading exhibit — production reads the histogram alone, which
+    at 100 TB is WHY a quantile costs one tiny agg instead of a global
+    sort."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    hist = sk.hist_build(d, "n_chars")
+    est = sk.hist_quantiles(hist, _HIST_QS)
+    n = hist.agg(F.sum("cnt").alias("n"))
+    qlit = ", ".join(str(q) for q in _HIST_QS)
+    probes = n.selectExpr(f"explode(array({qlit})) AS q", "n").selectExpr(
+        "q", "CAST(-(-q * n div 100) AS BIGINT) AS thr"
+    )
+    ranked = d.select(
+        F.col("n_chars").alias("v"),
+        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
+    )
+    exact = probes.join(
+        ranked, F.col("rn") == F.col("thr")
+    ).selectExpr("CAST(q AS BIGINT) AS q", "CAST(v AS BIGINT) AS exact_val")
+    return est.join(exact, "q").select("q", "est_hi", "exact_val")

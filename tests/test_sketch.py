@@ -289,3 +289,60 @@ def test_stream_hll_two_waves_fold_to_batch_registers(spark, tmp_path):
     assert len(c3.committed()) == n_wave2
     got3 = {r.bucket: r.reg for r in hll_totals(spark, out).collect()}
     assert got3 == got2
+
+
+# --- histogram quantile sketch -------------------------------------------------
+
+
+def test_hist_merge_by_sum_and_quantiles_match_reference(spark):
+    import math
+
+    vals = [((i * 37) % 800) for i in range(500)]  # includes > domain/.. spread
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    hist = {r.bucket: r.cnt for r in sk.hist_build(df, "x").collect()}
+    ref = {}
+    for v in vals:
+        bk = max(0, min(sk.HIST_B - 1, v * sk.HIST_B // sk.HIST_DOMAIN))
+        ref[bk] = ref.get(bk, 0) + 1
+    assert hist == ref
+    # merge law: histograms of halves SUM to the whole
+    ha = {
+        r.bucket: r.cnt
+        for r in sk.hist_build(
+            spark.createDataFrame([(v,) for v in vals[:250]], "x bigint"),
+            "x",
+        ).collect()
+    }
+    hb = {
+        r.bucket: r.cnt
+        for r in sk.hist_build(
+            spark.createDataFrame([(v,) for v in vals[250:]], "x bigint"),
+            "x",
+        ).collect()
+    }
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    assert merged == ref
+    # quantile estimates: upper bucket edge at the ceil-rank threshold,
+    # within one bucket width of the exact rank statistic
+    got = {
+        r.q: r.est_hi
+        for r in sk.hist_quantiles(
+            sk.hist_build(df, "x"), (25, 50, 75, 99)
+        ).collect()
+    }
+    sv = sorted(vals)
+    width = sk.HIST_DOMAIN // sk.HIST_B
+    for q in (25, 50, 75, 99):
+        exact = sv[math.ceil(q * len(sv) / 100) - 1]
+        assert exact < got[q] <= exact + width + (
+            width - 1 - (exact % width)
+        ), (q, got[q], exact)
+
+
+def test_hist_clamps_out_of_domain(spark):
+    df = spark.createDataFrame(
+        [(-5,), (0,), (sk.HIST_DOMAIN - 1,), (sk.HIST_DOMAIN + 999,)],
+        "x bigint",
+    )
+    hist = {r.bucket: r.cnt for r in sk.hist_build(df, "x").collect()}
+    assert hist == {0: 2, sk.HIST_B - 1: 2}
