@@ -716,11 +716,13 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table_snap_rollback — snapshot table layer, same status), then the
 # queries_cluster block (cluster_kmeans, dedup_semantic — integer-exact
 # k-means + SemDeDup, same status) and graph_hits (HITS beside
-# PageRank, same status), then profile_table (one-pass column stats) and
-# table_snap_cdc (row-level CDC) and every other entry registered after
-# this note was last updated (grep registrations newer than
-# CORRECTNESS_r04's key set — anything without a driver row EVER leads),
-# then as
+# PageRank, same status), then the final late-r04 additions (all
+# never-graded): profile_table, table_snap_cdc, table_zorder_key,
+# table_mv_maintain, sketch_bloom_seen, sketch_cms_heavy,
+# sketch_hll_distinct, sketch_hist_quantile, stream_hll_registers,
+# events_sessionize, events_funnel, events_retention, graph_triangles —
+# plus anything registered after THIS note's last update (cross-check
+# against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
 # handful of r03-green fn_* rows that fall past the cap rotate forward in
 # r06 (they are the lowest-risk rows in the registry). Demote this round's

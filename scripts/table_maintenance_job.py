@@ -8,12 +8,14 @@ Usage::
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
         scripts/table_maintenance_job.py <table_root> \\
-        [--target-mb 128] [--cluster-by COL] [--keep-last 2]
+        [--target-mb 128] [--cluster-by COL | --zorder-by COL,COL] \\
+        [--keep-last 2]
 
 Prints one JSON line: files before/after, snapshots dropped, data files
-deleted, and (when --cluster-by is given) a before/after probe of how
-many files a mid-domain range query opens — the observable effect of the
-clustered layout.
+deleted, and (when --cluster-by / --zorder-by is given) a before/after
+probe of how many files a mid-domain range query opens — probed on the
+cluster column, or on EVERY z-order column (the multi-dimension pruning
+is the point of the z layout).
 """
 
 from __future__ import annotations
@@ -43,6 +45,8 @@ def main() -> None:
 
     target_mb = int(opt("target-mb", 128))
     cluster_by = opt("cluster-by", None)
+    zorder_by = opt("zorder-by", None)
+    zorder_cols = zorder_by.split(",") if zorder_by else None
     keep_last = int(opt("keep-last", 2))
 
     from ocr_spark import tables_snapshot as snap
@@ -51,31 +55,35 @@ def main() -> None:
     spark = build_session(app_name="table-maintenance")
     t0 = time.monotonic()
     before = snap._read_snapshot(root, snap.current_version(root))
-    probe_before = probe_after = None
-    if cluster_by is not None:
+    probe_cols = zorder_cols or ([cluster_by] if cluster_by else [])
+    probe_ranges = {}
+    probe_before = {} if probe_cols else None
+    probe_after = None
+    for col in probe_cols:
         mm = [
-            s.get("minmax", {}).get(cluster_by)
+            s.get("minmax", {}).get(col)
             for s in before.get("stats", {}).values()
         ]
         mm = [m for m in mm if m]
-        if mm and all(
-            isinstance(m[0], (int, float)) for m in mm
-        ):
+        if mm and all(isinstance(m[0], (int, float)) for m in mm):
             lo = min(m[0] for m in mm)
             hi = max(m[1] for m in mm)
             mid, span = (lo + hi) / 2, (hi - lo) / 100 or 1
-            _, probe_before, _ = snap.read_where(
-                spark, root, cluster_by, mid, mid + span
+            probe_ranges[col] = (mid, mid + span)
+            _, probe_before[col], _ = snap.read_where(
+                spark, root, col, mid, mid + span
             )
     v = snap.compact(
         spark, root, target_file_bytes=target_mb << 20,
-        cluster_by=cluster_by,
+        cluster_by=cluster_by, zorder_by=zorder_cols,
     )
     after = snap._read_snapshot(root, v)
-    if cluster_by is not None and probe_before is not None:
-        _, probe_after, _ = snap.read_where(
-            spark, root, cluster_by, mid, mid + span
-        )
+    if probe_ranges:
+        probe_after = {}
+        for col, (lo_p, hi_p) in probe_ranges.items():
+            _, probe_after[col], _ = snap.read_where(
+                spark, root, col, lo_p, hi_p
+            )
     dropped, deleted = snap.expire(root, keep_last=keep_last)
     print(json.dumps({
         "table": root,
