@@ -249,3 +249,136 @@ def wav_features(
         f"{id_col} bigint, ok boolean, sample_rate int, n_samples int,"
         " sum_abs bigint",
     )
+
+
+# --- netpbm (P6 PPM / P5 PGM, binary, maxval <= 255) ---------------------------------
+
+
+def encode_ppm(pixels: np.ndarray, header_style: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6). ``header_style`` varies the
+    LEGAL header spelling (whitespace runs, comments) so decoders are
+    exercised on the grammar, not one canonical layout."""
+    h, w, _ = pixels.shape
+    if header_style == 1:
+        hdr = f"P6 # synth\n {w}\t{h}\n# maxval next\n255\n"
+    elif header_style == 2:
+        hdr = f"P6\n{w} {h} 255\n"
+    else:
+        hdr = f"P6\n{w} {h}\n255\n"
+    return hdr.encode("ascii") + pixels.astype(np.uint8).tobytes()
+
+
+def encode_pgm(pixels: np.ndarray, header_style: int = 0) -> bytes:
+    """(h, w) uint8 -> binary PGM (P5)."""
+    h, w = pixels.shape
+    if header_style == 1:
+        hdr = f"P5\n# gray\n{w}\n{h}\n255\n"
+    else:
+        hdr = f"P5\n{w} {h}\n255\n"
+    return hdr.encode("ascii") + pixels.astype(np.uint8).tobytes()
+
+
+def _pnm_tokens(data: bytes, n: int) -> tuple[list[int], int] | None:
+    """Read ``n`` ASCII integer tokens after the magic, honoring the
+    netpbm grammar: tokens separated by whitespace, ``#`` starts a
+    comment to end-of-line. Returns (values, offset_after_single_ws)
+    — the raster begins after EXACTLY ONE whitespace byte following the
+    last header token (the spec rule that makes '255\\n<raster>' safe
+    even when the raster's first byte is whitespace-valued)."""
+    vals: list[int] = []
+    i = 2  # past magic
+    cur = None
+    while i < len(data):
+        b = data[i]
+        if b == 0x23:  # '#': comment to EOL
+            if cur is not None:
+                vals.append(cur)
+                cur = None
+            while i < len(data) and data[i] not in (0x0A, 0x0D):
+                i += 1
+        elif b in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            if cur is not None:
+                vals.append(cur)
+                cur = None
+            if len(vals) == n:
+                return vals, i + 1
+            i += 1
+        elif 0x30 <= b <= 0x39:
+            cur = (cur or 0) * 10 + (b - 0x30)
+            i += 1
+        else:
+            return None
+    return None
+
+
+def decode_netpbm(data: bytes | None):
+    """netpbm bytes -> (pixels, fmt) where fmt is 'P6' ((h, w, 3) RGB) or
+    'P5' ((h, w) gray); None for anything else (ASCII P1-P3, 16-bit
+    maxval, truncated raster, bad grammar). Parses the spec grammar —
+    comments, whitespace runs, the single-whitespace raster boundary —
+    not the sibling encoders."""
+    if data is None or len(data) < 2 or data[0:1] != b"P":
+        return None
+    fmt = data[:2].decode("ascii", errors="replace")
+    if fmt not in ("P5", "P6"):
+        return None
+    parsed = _pnm_tokens(data, 3)
+    if parsed is None:
+        return None
+    (w, h, maxval), off = parsed
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        return None
+    ch = 3 if fmt == "P6" else 1
+    need = w * h * ch
+    if off + need > len(data):
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8, count=need, offset=off)
+    if fmt == "P6":
+        return arr.reshape(h, w, 3), "P6"
+    return arr.reshape(h, w), "P5"
+
+
+_PNM_FEAT_SCHEMA = (
+    "doc_id bigint, ok boolean, fmt string, width int, height int,"
+    " sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def netpbm_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary netpbm payload -> (ok, fmt, w, h, channel sums) via the real
+    decoder; P5 reports its gray sum as sum_r with null g/b; malformed
+    payloads yield ok=false null rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                out = decode_netpbm(p)
+                if out is None:
+                    rows.append(
+                        (i, False, None, None, None, None, None, None)
+                    )
+                    continue
+                px, fmt = out
+                if fmt == "P6":
+                    s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    rows.append((
+                        i, True, fmt, px.shape[1], px.shape[0],
+                        int(s[0]), int(s[1]), int(s[2]),
+                    ))
+                else:
+                    rows.append((
+                        i, True, fmt, px.shape[1], px.shape[0],
+                        int(px.sum(dtype=np.int64)), None, None,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "fmt", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.mapInPandas(fn, _PNM_FEAT_SCHEMA)

@@ -192,3 +192,79 @@ def q_mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a PCM16 WAV per doc, decode it with the real RIFF chunk
     walker, grade rate + sample count + exact sum of |sample|."""
     return wav_features(_payloads(spark, sf_dir, synth_wav))
+
+
+# --- netpbm (P6/P5) -------------------------------------------------------------------
+# Synth parameters, every value a closed-form function of doc_id:
+#   fmt = P6 if doc_id % 2 = 0 else P5; header_style = doc_id % 3 (the
+#   LEGAL grammar variants: whitespace runs, comments, maxval-on-same-line)
+#   w = 11 + doc_id % 10, h = 5 + doc_id % 6
+#   P6: R = (br + r) % 256, G = (bg + c) % 256, B = (bb + r + c) % 256
+#       (br/bg/bb as in the BMP synth)
+#   P5: gray = (bg + 2r + 3c) % 256
+
+
+def synth_netpbm(doc_id: int) -> bytes:
+    from ocr_spark.operators.media import encode_pgm, encode_ppm
+
+    w = 11 + doc_id % 10
+    h = 5 + doc_id % 6
+    br, bg, bb = (
+        (doc_id * 37) % 256, (doc_id * 59) % 256, (doc_id * 83) % 256
+    )
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    if doc_id % 2 == 0:
+        px = np.stack(
+            [
+                np.broadcast_to((br + r) % 256, (h, w)),
+                np.broadcast_to((bg + c) % 256, (h, w)),
+                (bb + r + c) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        return encode_ppm(px, header_style=doc_id % 3)
+    gray = ((bg + 2 * r + 3 * c) % 256).astype(np.uint8)
+    return encode_pgm(gray, header_style=doc_id % 2)
+
+
+_PNM_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+    11 + doc_id % 10 AS w, 5 + doc_id % 6 AS h,
+    (doc_id * 37) % 256 AS br, (doc_id * 59) % 256 AS bg,
+    (doc_id * 83) % 256 AS bb
+  FROM documents
+)
+SELECT doc_id, true AS ok, 'P6' AS fmt,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  w * list_sum(list_transform(range(0, h), r -> (br + r) % 256))
+    AS sum_r,
+  h * list_sum(list_transform(range(0, w), c -> (bg + c) % 256))
+    AS sum_g,
+  list_sum(list_transform(range(0, h), r ->
+    list_sum(list_transform(range(0, w), c -> (bb + r + c) % 256))))
+    AS sum_b
+FROM p WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, true AS ok, 'P5' AS fmt,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  list_sum(list_transform(range(0, h), r ->
+    list_sum(list_transform(range(0, w), c -> (bg + 2*r + 3*c) % 256))))
+    AS sum_r,
+  NULL AS sum_g, NULL AS sum_b
+FROM p WHERE doc_id % 2 = 1
+"""
+
+
+@register("mm_decode_netpbm", _PNM_ORACLE)
+def q_mm_decode_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netpbm decode through the REAL grammar parser (comments,
+    whitespace runs, the single-whitespace raster boundary — three legal
+    header spellings synthesized per doc_id), graded first-principles:
+    the oracle recomputes every channel sum from the gradient formulas
+    without seeing a byte. Same zero-Exchange two-Arrow-hop shape as the
+    BMP/WAV rows."""
+    from ocr_spark.operators.media import netpbm_features
+
+    return netpbm_features(_payloads(spark, sf_dir, synth_netpbm))

@@ -225,3 +225,61 @@ def test_media_plans_are_map_only(spark):
     for name in ["mm_decode_bmp", "mm_audio_wav", "mm_resize_bmp"]:
         plan = _plan(QUERIES[name](spark, sf))
         assert "Exchange" not in plan, name
+
+
+# --- netpbm --------------------------------------------------------------------
+
+
+def test_netpbm_roundtrip_and_grammar_variants():
+    import numpy as np
+
+    from ocr_spark.operators.media import (
+        decode_netpbm,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    px = (np.arange(7 * 5 * 3, dtype=np.int64) % 256).reshape(
+        5, 7, 3
+    ).astype(np.uint8)
+    for style in (0, 1, 2):
+        got, fmt = decode_netpbm(encode_ppm(px, header_style=style))
+        assert fmt == "P6" and (got == px).all(), style
+    g = (np.arange(7 * 5, dtype=np.int64) % 256).reshape(5, 7).astype(
+        "uint8"
+    )
+    for style in (0, 1):
+        got, fmt = decode_netpbm(encode_pgm(g, header_style=style))
+        assert fmt == "P5" and (got == g).all(), style
+
+
+def test_netpbm_rejects_malformed():
+    import numpy as np
+
+    from ocr_spark.operators.media import decode_netpbm, encode_ppm
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_ppm(px)
+    assert decode_netpbm(None) is None
+    assert decode_netpbm(b"") is None
+    assert decode_netpbm(b"P3\n2 2\n255\n0 0 0 0") is None  # ASCII PPM
+    assert decode_netpbm(b"P6\n2 2\n65535\n" + b"\0" * 24) is None  # 16-bit
+    assert decode_netpbm(good[: len(good) - 5]) is None  # truncated raster
+    assert decode_netpbm(b"XX" + good[2:]) is None  # bad magic
+    assert decode_netpbm(b"P6\n0 4\n255\n") is None  # zero width
+    assert decode_netpbm(b"P6\n2 2\n255") is None  # header cut at maxval
+    # comment swallowing must not eat the raster: first raster byte 0x23
+    hdr = b"P6\n1 1\n255\n"
+    assert decode_netpbm(hdr + bytes([0x23, 1, 2]))[0].tolist() == [
+        [[0x23, 1, 2]]
+    ]
+
+
+def test_netpbm_raster_boundary_single_whitespace():
+    """The byte after maxval's single terminating whitespace IS raster —
+    even when it is whitespace-valued (0x0A gray pixel)."""
+    from ocr_spark.operators.media import decode_netpbm
+
+    data = b"P5\n1 2\n255\n" + bytes([0x0A, 0x20])
+    px, fmt = decode_netpbm(data)
+    assert fmt == "P5" and px.tolist() == [[0x0A], [0x20]]
