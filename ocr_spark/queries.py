@@ -796,6 +796,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_cluster  # noqa: F401
     from ocr_spark import queries_sketch  # noqa: F401
     from ocr_spark import queries_events  # noqa: F401
+    from ocr_spark import queries_editdist  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

@@ -635,6 +635,21 @@ def main() -> None:
     ))
 
     sections.append((
+        "dedup_editdist_pairs (round 4 — deletion-neighborhood fuzzy join)",
+        "SymSpell-style blocking: the deletion-1 variant explode is "
+        "map-side (<= 25 rows/doc, bounded by the fixed key cap), the "
+        "self-join shuffles on the variant string and both sides are the "
+        "same subplan — at non-broadcast scale ReuseExchange computes the "
+        "explode once (pinned executed-plan in test_editdist); at this sf "
+        "AQE broadcasts the small side instead, shown below — "
+        "levenshtein verifies only DISTINCT candidates. Short keys (the "
+        "web-scale mega-bucket: empty/template pages) are excluded before "
+        "the explode. Never doc x doc — no CartesianProduct, no "
+        "BroadcastNestedLoopJoin (test-pinned).",
+        tree_of(q["dedup_editdist_pairs"](spark, sf)),
+    ))
+
+    sections.append((
         "graph_triangles (round 4 — degree-oriented triangle count)",
         "Edges oriented from the (degree, id)-smaller endpoint bound the "
         "wedge join by the O(sqrt m) oriented out-degree — the "
