@@ -649,6 +649,87 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
           b'<LINK REL=canonical REL=nofollow HREF=/first-rel>'
           b'<p>the body of it</p>'),
          "en"),
+        # --- SPEC §7 table family (appended round 4 late; earlier goldens
+        # unchanged). Pins the cell-fragment rules where markup fights back.
+        ("table-basic-grid",
+         # th header row + two td rows; row_id counts <tr> starts
+         (b'<table><tr><th>name</th><th>score</th></tr>'
+          b'<tr><td>alpha</td><td>10</td></tr>'
+          b'<tr><td>beta</td><td>20</td></tr></table>'
+          b'<p>the prose of it after the table</p>'),
+         "en"),
+        ("table-nested-inner",
+         # a table inside a cell: inner fragments belong to table_id 1,
+         # text after the inner table but still in the outer cell returns
+         # to table_id 0 (innermost-open rule)
+         (b'<table><tr><td>outer before'
+          b'<table><tr><td>inner cell</td></tr></table>'
+          b'outer after</td><td>sibling</td></tr></table>'),
+         "en"),
+        ("table-implicit-closes",
+         # unclosed <td>/<tr>: the next <tr>/<td> start flushes the prior
+         # cell (BLOCK_TAGS flush) while the old td is still on the stack
+         (b'<table><tr><td>first cell<td>second cell'
+          b'<tr><td>third cell</table>'),
+         "en"),
+        ("table-stray-text",
+         # text directly under <table>/<tr> (nearest structural tag is not
+         # td/th) emits NO fragment but still becomes a §1 block; text
+         # after </table> is plain prose
+         (b'<table>loose in table<tr>loose in row'
+          b'<td>real cell</td></tr></table>trailing prose of it'),
+         "en"),
+        ("table-in-skip-region",
+         # a <table> inside <svg> is not table structure (§7.1): the only
+         # fragment comes from the real table after it
+         (b'<svg><table><tr><td>ghost</td></tr></table></svg>'
+          b'<table><tr><td>visible cell</td></tr></table>'),
+         "en"),
+        ("table-self-closing",
+         # <table/> opens nothing; <tr/> increments nothing; the stray
+         # </table> after them pops nothing (no table open)
+         (b'<table/><tr/><td>orphan cell</td></table>'
+          b'<table><td>rowless cell</td></table>'),
+         "en"),
+        ("table-multifragment-cell",
+         # nested block markup inside one td: one fragment per flush,
+         # cell_id keeps counting per table
+         (b'<table><tr><td>lead <p>para one</p><p>para two</p>'
+          b'tail</td></tr></table>'),
+         "en"),
+        ("table-th-td-mixed-links",
+         # links inside cells: anchors join the cell text; link capture
+         # (§5) and cell capture (§7) are independent
+         (b'<table><tr><th>head <a href="/h">linked</a></th>'
+          b'<td><a href="/c">only anchor</a></td></tr></table>'),
+         "en"),
+        ("table-unclosed-at-eof",
+         # document ends inside a cell: the end-of-document flush emits
+         # the dangling fragment (end closes all open tables after)
+         b'<table><tr><td>dangling cell text',
+         "en"),
+        ("table-cell-cap",
+         # 120 rows x 5 cells = 600 > MAX_TABLE_CELLS=500: emission past
+         # the cap is dropped; blocks are capped independently (§7.5)
+         b"<table>" + b"".join(
+             b"<tr>" + b"".join(
+                 b"<td>cell %d %d</td>" % (r, c) for c in range(5)
+             ) + b"</tr>" for r in range(120)
+         ) + b"</table>",
+         "en"),
+        ("table-skip-endtag-inside-svg",
+         # </table> inside a skip region is ignored (§7.4): the table
+         # stays open, so the post-svg cell still lands in table 0
+         (b'<table><tr><td>before svg</td>'
+          b'<svg></table></svg>'
+          b'<td>after svg still table zero</td></tr></table>'),
+         "en"),
+        ("table-two-siblings",
+         # sibling tables share the document-order id counter
+         (b'<table><tr><td>first table</td></tr></table>'
+          b'<p>between the tables</p>'
+          b'<table><tr><td>second table</td></tr></table>'),
+         "en"),
     ]
     return cases
 

@@ -27,6 +27,7 @@ from ocr_spark.spec import (
     MAX_BLOCKS,
     MAX_LINK_DENSITY,
     MAX_LINKS,
+    MAX_TABLE_CELLS,
     PUNCT,
     SEP,
     SKIP_SCHEMES,
@@ -199,6 +200,11 @@ class _GoldenHTML(HTMLParser):
         self.doc_desc = None
         self.doc_canon = None
         self.doc_og = None
+        # SPEC §7 table structure (innermost-last frames; own bookkeeping,
+        # deliberately not shared with ocr_spark.html_blocks)
+        self.table_frames: list[dict] = []
+        self.tables_seen = 0
+        self.cells_out: list[dict] = []
 
     # --- SPEC §6 metadata events ------------------------------------------
     def _meta_event(self, attrs) -> None:
@@ -265,9 +271,33 @@ class _GoldenHTML(HTMLParser):
             if joined:
                 tag, depth = self.block_ctx if self.block_ctx else ("body", 0)
                 self.raw_blocks.append((tag, depth, joined, self.frag_link_len))
+                self._cell_emit(joined)
             self.fragments = []
         self.frag_link_len = 0
         self.block_ctx = None
+
+    def _cell_emit(self, joined: str) -> None:
+        """SPEC §7.5/§7.6: emit a table-cell fragment for a non-empty flush."""
+        if not self.table_frames or len(self.cells_out) >= MAX_TABLE_CELLS:
+            return
+        nearest = next(
+            (t for t in self.open_tags[::-1]
+             if t in ("td", "th", "tr", "table")),
+            None,
+        )
+        if nearest not in ("td", "th"):
+            return
+        frame = self.table_frames[-1]
+        self.cells_out.append(
+            {
+                "table_id": frame["tid"],
+                "row_id": max(frame["row"], 0),
+                "cell_id": frame["kept"],
+                "header": nearest == "th",
+                "text": joined,
+            }
+        )
+        frame["kept"] += 1
 
     def handle_starttag(self, tag, attrs):
         if tag in BLOCK_TAGS:
@@ -294,6 +324,15 @@ class _GoldenHTML(HTMLParser):
                 self._meta_event(attrs)
             elif tag == "link":
                 self._link_event(attrs)
+        if self.n_skip == 0:
+            # §7.2/§7.3
+            if tag == "table":
+                self.table_frames.append(
+                    {"tid": self.tables_seen, "row": -1, "kept": 0}
+                )
+                self.tables_seen += 1
+            elif tag == "tr" and self.table_frames:
+                self.table_frames[-1]["row"] += 1
         if tag not in VOID_TAGS:
             self.open_tags.append(tag)
 
@@ -309,6 +348,8 @@ class _GoldenHTML(HTMLParser):
                 self._close_link()
         elif tag == "title" and self.in_title and self.n_skip == 0:
             self._end_title()
+        if tag == "table" and self.n_skip == 0 and self.table_frames:
+            self.table_frames.pop()  # §7.4
         for i in range(len(self.open_tags) - 1, -1, -1):
             if self.open_tags[i] == tag:
                 self.open_tags = self.open_tags[:i]
@@ -444,6 +485,7 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
     blocks: list[dict] = []
     links: list[dict] = []
     meta = {"title": "", "description": "", "canonical": "", "og_title": ""}
+    tables: list[dict] = []
     if html:
         decoded = _sniff_decode(html)
         obj = None
@@ -479,6 +521,7 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
             if p.in_title:  # §6.2: end of document closes an open title
                 p._end_title()
             links = p.links
+            tables = p.cells_out
             meta = {
                 "title": p.doc_title if p.doc_title is not None else "",
                 "description": p.doc_desc if p.doc_desc is not None else "",
@@ -522,4 +565,5 @@ def extract_document(url: str, html: bytes | None, lang: str | None) -> dict:
         "n_content_blocks": len(content),
         "links": links,
         "meta": meta,
+        "tables": tables,
     }

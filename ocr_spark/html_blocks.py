@@ -151,6 +151,9 @@ class _BlockParser(HTMLParser):
         "meta_desc",
         "meta_canon",
         "meta_og",
+        "table_stack",
+        "n_tables_opened",
+        "tables",
     )
 
     def __init__(self) -> None:
@@ -176,8 +179,12 @@ class _BlockParser(HTMLParser):
         self.meta_desc: str | None = None
         self.meta_canon: str | None = None
         self.meta_og: str | None = None
+        # SPEC §7: innermost-last stack of [table_id, row_counter, n_kept]
+        self.table_stack: list[list[int]] = []
+        self.n_tables_opened = 0
+        self.tables: list[dict] = []
 
-    # --- event handlers (SPEC.md §1, §5, §6) --------------------------------
+    # --- event handlers (SPEC.md §1, §5, §6, §7) -----------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in spec.BLOCK_TAGS:
             self._flush()
@@ -205,6 +212,13 @@ class _BlockParser(HTMLParser):
                 self._meta_tag(attrs)
             elif tag == "link":
                 self._link_tag(attrs)
+        if self.skip_depth == 0:
+            # SPEC §7.2/§7.3: table structure events
+            if tag == "table":
+                self.table_stack.append([self.n_tables_opened, -1, 0])
+                self.n_tables_opened += 1
+            elif tag == "tr" and self.table_stack:
+                self.table_stack[-1][1] += 1
         if tag not in spec.VOID_TAGS:
             self.stack.append(tag)
 
@@ -220,6 +234,9 @@ class _BlockParser(HTMLParser):
                 self._finalize_link()
         elif tag == "title" and self.title_open and self.skip_depth == 0:
             self._close_title()
+        if tag == "table" and self.skip_depth == 0 and self.table_stack:
+            # SPEC §7.4: close the innermost open table
+            self.table_stack.pop()
         stack = self.stack
         if tag in stack:
             # pop up to and including the last occurrence (implicit closes)
@@ -362,6 +379,28 @@ class _BlockParser(HTMLParser):
                         self.stopset,
                     )
                 )
+            if text and self.table_stack:
+                # SPEC §7.5: nearest structural tag decides cell membership
+                near = None
+                for t in reversed(self.stack):
+                    if t in spec.TABLE_SCAN_TAGS:
+                        near = t
+                        break
+                if (
+                    near in ("td", "th")
+                    and len(self.tables) < spec.MAX_TABLE_CELLS
+                ):
+                    top = self.table_stack[-1]
+                    self.tables.append(
+                        {
+                            "table_id": top[0],
+                            "row_id": top[1] if top[1] > 0 else 0,
+                            "cell_id": top[2],
+                            "header": near == "th",
+                            "text": text,
+                        }
+                    )
+                    top[2] += 1
             self.buf = []
         self.link_chars = 0
         self.ctx_tag = None
@@ -635,15 +674,16 @@ def parse_payload(
     lang: str | None,
     parser: _BlockParser | None = None,
     force_slow: bool = False,
-) -> tuple[str, list[dict], list[dict], dict]:
-    """Parse one page payload → (kind, blocks, links, meta). SPEC.md §0
-    dispatch; meta per §6 (all-empty for pdf/empty payloads).
+) -> tuple[str, list[dict], list[dict], dict, list[dict]]:
+    """Parse one page payload → (kind, blocks, links, meta, tables).
+    SPEC.md §0 dispatch; meta per §6, tables per §7 (all-empty for
+    pdf/empty payloads).
 
     ``force_slow`` disables the fast-path tokenizer (used by the
     differential tests that prove the two tokenizers agree).
     """
     if not html:
-        return "empty", [], [], _EMPTY_META
+        return "empty", [], [], _EMPTY_META, []
     stopset = spec.stopword_set(lang)
     decoded = sniff_decode(html)
     stripped = decoded.lstrip()
@@ -657,7 +697,7 @@ def parse_payload(
             and obj.get("kind") == "pdf"
             and isinstance(obj.get("blocks"), list)
         ):
-            return "pdf", _pdf_blocks(obj, stopset), [], _EMPTY_META
+            return "pdf", _pdf_blocks(obj, stopset), [], _EMPTY_META, []
     if parser is None:
         parser = _BlockParser()
     parser.reset()  # HTMLParser internal state
@@ -666,7 +706,10 @@ def parse_payload(
         parser._flush()
         parser._finalize_link()
         parser._finalize_meta()
-        return "html", parser.blocks, parser.links, parser.meta_result()
+        return (
+            "html", parser.blocks, parser.links, parser.meta_result(),
+            parser.tables,
+        )
     parser.reset()  # discard any partial fast-path events
     parser._reset_doc(stopset)
     try:
@@ -679,25 +722,33 @@ def parse_payload(
     parser._flush()
     parser._finalize_link()
     parser._finalize_meta()
-    return "html", parser.blocks, parser.links, parser.meta_result()
+    return (
+        "html", parser.blocks, parser.links, parser.meta_result(),
+        parser.tables,
+    )
 
 
 def parse_batch(
     htmls: list[bytes | None], langs: list[str | None]
-) -> tuple[list[str], list[list[dict]], list[list[dict]], list[dict]]:
+) -> tuple[
+    list[str], list[list[dict]], list[list[dict]], list[dict],
+    list[list[dict]],
+]:
     """Parse an Arrow batch of payloads; reuses one parser instance."""
     parser = _BlockParser()
     kinds: list[str] = []
     blocks: list[list[dict]] = []
     links: list[list[dict]] = []
     metas: list[dict] = []
+    tables: list[list[dict]] = []
     for html, lang in zip(htmls, langs):
-        k, b, ln, m = parse_payload(html, lang, parser)
+        k, b, ln, m, tb = parse_payload(html, lang, parser)
         kinds.append(k)
         blocks.append(b)
         links.append(ln)
         metas.append(m)
-    return kinds, blocks, links, metas
+        tables.append(tb)
+    return kinds, blocks, links, metas, tables
 
 
 _BLOCK_FIELDS = (
@@ -711,6 +762,7 @@ def parse_batch_columnar(
 ) -> tuple[
     list[str], list[int], dict[str, list], list[bool],
     list[int], list[str], list[str], dict[str, list],
+    list[int], dict[str, list],
 ]:
     """Parse a batch into FLAT columns + list offsets for zero-inference
     Arrow construction.
@@ -723,7 +775,8 @@ def parse_batch_columnar(
     have len(htmls)+1 entries and each flat column is the concatenation
     over all documents in order (links per SPEC.md §5; link_id is implicit
     — the position within a document's slice; meta_cols per SPEC.md §6,
-    one value per document).
+    one value per document; table cell fragments per SPEC.md §7 as
+    (table_offsets, table_cols), same flat layout as links).
     """
     parser = _BlockParser()
     kinds: list[str] = []
@@ -737,6 +790,10 @@ def parse_batch_columnar(
     meta_cols: dict[str, list] = {
         f: [] for f in ("title", "description", "canonical", "og_title")
     }
+    table_offsets: list[int] = [0]
+    table_cols: dict[str, list] = {
+        f: [] for f in ("table_id", "row_id", "cell_id", "header", "text")
+    }
     appenders = [(f, cols[f].append) for f in _BLOCK_FIELDS]
     x0a, y0a, x1a, y1a = (
         cols["x0"].append, cols["y0"].append, cols["x1"].append,
@@ -745,8 +802,9 @@ def parse_batch_columnar(
     bna = bbox_null.append
     n = 0
     nl = 0
+    nt = 0
     for html, lang in zip(htmls, langs):
-        kind, blocks, links, meta = parse_payload(html, lang, parser)
+        kind, blocks, links, meta, tabs = parse_payload(html, lang, parser)
         kinds.append(kind)
         n += len(blocks)
         offsets.append(n)
@@ -757,6 +815,11 @@ def parse_batch_columnar(
             anchors.append(lk["anchor"])
         for f, vals in meta_cols.items():
             vals.append(meta[f])
+        nt += len(tabs)
+        table_offsets.append(nt)
+        for tc in tabs:
+            for f, vals in table_cols.items():
+                vals.append(tc[f])
         for b in blocks:
             for f, app in appenders:
                 app(b[f])
@@ -770,5 +833,5 @@ def parse_batch_columnar(
                 x1a(bbox["x1"]); y1a(bbox["y1"])
     return (
         kinds, offsets, cols, bbox_null, link_offsets, hrefs, anchors,
-        meta_cols,
+        meta_cols, table_offsets, table_cols,
     )

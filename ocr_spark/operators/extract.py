@@ -46,7 +46,10 @@ PARSED_DDL = (
     " links array<struct<href: string, anchor: string>>,"
     # SPEC.md §6 page metadata (WAT-record head fields; empty string = unset)
     " meta struct<title: string, description: string, canonical: string,"
-    " og_title: string>"
+    " og_title: string>,"
+    # SPEC.md §7 table-cell fragments, document order within each page
+    " tables array<struct<table_id: int, row_id: int, cell_id: int,"
+    " header: boolean, text: string>>"
 )
 
 SPANS_DDL = (
@@ -120,7 +123,7 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
     langs = batch.column("lang").to_pylist()
     (
         kinds, offsets, cols, bbox_null, link_offsets, hrefs, anchors,
-        meta_cols,
+        meta_cols, table_offsets, table_cols,
     ) = parse_batch_columnar(htmls, langs)
 
     bytes_in = pc.coalesce(
@@ -163,6 +166,19 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
         ],
         names=["title", "description", "canonical", "og_title"],
     )
+    cells_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(table_cols["table_id"], type=pa.int32()),
+            pa.array(table_cols["row_id"], type=pa.int32()),
+            pa.array(table_cols["cell_id"], type=pa.int32()),
+            pa.array(table_cols["header"], type=pa.bool_()),
+            pa.array(table_cols["text"], type=pa.string()),
+        ],
+        names=["table_id", "row_id", "cell_id", "header", "text"],
+    )
+    tables_arr = pa.ListArray.from_arrays(
+        pa.array(table_offsets, type=pa.int32()), cells_struct
+    )
     return pa.RecordBatch.from_arrays(
         [
             batch.column("url"),
@@ -174,10 +190,11 @@ def _parse_one_batch(batch, block_type, bbox_type) -> pa.RecordBatch:
             blocks_arr,
             links_arr,
             meta_arr,
+            tables_arr,
         ],
         names=[
             "url", "warc_ts", "lang", "part_id", "bytes_in", "kind",
-            "blocks", "links", "meta",
+            "blocks", "links", "meta", "tables",
         ],
     )
 
@@ -407,6 +424,36 @@ def extract_outlinks(
         "link_id",
         F.col("_l.href").alias("href"),
         F.col("_l.anchor").alias("anchor"),
+    )
+
+
+def extract_tables(
+    df: DataFrame,
+    num_parts: int = DEFAULT_NUM_PARTS,
+) -> DataFrame:
+    """SPEC.md §7 table product: one row per (page, cell fragment), document
+    order within a page via ``cell_id`` (per-table) plus ``table_id``.
+
+    Structured-data mining over a crawl (price grids, standings, infobox
+    rows) without a second parse design: the SAME single mapInArrow hop
+    that yields blocks/links/meta also yields the cell fragments, then a
+    JVM-side explode — narrow end-to-end, no shuffle.
+    """
+    parsed = parse_pages(df, num_parts)
+    return parsed.select(
+        "url",
+        "warc_ts",
+        "part_id",
+        F.explode("tables").alias("_c"),
+    ).select(
+        "url",
+        "warc_ts",
+        "part_id",
+        F.col("_c.table_id").alias("table_id"),
+        F.col("_c.row_id").alias("row_id"),
+        F.col("_c.cell_id").alias("cell_id"),
+        F.col("_c.header").alias("header"),
+        F.col("_c.text").alias("cell_text"),
     )
 
 

@@ -22,6 +22,11 @@ MAX_LINKS = 1000  # per-document outlink cap (link-farm guard)
 # hrefs with these schemes are not web outlinks and are discarded
 SKIP_SCHEMES = frozenset(("javascript", "mailto", "data", "tel"))
 
+# --- tables (SPEC.md §7) ----------------------------------------------------
+MAX_TABLE_CELLS = 500  # per-document cell-fragment cap (scraped-grid guard)
+# at flush time the nearest of these decides cell membership (§7.5)
+TABLE_SCAN_TAGS = frozenset(("td", "th", "tr", "table"))
+
 # --- classification thresholds (SPEC.md §2) ------------------------------
 MAX_LINK_DENSITY = 0.33
 LEN_SHORT = 20

@@ -39,6 +39,7 @@ def main() -> None:
                 "n_content_blocks": g["n_content_blocks"],
                 "links": g["links"],
                 "meta": g["meta"],
+                "tables": g["tables"],
             }
         )
     OUT.parent.mkdir(parents=True, exist_ok=True)

@@ -650,6 +650,27 @@ def main() -> None:
     ))
 
     sections.append((
+        "extract_tables_wrapped (round 4 — SPEC §7 table-cell product)",
+        "The structured-data face of the crawl: the SAME single "
+        "mapInArrow hop as the flagship also yields §7 cell fragments, "
+        "then a JVM-side explode — zero Exchange, ingest-shaped (pinned "
+        "in test_webtables). The §7.6 per-document cap (500 fragments) "
+        "bounds any one page's contribution, so a scraped-grid page "
+        "cannot skew the downstream (url, table_id) aggregations.",
+        tree_of(q["extract_tables_wrapped"](spark, sf)),
+    ))
+
+    sections.append((
+        "web_table_records (round 4 — headered table -> records)",
+        "Window (col_idx = rank of cell_id within the row) + self-join "
+        "on (url, table_id, col_idx): the header side is filtered to one "
+        "row per table column BEFORE the join, so the build side is tiny "
+        "and the join never sees body x body. No CartesianProduct / "
+        "BroadcastNestedLoopJoin (test-pinned).",
+        tree_of(q["web_table_records"](spark, sf)),
+    ))
+
+    sections.append((
         "graph_triangles (round 4 — degree-oriented triangle count)",
         "Edges oriented from the (degree, id)-smaller endpoint bound the "
         "wedge join by the O(sqrt m) oriented out-degree — the "

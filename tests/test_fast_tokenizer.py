@@ -60,19 +60,21 @@ TRICKY = [
 
 
 def _sig(html: bytes, lang: str | None):
-    kind, blocks, links, meta = parse_payload(html, lang)
+    kind, blocks, links, meta, tables = parse_payload(html, lang)
     return kind, [
         (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
          b["stopword_density"]) for b in blocks
-    ], links, meta
+    ], links, meta, tables
 
 
 def _sig_slow(html: bytes, lang: str | None):
-    kind, blocks, links, meta = parse_payload(html, lang, force_slow=True)
+    kind, blocks, links, meta, tables = parse_payload(
+        html, lang, force_slow=True
+    )
     return kind, [
         (b["block_id"], b["tag"], b["depth"], b["text"], b["n_link_chars"],
          b["stopword_density"]) for b in blocks
-    ], links, meta
+    ], links, meta, tables
 
 
 def test_tricky_constructs_agree():

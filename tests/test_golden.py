@@ -42,6 +42,7 @@ def test_goldenref_is_stable(golden_records):
         assert g["text_sha256"] == rec["text_sha256"], rec["url"]
         assert g["links"] == rec["links"], rec["url"]
         assert g["meta"] == rec["meta"], rec["url"]
+        assert g["tables"] == rec["tables"], rec["url"]
 
 
 def test_links_exact(spark, fixture_df, golden_records):
@@ -78,6 +79,25 @@ def test_meta_exact(spark, fixture_df, golden_records):
     }
     for rec in golden_records:
         assert got[(rec["url"], rec["warc_ts"])] == rec["meta"], rec["url"]
+
+
+def test_tables_exact(spark, fixture_df, golden_records):
+    """SPEC §7 gate: pipeline table-cell fragments == golden reference,
+    per url, exact (ids, header flag, cell bytes, document order)."""
+    from ocr_spark.operators.extract import extract_tables
+
+    got: dict = {}
+    for r in extract_tables(fixture_df).collect():
+        got.setdefault((r.url, r.warc_ts.isoformat()), []).append(
+            (r.table_id, r.row_id, r.cell_id, r.header, r.cell_text)
+        )
+    for rec in golden_records:
+        want = [
+            (c["table_id"], c["row_id"], c["cell_id"], c["header"], c["text"])
+            for c in rec["tables"]
+        ]
+        have = sorted(got.get((rec["url"], rec["warc_ts"]), []))
+        assert have == sorted(want), rec["url"]
 
 
 def test_rowcount(extracted, golden_records):
