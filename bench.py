@@ -99,6 +99,10 @@ HEADLINE = [
     "events_sessionize",    # analytics: gap sessions (one user-keyed window)
     "events_funnel",        # analytics: ordered 3-step funnel (no self-join)
     "events_retention",     # analytics: cohort triangle
+    # late round-4 fuzzy join + table extraction + paragraph dedup
+    "dedup_editdist_pairs",  # training-data: SymSpell deletion-1 fuzzy join
+    "extract_tables_wrapped",  # webtext: SPEC §7 table-cell product (real parse)
+    "dedup_para_keepfirst",  # training-data: CCNet keep-first paragraph dedup
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -723,7 +723,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_sessionize, events_funnel, events_retention, graph_triangles,
 # dedup_editdist_pairs, dedup_editdist_keepers (SymSpell near-dup join),
 # extract_tables_wrapped, web_table_shapes, web_table_records (the SPEC §7
-# table product — golden-gated AND oracle-graded, never driver-graded) —
+# table product — golden-gated AND oracle-graded, never driver-graded),
+# dedup_para_keepfirst, dedup_para_survivors (CCNet keep-first paragraph
+# dedup, groupBy-min skew shape) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -801,6 +803,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_events  # noqa: F401
     from ocr_spark import queries_editdist  # noqa: F401
     from ocr_spark import queries_webtables  # noqa: F401
+    from ocr_spark import queries_paradedup  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

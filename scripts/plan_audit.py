@@ -671,6 +671,18 @@ def main() -> None:
     ))
 
     sections.append((
+        "dedup_para_keepfirst (round 4 — CCNet keep-first paragraph dedup)",
+        "Skew shape: a viral paragraph would put 10^9 rows in one "
+        "row_number window partition, so first-instance selection is a "
+        "groupBy(h).min(instance_key) instead — partial aggregation "
+        "absorbs the hot key map-side (one row per distinct hash per "
+        "task), and the join back reuses the hash partitioning. No "
+        "Window node anywhere (test-pinned); reassembly is one "
+        "doc_id-keyed aggregate over the kept rows.",
+        tree_of(q["dedup_para_keepfirst"](spark, sf)),
+    ))
+
+    sections.append((
         "graph_triangles (round 4 — degree-oriented triangle count)",
         "Edges oriented from the (degree, id)-smaller endpoint bound the "
         "wedge join by the O(sqrt m) oriented out-degree — the "
