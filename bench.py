@@ -103,6 +103,9 @@ HEADLINE = [
     "dedup_editdist_pairs",  # training-data: SymSpell deletion-1 fuzzy join
     "extract_tables_wrapped",  # webtext: SPEC §7 table-cell product (real parse)
     "dedup_para_keepfirst",  # training-data: CCNet keep-first paragraph dedup
+    "search_keywords_tfidf",  # retrieval: per-doc tf-idf top-5 (vocab join + window)
+    "graph_host_components",  # webtext: site families (CC over parsed host graph)
+    "mm_phash_dedup",       # multimodal: aHash image dedup (real BMP decode)
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

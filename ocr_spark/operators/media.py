@@ -183,6 +183,55 @@ def bmp_features(
     return df.mapInPandas(fn, _BMP_FEAT_SCHEMA)
 
 
+PHASH_GRID = 8  # aHash cell grid: 8x8 = 64 bits, split into two BIGINTs
+
+
+def bmp_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary BMP payload -> 64-bit perceptual average-hash via the real
+    decoder, as (phash_hi, phash_lo) BIGINT halves.
+
+    aHash: nearest-neighbor sample the image down to PHASH_GRID^2 cells
+    (the resize_nn floor index map, one pixel per cell), take each cell's
+    channel-sum gray value, set bit k = r*GRID+c iff cell*64 > total (the
+    integer cross-multiplied "above mean" test — no float mean). Bits
+    0..31 -> phash_lo, 32..63 -> phash_hi; the split keeps bit 63 out of
+    BIGINT sign trouble in BOTH engines. Malformed payloads yield
+    ok=false null rows.
+    """
+    g = PHASH_GRID
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_bmp(p)
+                if px is None:
+                    rows.append((i, False, None, None))
+                    continue
+                h, w, _ = px.shape
+                ri = (np.arange(g) * h) // g
+                ci = (np.arange(g) * w) // g
+                cells = (
+                    px[ri][:, ci].astype(np.int64).sum(axis=2).reshape(-1)
+                )
+                total = int(cells.sum())
+                bits = cells * (g * g) > total
+                weights = 1 << np.arange(32, dtype=np.int64)
+                lo = int((bits[:32] * weights).sum())
+                hi = int((bits[32:] * weights).sum())
+                rows.append((i, True, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ok", "phash_hi", "phash_lo"]
+            )
+
+    return df.mapInPandas(
+        fn,
+        f"{id_col} bigint, ok boolean, phash_hi bigint, phash_lo bigint",
+    )
+
+
 def bmp_resize(
     df: DataFrame, out_w: int, out_h: int,
     id_col: str = "doc_id", payload_col: str = "payload",

@@ -725,7 +725,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extract_tables_wrapped, web_table_shapes, web_table_records (the SPEC §7
 # table product — golden-gated AND oracle-graded, never driver-graded),
 # dedup_para_keepfirst, dedup_para_survivors (CCNet keep-first paragraph
-# dedup, groupBy-min skew shape) —
+# dedup, groupBy-min skew shape), search_keywords_tfidf (e4 tf-idf top-5),
+# graph_host_components (site families, CC over the real parsed host
+# graph), mm_phash_dedup (aHash image dedup through the real BMP decode) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

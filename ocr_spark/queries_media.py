@@ -268,3 +268,69 @@ def q_mm_decode_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import netpbm_features
 
     return netpbm_features(_payloads(spark, sf_dir, synth_netpbm))
+
+
+# --- perceptual-hash (aHash) image dedup ----------------------------------------------
+# The multimodal face of the dedup family: group images whose 8x8
+# average-hash coincides (re-encoded thumbnails, recolored mirrors). The
+# hash path is the REAL decoder (operators/media.bmp_phash: decode ->
+# nearest-neighbor 8x8 sample -> integer above-mean bits); grouping is the
+# same skew-immune groupBy-min + join-back used by dedup_para_keepfirst —
+# a viral image (one hash, 10^8 copies) is absorbed by partial
+# aggregation, never a window partition. The oracle recomputes all 64
+# bits in closed form from the gradient synth parameters (the floor index
+# map (k//8*h)//8, the channel formulas, the cell*64 > total threshold)
+# and groups with a window — DuckDB never sees a byte.
+
+_PHASH_CELLS_SQL = """
+cv AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), k ->
+      ((br + ((k // 8) * h) // 8) % 256)
+      + ((bg + ((k % 8) * w) // 8) % 256)
+      + ((bb + ((k // 8) * h) // 8 + ((k % 8) * w) // 8) % 256)
+    ) AS cells
+  FROM p
+),
+hb AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 32), k ->
+      CASE WHEN cells[CAST(k AS INT) + 33] * 64 > list_sum(cells)
+           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT)
+      AS phash_hi,
+    CAST(list_sum(list_transform(range(0, 32), k ->
+      CASE WHEN cells[CAST(k AS INT) + 1] * 64 > list_sum(cells)
+           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT)
+      AS phash_lo
+  FROM cv
+)
+"""
+
+
+@register(
+    "mm_phash_dedup",
+    f"""
+WITH {_BMP_P_SQL},
+{_PHASH_CELLS_SQL}
+SELECT doc_id, phash_hi, phash_lo,
+  min(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS rep_id
+FROM hb
+""",
+)
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc labeled with its image's 64-bit aHash and the min doc_id
+    sharing that hash. Bit k (row-major cell r*8+c) lives in phash_lo for
+    k<32, phash_hi-bit (k-32) otherwise."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.media import bmp_phash
+
+    hashed = bmp_phash(_payloads(spark, sf_dir, synth_bmp)).select(
+        "doc_id", "phash_hi", "phash_lo"
+    )
+    reps = hashed.groupBy("phash_hi", "phash_lo").agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    return hashed.join(reps, ["phash_hi", "phash_lo"]).select(
+        "doc_id", "phash_hi", "phash_lo", "rep_id"
+    )

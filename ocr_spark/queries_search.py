@@ -245,3 +245,72 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id", "bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
     )
+
+
+# --- tf-idf keyword extraction --------------------------------------------------------
+# The per-document "what is this page about" signal that feeds corpus data
+# cards, topic sampling, and search snippets. sklearn-style smooth idf
+# (one libm call, quantized e4 per posting BEFORE the window):
+#   idf(t)  = ln((1 + N) / (1 + df(t))) + 1
+#   w(t, d) = tf / dl * idf(t)
+#   keep the top KW_TOPK terms per doc by (w_e4 DESC, term ASC)
+# Plan: postings (one explode + one shuffle) ⋈ df on term — df is
+# vocabulary-sized, so this is an honest same-key shuffle join, NOT a
+# broadcast — then ONE window per doc_id. The window partition is bounded
+# by a document's distinct-term count (≤ dl), so no skew: there is no
+# "viral term" problem because the partition key is doc_id, not term.
+
+KW_TOPK = 5
+
+_KW_W_E4_SQL = (
+    "CAST(round(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)"
+    " * (ln((1e0 + CAST(n_docs AS DOUBLE)) / (1e0 + CAST(df AS DOUBLE)))"
+    " + 1e0) * 1e4, 0) AS BIGINT)"
+)
+
+
+@register(
+    "search_keywords_tfidf",
+    f"""
+WITH {_POSTINGS_CTE_SQL},
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), w AS (
+  SELECT post.doc_id, post.term, {_KW_W_E4_SQL} AS w_e4
+  FROM post JOIN df ON post.term = df.term CROSS JOIN nd
+), r AS (
+  SELECT doc_id, term, w_e4,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY w_e4 DESC, term ASC) AS kw_rank
+  FROM w
+)
+SELECT doc_id, CAST(kw_rank AS INT) AS kw_rank, term, w_e4
+FROM r WHERE kw_rank <= {KW_TOPK}
+""",
+)
+def q_search_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KW_TOPK} tf-idf keywords per document, e4-quantized per posting
+    so the ranking (and the hash) is pure integer comparison."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    post = _postings(spark, sf_dir)
+    df_ = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = (
+        post.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", F.expr(_KW_W_E4_SQL).alias("w_e4"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("w_e4").desc(), F.col("term").asc()
+    )
+    return (
+        w.withColumn("kw_rank", F.row_number().over(win))
+        .filter(F.col("kw_rank") <= KW_TOPK)
+        .select("doc_id", F.col("kw_rank").cast("int"), "term", "w_e4")
+    )

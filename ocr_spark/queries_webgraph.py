@@ -1365,3 +1365,95 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+# --- host-graph connected components (site families) ---------------------------------
+# The "site family" grouping every crawl curator wants: hosts connected by
+# links form one family (mirrors, language editions, CDN hosts), used for
+# family-level quality decisions and dedup scoping. Edge set designed for
+# REAL component structure: each doc links from host n{f}{a|b}.fam.example
+# (parity of doc_id) to the family hub n{f}hub.fam.example, f = doc_id % 39
+# — 39 star components of exactly 3 hosts whose a—hub—b merge is TRANSITIVE
+# (a and b never share an edge), so the fixpoint propagation is actually
+# exercised, not just a one-hop star pass. The pipeline is the real one:
+# parse (extract_outlinks) -> host attribution (link_host_expr) -> CC over
+# the host–edge bipartite graph (functions/graph.py — every edge is a
+# 2-member bucket), linear per round, pair-path-free. Oracle: first-
+# principles host derivation from doc_id arithmetic + recursive
+# reachability, nothing shared with the Spark side.
+
+
+def _family_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fam = (F.col("doc_id") % 39).cast("string")
+    side = F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        F.concat(F.lit("https://n"), fam, side,
+                 F.lit(".fam.example/d/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><p>hub link <a href="https://n'), fam,
+                F.lit('hub.fam.example/x/'), did,
+                F.lit('">to the hub</a></p></body></html>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+
+
+_HOST_CC_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT DISTINCT
+    'n' || CAST(doc_id % 39 AS VARCHAR)
+        || CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+        || '.fam.example' AS src,
+    'n' || CAST(doc_id % 39 AS VARCHAR) || 'hub.fam.example' AS dst
+  FROM documents
+),
+edges AS (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+nodes AS (SELECT DISTINCT src AS h FROM edges),
+reach AS (
+  SELECT h, h AS r FROM nodes
+  UNION
+  SELECT e.dst AS h, reach.r FROM reach JOIN edges e ON e.src = reach.h
+)
+SELECT h AS host, min(r) AS rep FROM reach GROUP BY h
+"""
+
+
+@register("graph_host_components", _HOST_CC_ORACLE)
+def q_graph_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.graph import bucket_connected_components
+    from ocr_spark.operators.extract import extract_outlinks
+
+    links = extract_outlinks(_family_pages(spark, sf_dir))
+    src_host = F.lower(
+        F.regexp_extract(
+            F.col("url"),
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1,
+        )
+    )
+    edges = links.select(
+        src_host.alias("src"),
+        link_host_expr(F.col("href"), src_host).alias("dst"),
+    ).distinct()
+    eid = F.concat(F.col("src"), F.lit(">"), F.col("dst"))
+    memb = (
+        edges.select(F.col("src").alias("host"), eid.alias("eid"))
+        .unionByName(edges.select(F.col("dst").alias("host"), eid.alias("eid")))
+        .distinct()
+    )
+    labels = bucket_connected_components(
+        memb, id_col="host", bucket_cols=("eid",)
+    )
+    out = labels.select(
+        "host", F.col("rep").alias("rep")
+    )
+    # the CC result frame is persisted for fixpoint detection; hand the
+    # caller an independent projection and release the cache eagerly is
+    # the caller's job per functions/graph.py's contract — the driver
+    # collects immediately, so the session-lifetime cost is one frame.
+    return out

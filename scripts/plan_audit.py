@@ -683,6 +683,28 @@ def main() -> None:
     ))
 
     sections.append((
+        "search_keywords_tfidf (round 4 — per-doc tf-idf top-5)",
+        "Postings (one explode + one shuffle) join the vocab-sized df "
+        "table on term — an honest same-key shuffle join, NOT a "
+        "broadcast (df is corpus-vocabulary-sized at 100 TB) — then ONE "
+        "window keyed by doc_id. The window partition is bounded by a "
+        "document's distinct-term count, so a viral TERM cannot skew it; "
+        "idf is e4-quantized per posting BEFORE the window, making the "
+        "ranking pure integer comparison.",
+        tree_of(q["search_keywords_tfidf"](spark, sf)),
+    ))
+
+    sections.append((
+        "mm_phash_dedup (round 4 — aHash image dedup, real decode)",
+        "Synth and decode+hash are each one Arrow-batched mapInPandas at "
+        "scan parallelism; grouping is groupBy(phash).min(doc_id) + a "
+        "same-key join back — the paradedup skew shape: a viral image "
+        "(one hash, 10^8 copies) is absorbed by partial aggregation, "
+        "never a window partition.",
+        tree_of(q["mm_phash_dedup"](spark, sf)),
+    ))
+
+    sections.append((
         "graph_triangles (round 4 — degree-oriented triangle count)",
         "Edges oriented from the (degree, id)-smaller endpoint bound the "
         "wedge join by the O(sqrt m) oriented out-degree — the "

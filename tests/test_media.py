@@ -283,3 +283,79 @@ def test_netpbm_raster_boundary_single_whitespace():
     data = b"P5\n1 2\n255\n" + bytes([0x0A, 0x20])
     px, fmt = decode_netpbm(data)
     assert fmt == "P5" and px.tolist() == [[0x0A], [0x20]]
+
+
+def test_phash_matches_hand_reference():
+    """aHash bits recomputed with plain Python loops over the decoded
+    pixels (independent of the numpy vectorization in bmp_phash)."""
+    import numpy as np
+
+    from ocr_spark.operators.media import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(11, 23, 3)).astype(np.uint8)
+    data = encode_bmp(px)
+    back = decode_bmp(data)
+    assert back is not None and (back == px).all()
+
+    # independent reference: pure-Python cell walk
+    h, w = 11, 23
+    cells = []
+    for r2 in range(8):
+        for c2 in range(8):
+            ri, ci = (r2 * h) // 8, (c2 * w) // 8
+            cells.append(int(px[ri, ci, 0]) + int(px[ri, ci, 1])
+                         + int(px[ri, ci, 2]))
+    total = sum(cells)
+    lo = sum(1 << k for k in range(32) if cells[k] * 64 > total)
+    hi = sum(1 << k for k in range(32) if cells[k + 32] * 64 > total)
+
+    # engine path via the same mapInPandas worker fn, driven directly
+    import pandas as pd
+
+    from ocr_spark.operators.media import bmp_phash
+
+    captured = {}
+
+    class _FakeDF:
+        def mapInPandas(self, fn, schema):
+            out = list(fn(iter([pd.DataFrame(
+                {"doc_id": [1], "payload": [data]}
+            )])))
+            captured["row"] = out[0].iloc[0]
+            return None
+
+    bmp_phash(_FakeDF())
+    row = captured["row"]
+    assert bool(row["ok"])
+    assert int(row["phash_lo"]) == lo
+    assert int(row["phash_hi"]) == hi
+
+
+def test_phash_malformed_and_duplicate_payloads():
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.operators.media import bmp_phash, encode_bmp
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[0, 0] = 255  # one bright cell -> a nonzero bit
+    good = encode_bmp(px)
+    captured = {}
+
+    class _FakeDF:
+        def mapInPandas(self, fn, schema):
+            out = list(fn(iter([pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "payload": [good, good, b"not a bmp"],
+            })])))
+            captured["pdf"] = out[0]
+            return None
+
+    bmp_phash(_FakeDF())
+    pdf = captured["pdf"]
+    assert list(pdf["ok"]) == [True, True, False]
+    # identical payloads -> identical hash (the dedup key)
+    assert pdf.iloc[0]["phash_lo"] == pdf.iloc[1]["phash_lo"]
+    assert pdf.iloc[0]["phash_hi"] == pdf.iloc[1]["phash_hi"]
+    assert pdf.iloc[0]["phash_lo"] != 0 or pdf.iloc[0]["phash_hi"] != 0

@@ -191,3 +191,49 @@ def test_phrase_plan_broadcasts_derived_phrase(spark, tmp_path):
     sf = _write_documents(tmp_path, _mk_corpus())
     plan = _plan(QUERIES["search_phrase"](spark, sf))
     assert "BroadcastExchange" in plan
+
+
+def test_keywords_tfidf_matches_python_reference(spark, tmp_path):
+    """Top-k tf-idf keywords vs a plain-Python recomputation."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana date"),
+        (2, "apple egg egg egg fig"),
+        (3, ""),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from ocr_spark.queries_search import KW_TOPK, q_search_keywords_tfidf
+
+    got = {
+        (r.doc_id, r.kw_rank): (r.term, r.w_e4)
+        for r in q_search_keywords_tfidf(spark, str(tmp_path)).collect()
+    }
+
+    n_docs = len(rows)
+    toks = {d: [t for t in s.split(" ") if t] for d, s in rows}
+    df_counts: dict = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            df_counts[t] = df_counts.get(t, 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        scored = []
+        for t in set(ts):
+            w = (
+                ts.count(t) / len(ts)
+                * (math.log((1 + n_docs) / (1 + df_counts[t])) + 1)
+            )
+            scored.append((round(w * 1e4), t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for i, (w_e4, t) in enumerate(scored[:KW_TOPK], start=1):
+            want[(d, i)] = (t, w_e4)
+    assert got == want

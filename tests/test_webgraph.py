@@ -618,3 +618,49 @@ def test_graph_triangles_matches_bruteforce(spark):
     }
     assert got == want
     assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+
+def test_host_components_match_union_find(spark):
+    """graph_host_components vs an independent union-find over the edges
+    derived from the same doc_id arithmetic (no recursion, no Spark)."""
+    from ocr_spark.queries_webgraph import q_graph_host_components
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.host: r.rep for r in q_graph_host_components(spark, sf).collect()
+    }
+
+    import duckdb
+
+    doc_ids = [
+        r[0] for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for d in doc_ids:
+        f = d % 39
+        src = f"n{f}{'a' if d % 2 == 0 else 'b'}.fam.example"
+        dst = f"n{f}hub.fam.example"
+        union(src, dst)
+    want = {h: find(h) for h in parent}
+    assert got == want
+    # the family structure: every component has exactly 3 hosts and the
+    # rep is the 'a' side (lexicographic min through the hub)
+    from collections import Counter
+
+    sizes = Counter(want.values())
+    assert set(sizes.values()) == {3}
+    assert all(r.endswith("a.fam.example") for r in sizes)
