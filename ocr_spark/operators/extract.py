@@ -478,6 +478,80 @@ def extract_metadata(
     )
 
 
+# --- language-recovering extraction (untagged crawls) -------------------------------
+# WARC archives carry no language tag, but SPEC §2's stopword features are
+# language-keyed: parsing a NULL-lang page scores its blocks against the
+# DEFAULT_LANG list, so a German page's perfectly good paragraphs classify
+# as boilerplate and the page extracts empty. The production answer (the
+# same move CCNet makes before its stoplist-dependent stages) is ONE parse,
+# then: (1) predict the language from the FULL block text (content and
+# boilerplate alike — langid needs all the evidence), (2) re-score each
+# block's stopword_density against the recovered language's frozen list —
+# a pure JVM array HOF over the already-parsed block structs, no second
+# Python crossing — and (3) classify/smooth/assemble exactly as before.
+# Pages that arrived with a tag are untouched (density already right).
+
+_SD_PUNCT_SQL = spec.PUNCT.replace("'", "''")
+_STOPMAP_EXPR = "map(" + ", ".join(
+    "'{lg}', array({ws})".format(
+        lg=lg, ws=", ".join(f"'{w}'" for w in sorted(ws))
+    )
+    for lg, ws in spec.STOPWORDS.items()
+) + ")"
+_EN_STOPS_EXPR = "array(" + ", ".join(
+    f"'{w}'" for w in sorted(spec.STOPWORDS["en"])
+) + ")"
+# rewrite the blocks array with densities re-scored against the (possibly
+# recovered) lang column; all other fields carried through verbatim
+_RESCORE_BLOCKS_SQL = f"""
+transform(blocks, b -> named_struct(
+  'block_id', b.block_id, 'tag', b.tag, 'depth', b.depth, 'text', b.text,
+  'text_len', b.text_len, 'n_words', b.n_words,
+  'n_link_chars', b.n_link_chars, 'link_density', b.link_density,
+  'char_density', b.char_density,
+  'stopword_density',
+    CAST(size(filter(split(b.text, ' '), w_ -> array_contains(
+      coalesce(element_at({_STOPMAP_EXPR}, lang), {_EN_STOPS_EXPR}),
+      trim(BOTH '{_SD_PUNCT_SQL}' FROM lower(w_))))) AS DOUBLE)
+    / b.n_words,
+  'bbox', b.bbox))
+"""
+
+
+def extract_pages_langid(
+    df: DataFrame,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    stats: bool = False,
+    input_counter=None,
+) -> DataFrame:
+    """Extraction for untagged crawls: recover ``lang`` (stopword-argmax
+    over the full block text), re-score block stopword densities against
+    the recovered list, then classify/smooth/assemble. One mapInArrow hop,
+    still shuffle-free; rows that arrived with a lang keep their original
+    densities and tag. The output ``lang`` column is the recovered one."""
+    from ocr_spark.queries_textml import with_langid
+
+    if "part_id" not in df.columns:
+        df = with_part_id(df, num_parts)
+    parsed = parse_pages(df, num_parts, input_counter)
+    parsed = parsed.withColumn("_had_lang", F.col("lang").isNotNull())
+    parsed = parsed.withColumn(
+        "_alltext",
+        F.expr("array_join(transform(blocks, b -> b.text), ' ')"),
+    )
+    parsed = with_langid(parsed, "_alltext", "_lang_rec")
+    parsed = parsed.withColumn(
+        "lang", F.coalesce(F.col("lang"), F.col("_lang_rec"))
+    )
+    parsed = parsed.withColumn(
+        "blocks",
+        F.when(F.col("_had_lang"), F.col("blocks")).otherwise(
+            F.expr(_RESCORE_BLOCKS_SQL)
+        ),
+    ).drop("_had_lang", "_alltext", "_lang_rec")
+    return assemble(label_blocks(parsed), stats=stats)
+
+
 def extract_pages(
     df: DataFrame,
     num_parts: int = DEFAULT_NUM_PARTS,

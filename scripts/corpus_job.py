@@ -61,6 +61,7 @@ def run_corpus_job(
     substr_clean: bool = False,
     host_gate: bool = False,
     line_dedup: bool = False,
+    lang_recover: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -86,7 +87,20 @@ def run_corpus_job(
     # extraction -> document table (url-keyed; doc_id = xxhash64(url, ts)
     # is deterministic and order-free, so every downstream md5/threshold
     # decision is reproducible across runs and cluster sizes)
-    docs = extract_pages(pages).select(
+    if lang_recover:
+        # un-tagged crawl data (e.g. WARC-ingested pages carry lang=NULL):
+        # language-recovering extraction — ONE parse, stopword-argmax
+        # langid over the full block text, per-block density re-score
+        # against the recovered list BEFORE classification (recovering
+        # after extraction is too late: the blocks would already have been
+        # classified against the DEFAULT_LANG list and non-default-lang
+        # pages would extract empty). Pages carrying a tag are untouched.
+        from ocr_spark.operators.extract import extract_pages_langid
+
+        extracted = extract_pages_langid(pages)
+    else:
+        extracted = extract_pages(pages)
+    docs = extracted.select(
         F.xxhash64("url", "warc_ts").alias("doc_id"),
         F.col("extracted_text").alias("text"),
         "lang",
@@ -156,11 +170,17 @@ def run_corpus_job(
     stage_sec["pack_write"] = round(time.perf_counter() - ts, 3)
 
     ts = time.perf_counter()
-    final = spark.read.parquet(out_path).agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).alias("tokens"),
-        F.count_distinct("seq_id", "pack_shard").alias("sequences"),
-    ).collect()[0]
+    if funnel.get("6_sampled", 0) > 0:
+        final = spark.read.parquet(out_path).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("tokens"),
+            F.count_distinct("seq_id", "pack_shard").alias("sequences"),
+        ).collect()[0]
+    else:
+        # every document filtered out: the partitioned write emitted only
+        # _SUCCESS (no schema to infer) — report zeros instead of crashing
+        # the whole run at the final read-back
+        final = {"rows": 0, "tokens": 0, "sequences": 0}
     stage_sec["readback"] = round(time.perf_counter() - ts, 3)
 
     for key in ("3_exact", "4_near", "4b_substr", "5_clean"):

@@ -45,7 +45,11 @@ def run_warc_ingest_job(
     n_pages: int = 20000,
     warc_dir: str | None = None,
     num_files: int = 16,
+    pages_df=None,
 ) -> dict:
+    """``pages_df`` (optional, synth mode only): archive THIS pages frame
+    (url, warc_ts, html) instead of gen.web_pages — e.g. the corpus-funnel
+    generator when composing crawl->corpus (scripts/pipeline_job.py)."""
     from pyspark.sql import functions as F
 
     from ocr_spark.gen import web_pages
@@ -61,7 +65,8 @@ def run_warc_ingest_job(
     if synth:
         ts = time.perf_counter()
         warc_dir = str(out / "archive")
-        gen = web_pages(spark, n_pages).select(
+        src = pages_df if pages_df is not None else web_pages(spark, n_pages)
+        gen = src.select(
             "url",
             F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
             .alias("warc_date"),
