@@ -106,6 +106,7 @@ HEADLINE = [
     "search_keywords_tfidf",  # retrieval: per-doc tf-idf top-5 (vocab join + window)
     "graph_host_components",  # webtext: site families (CC over parsed host graph)
     "mm_phash_dedup",       # multimodal: aHash image dedup (real BMP decode)
+    "extract_langid_wrapped",  # webtext: language-recovering extraction (real parse)
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

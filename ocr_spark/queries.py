@@ -727,7 +727,8 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_para_keepfirst, dedup_para_survivors (CCNet keep-first paragraph
 # dedup, groupBy-min skew shape), search_keywords_tfidf (e4 tf-idf top-5),
 # graph_host_components (site families, CC over the real parsed host
-# graph), mm_phash_dedup (aHash image dedup through the real BMP decode) —
+# graph), mm_phash_dedup (aHash image dedup through the real BMP decode),
+# extract_langid_wrapped (language-recovering extraction under the hash) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -816,9 +817,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # oracles whose SQL needs the sibling modules (circular at import time);
 # built on first all_oracles() call, after all_queries() has imported them
+def _extract_langid_oracle() -> str:
+    from ocr_spark.queries_textml import _lid_oracle
+
+    return _lid_oracle()
+
+
 _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "stream_dedup_minhash": _stream_dedup_minhash_oracle,
     "stream_dedup_cc": _stream_dedup_cc_oracle,
+    "extract_langid_wrapped": _extract_langid_oracle,
 }
 
 

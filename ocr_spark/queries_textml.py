@@ -1228,3 +1228,93 @@ def q_mm_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = sample_frames(payload, id_col="doc_id", max_frames=4)
     return out.withColumn("frame_hex", F.hex("frame")).drop("frame")
+
+
+# --- language-recovering extraction under the value hash ------------------------------
+# Grades operators/extract.extract_pages_langid end to end: synthesize
+# UNTAGGED (lang=NULL) pages whose stopword filler is drawn from the TRUE
+# language's frozen list, run the REAL path (parse -> full-block-text
+# langid -> per-block density re-score -> classify -> assemble), and the
+# oracle recomputes everything — the per-language hit counts, the argmax
+# tie order, the density against the PREDICTED language's list, and the
+# content decision — in closed form. A wrong prediction, a wrong re-score
+# list, or a density computed against DEFAULT_LANG all break the hash.
+
+_LID_FILLERS = {
+    lg: " ".join(sorted(ws)[:12]) for lg, ws in spec.STOPWORDS.items()
+}
+_LID_K_SQL = "greatest(1, CAST(round(n_chars / 80.0, 0) AS INT))"
+_LID_FILLER_CASE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN '{f} '" for lg, f in _LID_FILLERS.items()
+) + " ELSE 'the of and ' END"
+
+
+def _lid_oracle() -> str:
+    from ocr_spark.queries import _LANG_CASE_SQL
+
+    argmax = _argmax_case(_hits_sql)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      repeat({_LID_FILLER_CASE_SQL}, {_LID_K_SQL}) || text,
+      '\\s+', ' ', 'g')) AS ptext
+  FROM documents
+), ww AS (
+  SELECT doc_id, ptext, string_split(ptext, ' ') AS w FROM f
+), pred AS (
+  SELECT doc_id, ptext, w, {argmax} AS lang FROM ww
+), c AS (
+  SELECT doc_id, ptext, lang,
+    length(ptext) AS tl,
+    len(w) AS nw,
+    len(list_filter(w, t -> list_contains({_LANG_CASE_SQL},
+        trim(lower(t), '.,;:!?"''()[]{{}}')))) AS ns
+  FROM pred
+), r AS (
+  SELECT doc_id, lang,
+    CASE WHEN tl >= 20 AND ns * 1.0 / nw >= 0.30 THEN ptext ELSE '' END
+      AS extracted_text
+  FROM c
+)
+SELECT 'lid://' || CAST(doc_id AS VARCHAR) AS url,
+       lang AS lang_rec,
+       extracted_text,
+       sha256(extracted_text) AS text_sha256
+FROM r
+"""
+
+
+@register("extract_langid_wrapped", None)  # oracle built lazily below
+def q_extract_langid_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.extract import extract_pages_langid
+
+    d = t(spark, sf_dir, "documents")
+    filler = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN '{f} '"
+        for lg, f in _LID_FILLERS.items()
+    ) + " ELSE 'the of and ' END"
+    pages = d.select(
+        F.concat(F.lit("lid://"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.expr(f"repeat({filler}, {_LID_K_SQL})"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),  # UNTAGGED: the point
+    )
+    ex = extract_pages_langid(pages)
+    return ex.select(
+        "url",
+        F.col("lang").alias("lang_rec"),
+        "extracted_text",
+        "text_sha256",
+    )

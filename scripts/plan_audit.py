@@ -705,6 +705,17 @@ def main() -> None:
     ))
 
     sections.append((
+        "extract_langid_wrapped (round 4 — language-recovering extraction)",
+        "Untagged-crawl extraction: ONE mapInArrow parse, then langid "
+        "(stopword-hit argmax over the full block text) and the per-block "
+        "density re-score against the recovered list are pure JVM column "
+        "exprs over the parsed frame — zero Exchange end-to-end, no "
+        "second Python crossing (pinned in test_pipeline_job). Tagged "
+        "rows bypass recovery bit-identically.",
+        tree_of(q["extract_langid_wrapped"](spark, sf)),
+    ))
+
+    sections.append((
         "graph_triangles (round 4 — degree-oriented triangle count)",
         "Edges oriented from the (degree, id)-smaller endpoint bound the "
         "wedge join by the O(sqrt m) oriented out-degree — the "
