@@ -107,6 +107,7 @@ HEADLINE = [
     "graph_host_components",  # webtext: site families (CC over parsed host graph)
     "mm_phash_dedup",       # multimodal: aHash image dedup (real BMP decode)
     "extract_langid_wrapped",  # webtext: language-recovering extraction (real parse)
+    "search_snippets",      # retrieval: explode-free first-occurrence windows
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -314,3 +314,67 @@ def q_search_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= KW_TOPK)
         .select("doc_id", F.col("kw_rank").cast("int"), "term", "w_e4")
     )
+
+
+# --- query-dependent snippets ---------------------------------------------------------
+# The search-results face: for every document matching the query term, the
+# +/-2-word window around its FIRST occurrence. The query term is data-
+# derived (the corpus's highest-df term, ties by term ASC — same derivation
+# as BM25's query set). Spark shape: NO explode at all — first-occurrence
+# position is one array_position per row and the window is one slice, so
+# the whole match+snippet pass is map-side against the broadcast query
+# term; at 100 TB only the (rare) per-doc result rows move.
+
+SNIP_W = 5  # window width in words (2 left + hit + 2 right)
+
+
+@register(
+    "search_snippets",
+    f"""
+WITH {_POSTINGS_CTE_SQL},
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+), qt AS (
+  SELECT term AS qterm FROM df ORDER BY df DESC, term ASC LIMIT 1
+), d2 AS (
+  SELECT doc_id, words AS w, qterm,
+    CAST(list_position(words, qterm) AS INT) AS pos
+  FROM d CROSS JOIN qt
+)
+SELECT doc_id, qterm, pos,
+  array_to_string(
+    w[greatest(1, pos - 2) : least(len(w), greatest(1, pos - 2) + {SNIP_W} - 1)],
+    ' ') AS snippet
+FROM d2 WHERE pos > 0
+""",
+)
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence snippet per matching doc; position and window both
+    under the value hash (an off-by-one in the slice breaks it)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK.format(col="text")).alias("w")
+    )
+    post = _postings(spark, sf_dir)
+    qt = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(1)
+        .select(F.col("term").alias("qterm"))
+    )
+    d2 = d.crossJoin(F.broadcast(qt)).select(
+        "doc_id",
+        "w",
+        "qterm",
+        F.expr("CAST(array_position(w, qterm) AS INT)").alias("pos"),
+    )
+    return d2.filter(F.col("pos") > 0).select(
+        "doc_id",
+        "qterm",
+        "pos",
+        F.expr(
+            f"array_join(slice(w, greatest(1, pos - 2),"
+            f" least(size(w), greatest(1, pos - 2) + {SNIP_W} - 1)"
+            f" - greatest(1, pos - 2) + 1), ' ')"
+        ).alias("snippet"),
+    )

@@ -167,3 +167,38 @@ def q_web_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return body.join(headers, ["url", "table_id", "col_idx"]).select(
         "url", "table_id", "row_id", "col_name", "value"
     )
+
+
+@register("stream_tables", _FRAGMENTS_ORACLE)
+def q_stream_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §7 table product as a STREAM, graded by the same first-
+    principles fragment oracle as the batch entry: the synthetic table
+    pages are written as page FILES, consumed by the Structured-Streaming
+    file source (availableNow), parsed by the same single-hop path, and
+    committed exactly-once per micro-batch — a dropped batch, a replayed
+    duplicate, or a parse divergence between the batch and stream paths
+    all break the hash."""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.incremental import incremental_tables
+
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-tables-")
+    src_dir = os.path.join(work, "pages")
+    pages = _table_pages(spark, sf_dir).withColumn(
+        # the file-source schema carries (url, warc_ts, html, text, lang);
+        # give recrawl-dedup a real event time
+        "warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    ).withColumn("text", F.lit(None).cast("string"))
+    pages.select("url", "warc_ts", "html", "text", "lang").repartition(
+        4
+    ).write.mode("overwrite").parquet(src_dir)
+    writer, _ = incremental_tables(
+        spark, src_dir, os.path.join(work, "out"),
+        os.path.join(work, "ckpt"), run_id="stream-tables-q",
+    )
+    writer.trigger(availableNow=True).start().awaitTermination()
+    cells = spark.read.parquet(os.path.join(work, "out", "data"))
+    return cells.select(
+        "url", "table_id", "row_id", "cell_id", "header", "cell_text"
+    )

@@ -384,6 +384,35 @@ def incremental_extract(
     return writer, committer
 
 
+def incremental_tables(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream-tables",
+    watermark: str = DEFAULT_WATERMARK,
+    dedup: bool = True,
+) -> tuple[DataStreamWriter, _BatchCommitter]:
+    """SPEC §7 table-cell product as a stream: new page files → the same
+    single-hop parse → cell-fragment explode → idempotent batch append.
+    Identical committer semantics to incremental_extract (exactly-once in
+    both crash windows); the per-batch plan stays narrow, so micro-batch
+    latency is parse-bound, never shuffle-bound."""
+    from ocr_spark.operators.extract import extract_tables
+
+    src = stream_pages(spark, pages_dir)
+    if dedup:
+        src = dedup_recrawls(src, watermark)
+    cells = extract_tables(src)
+    committer = _BatchCommitter(out_dir, run_id)
+    writer = (
+        cells.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer
+
+
 # --- incremental near-dup suppression (streaming MinHash LSH) ----------------
 
 class _MinhashDedupCommitter:

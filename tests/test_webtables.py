@@ -96,3 +96,53 @@ def test_pdf_and_empty_payloads_have_no_tables():
     assert parse_payload(pdf, "en")[4] == []
     assert parse_payload(None, "en")[4] == []
     assert parse_payload(b"", "en")[4] == []
+
+
+def test_incremental_tables_two_waves_exactly_once(spark, tmp_path):
+    """§7 cell fragments as a stream: two waves of page files through one
+    checkpoint — each page's cells land exactly once; an idle re-run
+    appends nothing."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.streaming.incremental import incremental_tables
+
+    src = tmp_path / "pages"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_wave(n, start, name):
+        rows = [
+            (
+                f"https://t{i}.example/p",
+                f"<table><tr><th>h</th></tr><tr><td>cell {i}</td></tr>"
+                f"</table>".encode(),
+            )
+            for i in range(start, start + n)
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary").select(
+            "url",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        writer, _ = incremental_tables(
+            spark, str(src), out, ckpt, run_id="tables-stream-test"
+        )
+        writer.trigger(availableNow=True).start().awaitTermination()
+
+    write_wave(10, 0, "w1")
+    run()
+    got1 = spark.read.parquet(f"{out}/data")
+    assert got1.count() == 20  # 1 header + 1 body cell per page
+
+    write_wave(5, 10, "w2")
+    run()
+    got2 = spark.read.parquet(f"{out}/data")
+    assert got2.count() == 30
+    assert got2.select("url", "table_id", "cell_id").distinct().count() == 30
+
+    run()  # idle re-run: nothing appended
+    assert spark.read.parquet(f"{out}/data").count() == 30
