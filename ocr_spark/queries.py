@@ -730,7 +730,8 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph), mm_phash_dedup (aHash image dedup through the real BMP decode),
 # extract_langid_wrapped (language-recovering extraction under the hash),
 # search_snippets (explode-free first-occurrence windows), stream_tables
-# (the §7 product through the streaming committer, batch-oracle-graded) —
+# (the §7 product through the streaming committer, batch-oracle-graded),
+# extract_outline (h1..h6 structure product, svg-decoy pinned) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

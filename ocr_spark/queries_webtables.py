@@ -202,3 +202,73 @@ def q_stream_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "url", "table_id", "row_id", "cell_id", "header", "cell_text"
     )
+
+
+# --- heading outline -------------------------------------------------------------------
+# The document-structure product next to tables: the h1..h6 outline in
+# document order (block_id), with the heading level as an integer. Needs
+# NO parser change — §1 blocks already carry their context tag; this is a
+# JVM-side filter over the same single-hop parse. The wrapped entry
+# synthesizes a 2-level outline with a decoy (an h2 inside <svg> must NOT
+# appear: skip regions suppress its data events) and a paragraph between
+# headings (must not appear either).
+
+
+def _outline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        F.concat(F.lit("toc://"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><h1>title "), did,
+                F.lit("</h1><p>body paragraph between</p>"
+                      "<svg><h2>ghost heading</h2></svg>"
+                      "<h2>section one</h2><p>more body</p>"
+                      "<h2>section "), did,
+                F.lit("</h2></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+
+
+# block ids in document order: h1=0, p=1, h2(section one)=2, p=3, h2=4
+_OUTLINE_ORACLE = """
+WITH d AS (
+  SELECT 'toc://' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id AS VARCHAR) AS did
+  FROM documents
+)
+SELECT url, CAST(0 AS INT) AS block_id, CAST(1 AS INT) AS level,
+       'title ' || did AS heading
+FROM d
+UNION ALL
+SELECT url, 2, 2, 'section one' FROM d
+UNION ALL
+SELECT url, 4, 2, 'section ' || did FROM d
+"""
+
+
+@register("extract_outline", _OUTLINE_ORACLE)
+def q_extract_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.extract import parse_pages
+
+    parsed = parse_pages(_outline_pages(spark, sf_dir))
+    heads = parsed.select(
+        "url",
+        F.explode(
+            F.expr(
+                "filter(blocks, b -> b.tag IN"
+                " ('h1','h2','h3','h4','h5','h6'))"
+            )
+        ).alias("b"),
+    )
+    return heads.select(
+        "url",
+        F.col("b.block_id").alias("block_id"),
+        F.expr("CAST(substring(b.tag, 2, 1) AS INT)").alias("level"),
+        F.col("b.text").alias("heading"),
+    )
