@@ -725,6 +725,40 @@ def main() -> None:
         tree_of(q["graph_triangles"](spark, sf)),
     ))
 
+    sections.append((
+        "search_snippets (round 4 — explode-free first-occurrence windows)",
+        "The snippet pass never explodes: the data-derived query term is "
+        "a 1-row broadcast, then first-occurrence position is ONE "
+        "array_position per document and the +/-2-word window is ONE "
+        "slice — the whole match+extract is map-side. At 100 TB only the "
+        "(rare) matching result rows move; the non-matching corpus is "
+        "filtered before any shuffle.",
+        tree_of(q["search_snippets"](spark, sf)),
+    ))
+
+    sections.append((
+        "graph_host_components (round 4 — site families over the parsed "
+        "host graph)",
+        "Site families = connected components over REAL parsed outlink "
+        "hosts: every edge becomes a 2-member bucket into the same "
+        "min-label propagation used by dedup_cc — two linear shuffles "
+        "per round, edge pairs never materialized beyond the bipartite "
+        "membership frame. The printed plan embeds the converged "
+        "InMemoryRelation (truncated): iterative results are cached for "
+        "fixpoint detection, not recomputed per action.",
+        tree_of(q["graph_host_components"](spark, sf), max_lines=14),
+    ))
+
+    sections.append((
+        "extract_outline (round 4 — h1..h6 document-structure product)",
+        "The outline is a JVM filter over the SAME single-hop parse "
+        "(blocks already carry their context tag): one MapInArrow, then "
+        "filter/explode/substring projections — zero Exchange, identical "
+        "narrow shape to the flagship. A decoy heading inside <svg> is "
+        "suppressed by the skip rules, pinned under the oracle hash.",
+        tree_of(q["extract_outline"](spark, sf)),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

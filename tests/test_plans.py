@@ -329,3 +329,30 @@ def test_profile_table_is_one_scan_no_python(spark):
     # node once in the tree and once in the detail section
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Python" not in plan
+
+
+def test_outline_plan_narrow_single_python_hop(spark):
+    """extract_outline (round 4): the h1..h6 product is a JVM filter over
+    the same single-hop parse — zero Exchange, exactly one MapInArrow."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_webtables  # noqa: F401
+
+    plan = _plan(QUERIES["extract_outline"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_snippets_plan_no_doc_side_explode(spark):
+    """search_snippets (round 4): the doc-side match+window pass is
+    map-side against the broadcast query term — the ONLY Generate in the
+    plan is the postings explode inside the 1-row term derivation, and the
+    term reaches the corpus via a broadcast, never a shuffled join."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_search  # noqa: F401
+
+    plan = _plan(QUERIES["search_snippets"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
