@@ -731,7 +731,11 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extract_langid_wrapped (language-recovering extraction under the hash),
 # search_snippets (explode-free first-occurrence windows), stream_tables
 # (the §7 product through the streaming committer, batch-oracle-graded),
-# extract_outline (h1..h6 structure product, svg-decoy pinned) —
+# extract_outline (h1..h6 structure product, svg-decoy pinned),
+# stream_join_static + stream_join_interval (streaming joins: broadcast
+# stream-static enrich, watermarked stream-stream interval join — real
+# availableNow drains under batch value-hash oracles), text_ppl_kn
+# (interpolated Kneser-Ney bigram LM, two-corpus-pass persist shape) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -810,6 +814,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_editdist  # noqa: F401
     from ocr_spark import queries_webtables  # noqa: F401
     from ocr_spark import queries_paradedup  # noqa: F401
+    from ocr_spark import queries_streamjoin  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

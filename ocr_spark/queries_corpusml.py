@@ -769,3 +769,132 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     merges = bpe_train(d, _BPE_MERGES)
     return bpe_encode(d, merges).select("doc_id", "n_words", "n_tokens")
+
+
+# --- Kneser-Ney bigram LM scoring (round 4 late) --------------------------------------
+# The REAL CCNet decision is a KenLM n-gram model with (modified) Kneser-Ney
+# smoothing; text_ppl_proxy above keeps only the unigram shape. This entry
+# trains the standard interpolated-KN BIGRAM model on the corpus itself and
+# scores every document with it — the full smoothing math (absolute
+# discount, continuation probability, backoff mass), distributed:
+#
+#   P_KN(w2|w1) = (c(w1,w2) - D)/c(w1·)  +  D·T(w1)/c(w1·) · Pc(w2)
+#   Pc(w2)      = |{w1 : c(w1,w2)>0}| / |bigram types|
+#
+# with D = 0.75 (the textbook discount). Scored on the training corpus every
+# bigram has c ≥ 1, so the max(·,0) clamp never binds and the probability is
+# strictly positive.
+#
+# Scale shape (100 TB): ONE explode builds the corpus bigram stream (the
+# per-doc bigram array is assembled as a JVM HOF before the explode — no
+# Python); all model tables derive from the bigram-TYPE table (Zipf-bounded,
+# orders of magnitude smaller than the corpus): c1/T per left word and the
+# continuation counts are each one groupBy over types. Scoring joins the
+# corpus bigram stream back to the per-type nll on (w1,w2) — AQE broadcasts
+# the model when it fits and falls back to a same-key shuffle join when it
+# doesn't; either way nothing is quadratic and no state is per-document.
+# Every per-bigram nll is quantized to e4 BEFORE the per-doc integer sum
+# (the established float-parity device), so the driver hash is exact.
+
+_KN_D = "75e-2"  # absolute discount, as a literal both engines parse DOUBLE
+
+_KN_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+    unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM w WHERE len(ws) >= 2
+), bg AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM pos GROUP BY w1, w2
+), l AS (
+  SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1, CAST(count(*) AS DOUBLE) AS t1
+  FROM bg GROUP BY w1
+), r AS (
+  SELECT w2, CAST(count(*) AS DOUBLE) AS cr FROM bg GROUP BY w2
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nt FROM bg
+), p AS (
+  SELECT bg.w1, bg.w2,
+    CAST(round(-ln(
+      ((bg.c12 - {_KN_D}) / l.c1)
+      + ((({_KN_D} * l.t1) / l.c1) * (r.cr / tot.nt))
+    ) * 10000, 0) AS BIGINT) AS nll_e4
+  FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+)
+SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(p.nll_e4) AS BIGINT) AS sum_nll_e4
+FROM pos JOIN p ON pos.w1 = p.w1 AND pos.w2 = p.w2
+GROUP BY pos.doc_id
+"""
+
+
+@register("text_ppl_kn", _KN_SQL)
+def q_text_ppl_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram negative-log-likelihood per document
+    (the CCNet/KenLM perplexity-filter decision at its real smoothing
+    math, trained and scored distributed). Docs with < 2 words have no
+    bigrams and are absent, mirrored by the oracle. Independent pure-Python
+    reference in tests/test_corpusml_kn.py."""
+    d = t(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id", F.expr(_WORDS_SPARK.format(col="lower(text)")).alias("ws")
+    ).where(F.size("ws") >= 2)
+    pos = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, "
+                "element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    # The bigram-TYPE table feeds FOUR consumers (c12 lookup, left counts,
+    # continuation counts, type total); without materialization Catalyst
+    # column-prunes each branch differently and re-explodes the CORPUS four
+    # times (no exchange reuse). Persisting the Zipf-bounded type table —
+    # the same persist discipline as functions/graph.py — caps the corpus
+    # work at exactly TWO passes (train + score), the honest LM shape at
+    # scale. Repeat invocations hit the same CacheManager entry.
+    from pyspark import StorageLevel
+
+    bg = (
+        pos.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    left = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("t1"),
+    )
+    right = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cr")
+    )
+    tot = bg.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    d_lit = F.lit(0.75)
+    prob = ((F.col("c12") - d_lit) / F.col("c1")) + (
+        ((d_lit * F.col("t1")) / F.col("c1"))
+        * (F.col("cr") / F.col("nt"))
+    )
+    model = (
+        bg.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(-F.log(prob) * 10000, 0).cast("bigint").alias("nll_e4"),
+        )
+    )
+    return (
+        pos.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_e4").alias("sum_nll_e4"),
+        )
+    )

@@ -824,3 +824,59 @@ def hll_totals(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("reg").alias("reg"))
     )
+
+
+# --- streaming joins (round 4 late): stream-static + stream-stream ----------
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static inner join: enrich an unbounded stream with a bounded
+    dimension table.
+
+    Scale shape: the dim side is explicitly ``broadcast()`` — the ONLY join
+    strategy that keeps a stream-static join stateless. Each micro-batch is
+    a map-side hash probe against the replicated dim; no state store, no
+    shuffle of the stream, and the watermark machinery is never involved
+    (the dim is re-resolved per micro-batch, so slowly-changing dims pick up
+    new snapshots between batches for free). At 100 TB of stream this is the
+    same per-executor cost as a batch broadcast join; a shuffled stream-
+    static join would instead re-shuffle EVERY micro-batch against the dim's
+    exchange. Dims too big to broadcast belong in the stream-stream path or
+    a pre-bucketed store, not here.
+    """
+    return stream.join(F.broadcast(dim), key)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cond: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str = "10 minutes",
+    watermark: str = "31 days",
+) -> DataFrame:
+    """Stream-stream INNER interval join: right-side rows match left-side
+    rows with the same key arriving within ``[left_ts, left_ts + max_gap]``
+    (the view→click / fetch→parse attribution shape).
+
+    Semantics + scale: both sides are watermarked, which is what lets the
+    state store EVICT — a left row is droppable once the right watermark
+    passes ``left_ts + max_gap``, so state is bounded by (rate × gap +
+    lateness SLA), not by stream length. INNER join results are emitted
+    eagerly on match (they never wait for the watermark — only outer-join
+    NULL emission does), so the matched set is deterministic under any
+    micro-batch split as long as the watermark delay covers the source's
+    real disorder: a right row in batch N joins left rows buffered from
+    batches < N out of the state store. The join itself shuffles both sides
+    by the equality key per micro-batch — same exchange as a batch shuffle
+    join, plus the keyed state lookup. Tests pin cross-micro-batch matching
+    (maxFilesPerTrigger=1) equal to the batch interval join.
+    """
+    cond = F.expr(
+        f"{key_cond} AND {right_ts} >= {left_ts} "
+        f"AND {right_ts} <= {left_ts} + interval {max_gap}"
+    )
+    return (
+        left.withWatermark(left_ts, watermark)
+        .join(right.withWatermark(right_ts, watermark), cond)
+    )

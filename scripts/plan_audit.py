@@ -759,6 +759,20 @@ def main() -> None:
         tree_of(q["extract_outline"](spark, sf)),
     ))
 
+    sections.append((
+        "text_ppl_kn (round 4 late — interpolated Kneser-Ney bigram LM)",
+        "The full KenLM-style smoothing math trained + scored with exactly "
+        "TWO corpus passes: one explode builds the PERSISTED Zipf-bounded "
+        "bigram-type table (without the persist Catalyst column-pruned "
+        "each model branch differently and re-exploded the corpus 4x — "
+        "caught in this audit), one explode streams bigrams into the "
+        "scoring join. All three model tables (left counts, continuation "
+        "counts, type total) aggregate the InMemoryRelation, never the "
+        "corpus. Per-doc bigram arrays are JVM HOFs — no Python anywhere. "
+        "Nothing quadratic, no per-doc state.",
+        tree_of(q["text_ppl_kn"](spark, sf), max_lines=24),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

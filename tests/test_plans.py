@@ -356,3 +356,20 @@ def test_snippets_plan_no_doc_side_explode(spark):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kn_plan_two_corpus_passes_no_python(spark):
+    """text_ppl_kn (round 4 late): the KN train+score DAG touches the
+    corpus exactly TWICE (one explode building the persisted bigram-type
+    table, one explode for scoring) and no Python evaluation — the three
+    model aggregations read the InMemoryRelation, never re-explode. The
+    first cut without the persist re-exploded the corpus 4x (Catalyst
+    column-pruned each branch differently, killing exchange reuse)."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_corpusml  # noqa: F401
+
+    plan = _plan(QUERIES["text_ppl_kn"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
+    assert "InMemoryTableScan" in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan

@@ -637,3 +637,144 @@ def test_incremental_extract_with_meta(spark, fixture_df, pages_dir,
         assert m == g["meta"], r.url
         n_titled += bool(m["title"])
     assert n_titled > 50  # the corpus has real titles
+
+
+# --- streaming joins (round 4 late) ------------------------------------------
+
+def _mk_ts(minute):
+    import datetime
+
+    return datetime.datetime(2024, 3, 1, 12, minute, 0)
+
+
+def test_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """Stream-stream interval join: a click arriving in micro-batch N must
+    join a view buffered in batch N-1's state store. Clicks arrive as TWO
+    files with maxFilesPerTrigger=1; the kept pair set equals an
+    independent pure-Python nested-loop interval join, whichever file the
+    source picks first."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.incremental import (
+        _BatchCommitter,
+        stream_interval_join,
+    )
+
+    views = [  # (user_id, view_id, minute)
+        (1, 100, 0), (1, 101, 30), (2, 200, 5), (3, 300, 10),
+    ]
+    clicks_a = [  # (user_id, click_id, minute) — first file
+        (1, 900, 4), (2, 901, 5), (3, 902, 40),
+    ]
+    clicks_b = [  # second file: 903/905 must match batch-0 view state
+        (1, 903, 9), (1, 904, 50), (1, 905, 33), (2, 906, 25),
+    ]
+    gap_min = 10
+
+    # independent reference: nested-loop interval join
+    expected = set()
+    for vu, vid, vm in views:
+        for cu, cid, cm in clicks_a + clicks_b:
+            if vu == cu and vm <= cm <= vm + gap_min:
+                expected.add((vu, vid, cid, (cm - vm) * 60000))
+    assert len(expected) == 4  # incl. 2 cross-file matches (903, 905)
+
+    v_dir = str(tmp_path / "views")
+    c_dir = str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [(u, i, _mk_ts(m)) for u, i, m in views],
+        "user_id long, view_id long, v_ts timestamp",
+    ).coalesce(1).write.parquet(v_dir)
+    for name, rows in (("a", clicks_a), ("b", clicks_b)):
+        spark.createDataFrame(
+            [(u, i, _mk_ts(m)) for u, i, m in rows],
+            "c_user long, click_id long, c_ts timestamp",
+        ).coalesce(1).write.parquet(str(tmp_path / f"c_{name}"))
+        import glob
+        import shutil as sh
+
+        os.makedirs(c_dir, exist_ok=True)
+        part = glob.glob(str(tmp_path / f"c_{name}" / "part-*.parquet"))[0]
+        sh.copy(part, os.path.join(c_dir, f"clicks_{name}.parquet"))
+
+    v = spark.readStream.schema(
+        "user_id long, view_id long, v_ts timestamp"
+    ).parquet(v_dir)
+    c = (
+        spark.readStream.schema(
+            "c_user long, click_id long, c_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+    )
+    joined = stream_interval_join(
+        v, c, "user_id = c_user", "v_ts", "c_ts", f"{gap_min} minutes"
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_millis("c_ts") - F.unix_millis("v_ts")).alias("gap_ms"),
+    )
+    out = str(tmp_path / "out")
+    committer = _BatchCommitter(out, "t-ij")
+    _drain(
+        joined.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+    )
+    assert len(committer.committed()) >= 2  # clicks really split batches
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.gap_ms)
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    assert got == expected
+
+    # replay with the same checkpoint: no new batches, no duplicate rows
+    committer2 = _BatchCommitter(out, "t-ij")
+    _drain(
+        joined.writeStream.foreachBatch(committer2)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+    )
+    assert spark.read.parquet(f"{out}/data").count() == len(expected)
+
+
+def test_stream_static_enrich_stateless_broadcast(spark, tmp_path):
+    """Stream-static join: enriched rows equal the batch join, and the
+    streaming plan never instantiates a state store (the dim is a broadcast
+    probe — progress reports zero stateful operators)."""
+    from ocr_spark.streaming.incremental import (
+        _BatchCommitter,
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "src")
+    events = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "event_id long, user_id long"
+    )
+    events.coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "C")], "user_id long, segment string"
+    )
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(
+        src
+    )
+    out = str(tmp_path / "out")
+    committer = _BatchCommitter(out, "t-sj")
+    q = (
+        stream_static_enrich(stream, dim, "user_id")
+        .writeStream.foreachBatch(committer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.lastProgress
+    assert prog is not None and prog["stateOperators"] == []  # stateless
+
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    expected = {
+        (r.event_id, r.segment) for r in events.join(dim, "user_id").collect()
+    }
+    assert got == expected and len(expected) == 30  # user 3 unmatched
