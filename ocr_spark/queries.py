@@ -735,7 +735,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_join_static + stream_join_interval (streaming joins: broadcast
 # stream-static enrich, watermarked stream-stream interval join — real
 # availableNow drains under batch value-hash oracles), text_ppl_kn
-# (interpolated Kneser-Ney bigram LM, two-corpus-pass persist shape) —
+# (interpolated Kneser-Ney bigram LM, two-corpus-pass persist shape),
+# pipe_ppl_buckets (CCNet head/middle/tail terciles, integer-exact
+# percentile_disc over the distinct-score histogram) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

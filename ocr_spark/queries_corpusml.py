@@ -798,7 +798,7 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KN_D = "75e-2"  # absolute discount, as a literal both engines parse DOUBLE
 
-_KN_SQL = f"""
+_KN_CTES = f"""
 WITH w AS (
   SELECT doc_id,
     list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
@@ -824,12 +824,15 @@ WITH w AS (
       + ((({_KN_D} * l.t1) / l.c1) * (r.cr / tot.nt))
     ) * 10000, 0) AS BIGINT) AS nll_e4
   FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+), kn AS (
+  SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum(p.nll_e4) AS BIGINT) AS sum_nll_e4
+  FROM pos JOIN p ON pos.w1 = p.w1 AND pos.w2 = p.w2
+  GROUP BY pos.doc_id
 )
-SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-  CAST(sum(p.nll_e4) AS BIGINT) AS sum_nll_e4
-FROM pos JOIN p ON pos.w1 = p.w1 AND pos.w2 = p.w2
-GROUP BY pos.doc_id
 """
+
+_KN_SQL = _KN_CTES + "SELECT doc_id, n_bigrams, sum_nll_e4 FROM kn"
 
 
 @register("text_ppl_kn", _KN_SQL)
@@ -897,4 +900,90 @@ def q_text_ppl_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("nll_e4").alias("sum_nll_e4"),
         )
+    )
+
+
+# --- CCNet head/middle/tail perplexity buckets (round 4 late) -------------------------
+# CCNet's published pipeline splits each language's corpus into perplexity
+# TERCILES — "head" (lowest perplexity, cleanest), "middle", "tail" — and
+# most LLM data recipes keep head+middle. This entry composes the KN model
+# above into that decision, with the thresholds computed EXACTLY and
+# scale-right:
+#
+#   score      = per-doc avg nll per bigram, integer (sum_nll_e4 div n)
+#   thresholds = percentile_disc(1/3), percentile_disc(2/3) of the score
+#                distribution — computed as a cumulative sum over the
+#                DISTINCT-SCORE histogram, never a global sort of docs:
+#                the window runs over |distinct scores| rows (bounded by
+#                the e4 quantization, vastly smaller than the corpus),
+#                while the doc-level work stays groupBy/broadcast-join.
+#   bucket     = score <= t1 -> 'head', <= t2 -> 'middle', else 'tail'
+#
+# Ties share a bucket (the split is by SCORE, percentile_disc semantics),
+# so bucket sizes are n/3 only up to ties — deterministic on both engines,
+# no float percentile interpolation anywhere.
+
+_PPL_BUCKETS_SQL = _KN_CTES + """
+, scored AS (
+  SELECT doc_id, sum_nll_e4 // n_bigrams AS avg_nll_e4 FROM kn
+), hist AS (
+  SELECT avg_nll_e4, count(*) AS c FROM scored GROUP BY avg_nll_e4
+), cum AS (
+  SELECT avg_nll_e4, sum(c) OVER (ORDER BY avg_nll_e4) AS cum FROM hist
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM scored
+), thr AS (
+  SELECT
+    min(CASE WHEN cum >= (nd.n + 2) // 3 THEN avg_nll_e4 END) AS t1,
+    min(CASE WHEN cum >= (2 * nd.n + 2) // 3 THEN avg_nll_e4 END) AS t2
+  FROM cum CROSS JOIN nd
+)
+SELECT s.doc_id, s.avg_nll_e4,
+  CASE WHEN s.avg_nll_e4 <= thr.t1 THEN 'head'
+       WHEN s.avg_nll_e4 <= thr.t2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM scored s CROSS JOIN thr
+"""
+
+
+@register("pipe_ppl_buckets", _PPL_BUCKETS_SQL)
+def q_pipe_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles over the Kneser-Ney doc scores.
+    Thresholds via integer-exact percentile_disc on the distinct-score
+    histogram (window over bounded-cardinality rows, not a doc sort);
+    docs join the 1-row threshold frame broadcast."""
+    kn = q_text_ppl_kn(spark, sf_dir)
+    scored = kn.select(
+        "doc_id", F.expr("sum_nll_e4 div n_bigrams").alias("avg_nll_e4")
+    )
+    hist = scored.groupBy("avg_nll_e4").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("avg_nll_e4").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("avg_nll_e4", F.sum("c").over(w).alias("cum"))
+    nd = scored.agg(F.count(F.lit(1)).alias("n"))
+    thr = (
+        cum.crossJoin(F.broadcast(nd))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) div 3"),
+                    F.col("avg_nll_e4"),
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                    F.col("avg_nll_e4"),
+                )
+            ).alias("t2"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_nll_e4",
+        F.when(F.col("avg_nll_e4") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll_e4") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
     )

@@ -102,3 +102,39 @@ def test_kn_probabilities_sum_to_one_per_context():
             for w2 in vocab_r
         )
         assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+def test_ppl_buckets_match_pure_python(spark, kn_rows, tmp_path_factory):
+    """CCNet terciles: bucket assignment equals an independent pure-Python
+    percentile_disc over the reference scores (ties share a bucket)."""
+    from ocr_spark.queries import all_queries
+
+    ref = _ref()
+    scores = {i: s // n for i, (n, s) in ref.items()}
+    ordered = sorted(scores.values())
+    n = len(ordered)
+
+    def disc(k):  # smallest score with cumulative count >= k
+        return ordered[k - 1]
+
+    t1, t2 = disc((n + 2) // 3), disc((2 * n + 2) // 3)
+    want = {
+        i: (
+            s,
+            "head" if s <= t1 else ("middle" if s <= t2 else "tail"),
+        )
+        for i, s in scores.items()
+    }
+
+    sf = str(tmp_path_factory.mktemp("knb"))
+    spark.createDataFrame(
+        [(i, s, "en", "test", len(s)) for i, s in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    q = all_queries()["pipe_ppl_buckets"]
+    got = {
+        r.doc_id: (r.avg_nll_e4, r.ppl_bucket)
+        for r in q(spark, sf).collect()
+    }
+    assert got == want
+    assert set(b for _, b in got.values()) == {"head", "middle", "tail"}
