@@ -108,6 +108,9 @@ HEADLINE = [
     "mm_phash_dedup",       # multimodal: aHash image dedup (real BMP decode)
     "extract_langid_wrapped",  # webtext: language-recovering extraction (real parse)
     "search_snippets",      # retrieval: explode-free first-occurrence windows
+    "text_ppl_kn",          # training-data: Kneser-Ney bigram LM (2 corpus passes)
+    "pipe_ppl_buckets",     # corpus prep: CCNet head/middle/tail terciles
+    "dedup_containment",    # training-data: quote/subset containment pairs
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -1032,3 +1032,35 @@ def corpus_pages(spark: SparkSession, n: int, n_hosts: int = 50) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         lang.alias("lang"),
     )
+
+
+def bench_docs(spark: SparkSession, n: int, n_words: int = 24) -> DataFrame:
+    """Deterministic documents-shaped table for the SHUFFLE-path scaling
+    bench (scripts/shuffle_scaling.py) — pure column expressions, seeded,
+    no Python rows.
+
+    Dup structure mirrors corpus_pages: ~3% exact duplicates (doc i
+    renders doc i-1's words verbatim) and ~3% near duplicates (i-1's words
+    with every 8th word replaced by an i-derived word — well above the
+    64/16 banding knee), everything else pairwise-unique hex-word salad.
+    Docs are SHORT on purpose: the near-dup keeper pass is then
+    exchange-dominated rather than signature-map-dominated, which is what
+    the shuffle scaling evidence needs to measure."""
+    df = spark.range(n).withColumnRenamed("id", "i")
+    kind = F.abs(F.xxhash64(F.col("i"), F.lit(7))) % 33
+    src = F.when(
+        ((kind == 0) | (kind == 1)) & (F.col("i") > 0), F.col("i") - 1
+    ).otherwise(F.col("i"))
+    df = df.withColumn("kind", kind).withColumn("s", src)
+    word = (
+        "CASE WHEN kind = 1 AND s != i AND k % 8 = 0"
+        " THEN hex(xxhash64(i, CAST(k AS BIGINT), 99))"
+        " ELSE hex(xxhash64(s, CAST(k AS BIGINT), 17)) END"
+    )
+    return df.select(
+        F.col("i").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(0, {n_words - 1}),"
+            f" k -> {word}), ' ')"
+        ).alias("text"),
+    )

@@ -737,7 +737,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # availableNow drains under batch value-hash oracles), text_ppl_kn
 # (interpolated Kneser-Ney bigram LM, two-corpus-pass persist shape),
 # pipe_ppl_buckets (CCNet head/middle/tail terciles, integer-exact
-# percentile_disc over the distinct-score histogram) —
+# percentile_disc over the distinct-score histogram), dedup_containment
+# (Broder containment over a df-capped shingle inverted index — the
+# asymmetric quote/subset pairs resemblance LSH misses) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

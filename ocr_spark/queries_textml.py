@@ -1318,3 +1318,120 @@ def q_extract_langid_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_text",
         "text_sha256",
     )
+
+
+# --- containment near-dup (round 4 late) ----------------------------------------------
+# Broder's OTHER similarity measure: containment c(A,B) = |A∩B| / |A| over
+# shingle sets. Resemblance (Jaccard) LSH structurally MISSES asymmetric
+# pairs — a 30-word quote embedded in a 3000-word page has Jaccard ≈ 0.01
+# but containment ≈ 1.0 — and quote/subset detection is exactly what a
+# training-corpus pipeline needs when pages wholesale-embed other pages.
+# Candidates therefore do NOT come from the resemblance bands; they come
+# from a shingle inverted index:
+#
+#   inv    = (shingle, doc) over DISTINCT per-doc 3-word shingles (linear)
+#   df cap = shingles shared by > MAX_DF docs are dropped from candidate
+#            generation (boilerplate stop-shingles; the same knob as the
+#            substring family's max_df — without it one viral shingle
+#            makes a quadratic bucket)
+#   pairs  = self-join on the shingle key, count shared shingles per pair,
+#            keep pairs sharing >= MIN_SHARED (prunes incidental overlap
+#            before the expensive verify)
+#   verify = EXACT containment from the full (uncapped) shingle sets —
+#            the df cap only gates candidate generation, never the score.
+#
+# Quadratic only within a df-capped shingle's posting list (<= MAX_DF^2
+# per shingle), the same documented bound as every LSH bucket join here.
+
+CONT_MAX_DF = 64     # posting-list cap for candidate generation
+CONT_MIN_SHARED = 3  # shared distinct shingles to become a candidate pair
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH w0 AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), d AS (
+  SELECT doc_id,
+    list_distinct({_SHINGLES_SQL}) AS sh
+  FROM w0
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM d
+), keep AS (
+  SELECT s FROM inv GROUP BY s
+  HAVING count(*) BETWEEN 2 AND {CONT_MAX_DF}
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT i.doc_id, i.s FROM inv i JOIN keep USING (s)) a
+  JOIN (SELECT i.doc_id, i.s FROM inv i JOIN keep USING (s)) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {CONT_MIN_SHARED}
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(round(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+    * 1000000.0 / len(da.sh), 0) AS BIGINT) AS cont_a_ppm,
+  CAST(round(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+    * 1000000.0 / len(db.sh), 0) AS BIGINT) AS cont_b_ppm
+FROM cand c
+JOIN d da ON da.doc_id = c.doc_a
+JOIN d db ON db.doc_id = c.doc_b
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set containment pairs (quote/subset detection — the
+    asymmetric near-dup family resemblance LSH cannot see). Candidates
+    from a df-capped shingle inverted index, scores EXACT from the full
+    sets; see the block comment for the scale bounds."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.expr(_WORDS_SPARK.format(col="text")).alias("w")
+    ).select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh")
+    )
+    return _containment_pairs(d)
+
+
+def _containment_pairs(d: DataFrame) -> DataFrame:
+    inv = d.select("doc_id", F.explode("sh").alias("s"))
+    keep = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= CONT_MAX_DF))
+        .select("s")
+    )
+    capped = inv.join(keep, "s")
+    a = capped.alias("ca")
+    b = capped.alias("cb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ca.s") == F.col("cb.s"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= CONT_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    da = d.alias("da")
+    db = d.alias("db")
+    inter = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
+    return (
+        cand.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter * 1000000.0 / F.size(F.col("da.sh")), 0)
+            .cast("bigint")
+            .alias("cont_a_ppm"),
+            F.round(inter * 1000000.0 / F.size(F.col("db.sh")), 0)
+            .cast("bigint")
+            .alias("cont_b_ppm"),
+        )
+    )

@@ -773,6 +773,20 @@ def main() -> None:
         tree_of(q["text_ppl_kn"](spark, sf), max_lines=24),
     ))
 
+    sections.append((
+        "dedup_containment (round 4 late — Broder containment / quote "
+        "detection)",
+        "Candidates come from equi-joins on the shingle key of a df-capped "
+        "inverted index — no cartesian, no BNLJ; quadratic work is bounded "
+        "per posting list by MAX_DF, the same documented bound as every "
+        "LSH bucket join. The shingle explode recomputes per consumer "
+        "deliberately: re-running a linear map beats persisting a "
+        "corpus-sized inverted index (contrast text_ppl_kn, whose REUSED "
+        "table is vocab-sized and therefore persisted). Verify joins move "
+        "only candidate pairs plus their two shingle arrays.",
+        tree_of(q["dedup_containment"](spark, sf), max_lines=20),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

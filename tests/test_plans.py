@@ -373,3 +373,19 @@ def test_kn_plan_two_corpus_passes_no_python(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
     assert "InMemoryTableScan" in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_containment_plan_no_cartesian_no_python(spark):
+    """dedup_containment (round 4 late): candidates come from equi-joins on
+    the shingle key — never a cartesian/BNLJ — and the whole pass is
+    JVM-side. (The shingle explode recomputes per consumer: re-running a
+    linear map is the right trade against persisting a corpus-sized
+    inverted index, unlike text_ppl_kn where the reused table is
+    vocab-sized.)"""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_textml  # noqa: F401
+
+    plan = _plan(QUERIES["dedup_containment"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
