@@ -691,7 +691,12 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      for r04, nothing more may be added ahead of the tail this round;
 #   6. everything r03-graded goes to the tail list.
 #
-# ROUND-5 ROTATION PLAN (do this at the start of r05): the r04 head is
+# ROUND-5 ROTATION PLAN (do this at the start of r05): FIRST in
+# _PRIORITY_R05 goes sim_ann_search — changed post-r03-grading (the r03
+# single-probe form was green on 0 rows at sf0.01, zero hash signal; now a
+# 10-probe batch with per-probe window top-k, 18 rows — locally
+# oracle-verified, but its freshest driver row predates the code, the same
+# situation join_cross led r04 for). Then: the r04 head is
 # EXACTLY the 50-cap (35 rotation + 14 corpus-block-2 + extract_links),
 # so the entries missing an r04 row are (a) the 13 LATE round-4 webgraph
 # entries past the cap (graph_hostlinks, graph_pagerank,

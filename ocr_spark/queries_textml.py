@@ -605,38 +605,58 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT vec_id, label, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
 ), p AS (
-  SELECT bucket, embedding AS probe FROM b WHERE vec_id = 0
+  SELECT vec_id AS probe_id, embedding AS probe, bucket AS pbucket
+  FROM b WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT p.probe_id, c.vec_id, c.label,
+    CAST(round({_DOT_SQL}
+      / ({_NORM_SQL.format(col='embedding')} * {_NORM_SQL.format(col='probe')}),
+      6) AS DOUBLE) AS cosine
+  FROM b c JOIN p ON c.bucket = p.pbucket AND c.vec_id <> p.probe_id
 )
-SELECT c.vec_id, c.label,
-  CAST(round({_DOT_SQL}
-    / ({_NORM_SQL.format(col='embedding')} * {_NORM_SQL.format(col='probe')}),
-    6) AS DOUBLE) AS cosine
-FROM b c JOIN p ON c.bucket = p.bucket
-WHERE c.vec_id <> 0
-ORDER BY cosine DESC, c.vec_id
-LIMIT 10
+SELECT probe_id, vec_id, label, cosine FROM (
+  SELECT probe_id, vec_id, label, cosine,
+    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
 """,
 )
 def q_sim_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANN scale path: candidates are restricted to the probe's LSH
-    bucket (a broadcast semi-filter — at cluster scale a shuffle on bucket
-    replaces the all-pairs scan), then exact cosine top-k within it."""
+    """The ANN scale path: candidates restricted to each probe's own LSH
+    bucket (single-probe, no Hamming fan-out — the recall/cost floor the
+    multiprobe variant improves on), exact cosine re-rank within the
+    bucket, per-probe window top-k.
+
+    CHANGED post-r03 grading: the r03 form used ONE probe (vec_id=0),
+    whose bucket happens to be empty of co-residents at sf0.01, so the
+    driver row was green on 0 rows — no value-hash signal. Now a probe
+    TABLE (vec_id % 50 = 0 → 10 probes at sf0.01, 18 result rows), same
+    plan family as production batch ANN: probes broadcast while small (at
+    cluster scale the identical plan shuffles both sides on `bucket`),
+    candidates never leave their bucket, ranking shuffle keyed by
+    probe_id. Leads the r05 regrade list (see _PRIORITY_R05 note)."""
     e = t(spark, sf_dir, "embeddings").withColumn(
         "bucket", F.expr(_BUCKET_SPARK)
     )
-    probe = e.filter(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("pbucket"), F.col("embedding").alias("probe")
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe"),
+        F.col("bucket").alias("pbucket"),
     )
     cos = F.expr(
         f"round({_DOT_SPARK} / ({_NORM_SPARK.format(col='embedding')}"
         f" * {_NORM_SPARK.format(col='probe')}), 6)"
     ).cast("double")
+    scored = e.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pbucket"))
+        & (F.col("vec_id") != F.col("probe_id")),
+    ).select("probe_id", "vec_id", "label", cos.alias("cosine"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
-        e.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(probe), F.col("bucket") == F.col("pbucket"))
-        .select("vec_id", "label", cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(10)
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
     )
 
 

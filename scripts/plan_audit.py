@@ -126,9 +126,9 @@ def main() -> None:
 
     sections.append((
         "sim_ann_search (LSH-bucketed ANN)",
-        "The probe row is broadcast; candidate filtering happens where the "
-        "embeddings already live. TakeOrderedAndProject caps the result "
-        "without a global sort.",
+        "The probe TABLE is broadcast; candidate filtering happens where "
+        "the embeddings already live, and the only shuffle is the "
+        "probe_id-keyed window top-k — never a global sort.",
         tree_of(q["sim_ann_search"](spark, sf)),
     ))
 

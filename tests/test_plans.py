@@ -83,12 +83,15 @@ def test_broadcast_join_plan(spark):
 
 
 def test_ann_search_broadcasts_probe(spark):
-    """sim_ann_search: the probe side is broadcast, the embeddings table is
-    never exchanged for the join."""
+    """sim_ann_search: the probe TABLE is broadcast, the embeddings table
+    is never exchanged for the join, and the per-probe top-k never plans a
+    cartesian shape."""
     import __spark_entry__ as em
 
     plan = _plan(em.queries()["sim_ann_search"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_range_joins_avoid_nested_loop(spark):
