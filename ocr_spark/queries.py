@@ -744,7 +744,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipe_ppl_buckets (CCNet head/middle/tail terciles, integer-exact
 # percentile_disc over the distinct-score histogram), dedup_containment
 # (Broder containment over a df-capped shingle inverted index — the
-# asymmetric quote/subset pairs resemblance LSH misses) —
+# asymmetric quote/subset pairs resemblance LSH misses),
+# scan_jsonl_roundtrip + scan_csv_roundtrip + scan_orc_roundtrip
+# (text-format connectors: hostile-column exports read back under the
+# value hash — escaping/dialect/timestamp/nested-type coverage) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -824,6 +827,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_webtables  # noqa: F401
     from ocr_spark import queries_paradedup  # noqa: F401
     from ocr_spark import queries_streamjoin  # noqa: F401
+    from ocr_spark import queries_formats  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

@@ -1,0 +1,128 @@
+"""Text-format connector round-trips: JSONL, CSV, ORC under the value hash.
+
+`documents.text` in the synthetic tables is serialization-benign (no
+newlines, quotes or separators), so each round trip here adds a
+deterministic doc_id-derived `tricky` column that concentrates the failure
+modes of text formats — embedded double quotes, a field-internal newline,
+a comma, a backslash, a non-ASCII codepoint — plus an instant-typed
+timestamp and (for the formats that carry them) a nested struct and an
+array. The DuckDB oracle rebuilds every value arithmetically from the
+parquet table and NEVER sees the exported bytes: the hash therefore covers
+the writer's escaping/quoting, the reader's dialect, timestamp
+serialization both ways, and nested-type JSON encoding. A lossy dialect
+(unquoted newline, mangled escape, timezone-shifted timestamp, PERMISSIVE
+null-out) breaks the hash.
+
+Scale notes: these are IO-edge operators — the in-plan tmp-dir write is
+the test harness, not the production shape. Production exports control
+shard count explicitly (sources/textfmt.write_jsonl(num_shards=...)); gzip
+shards are the unit of read parallelism (not splittable), so the writer's
+shard size is a first-class knob. Reads are schema-mandatory: inference
+over 100 TB of JSONL is a full extra scan, refused by construction.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import register, t
+from ocr_spark.sources import textfmt
+
+# One expression per engine, same value per row: every hostile character a
+# text format must escape, derived from columns both engines can see.
+_TRICKY_SPARK = (
+    "concat('q=\"', split(text, ' ')[0], '\",', char(10),"
+    " 'u=é', char(92), CAST(doc_id % 7 AS STRING))"
+)
+_TRICKY_SQL = (
+    "'q=\"' || split_part(text, ' ', 1) || '\",' || chr(10)"
+    " || 'u=é' || chr(92) || CAST(doc_id % 7 AS VARCHAR)"
+)
+_TS_SPARK = "timestamp_seconds(1600000000 + doc_id * 3600)"
+_TS_US_SQL = "(1600000000 + doc_id * 3600) * 1000000"
+
+_NESTED_SQL = f"""
+SELECT doc_id, lang, source, n_chars, text,
+  {_TRICKY_SQL} AS tricky,
+  {_TS_US_SQL} AS ts_us,
+  lang AS meta_lang, n_chars AS meta_n,
+  array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS toks3
+FROM documents
+"""
+
+_FLAT_SQL = f"""
+SELECT doc_id, lang, source, n_chars, text,
+  {_TRICKY_SQL} AS tricky,
+  {_TS_US_SQL} AS ts_us
+FROM documents
+"""
+
+
+def _hostile(spark: SparkSession, sf_dir: str, nested: bool) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text",
+        F.expr(_TRICKY_SPARK).alias("tricky"),
+        F.expr(_TS_SPARK).alias("ts"),
+    )
+    if nested:
+        d = d.withColumn(
+            "meta", F.expr("named_struct('ml', lang, 'mn', n_chars)")
+        ).withColumn("toks", F.expr("slice(split(text, ' '), 1, 3)"))
+    return d
+
+
+def _unpack(back: DataFrame, nested: bool) -> DataFrame:
+    cols = [
+        F.col("doc_id"), F.col("lang"), F.col("source"), F.col("n_chars"),
+        F.col("text"), F.col("tricky"),
+        F.unix_micros("ts").alias("ts_us"),
+    ]
+    if nested:
+        cols += [
+            F.col("meta.ml").alias("meta_lang"),
+            F.col("meta.mn").alias("meta_n"),
+            F.concat_ws("|", "toks").alias("toks3"),
+        ]
+    return back.select(*cols)
+
+
+@register("scan_jsonl_roundtrip", _NESTED_SQL)
+def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + hostile columns → 4 `.json.gz` JSONL shards → explicit-
+    schema read-back. JSON string escaping (\\n, \\", backslash, unicode),
+    instant-preserving timestamp serialization, struct and array encoding
+    are all under the hash — the oracle recomputes values from parquet and
+    never parses a JSON byte."""
+    base = _hostile(spark, sf_dir, nested=True)
+    work = tempfile.mkdtemp(prefix="ocr-spark-jsonl-")
+    path = os.path.join(work, "export")
+    textfmt.write_jsonl(base, path, num_shards=4)
+    return _unpack(textfmt.read_jsonl(spark, path, base.schema), nested=True)
+
+
+@register("scan_csv_roundtrip", _FLAT_SQL)
+def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract through headered CSV: the tricky field carries an
+    embedded quote, comma AND newline, so the writer must quote+double and
+    the reader must parse multiLine records — a lossy dialect nulls or
+    shears the field and breaks the hash. (No struct/array: CSV is flat.)"""
+    base = _hostile(spark, sf_dir, nested=False)
+    work = tempfile.mkdtemp(prefix="ocr-spark-csv-")
+    path = os.path.join(work, "export")
+    textfmt.write_csv(base, path, num_shards=4)
+    return _unpack(textfmt.read_csv(spark, path, base.schema), nested=False)
+
+
+@register("scan_orc_roundtrip", _NESTED_SQL)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar sibling: ORC write/read with nested types. Binary-safe by
+    construction — this entry gates the ORC type mapping (timestamp,
+    struct, array) rather than escaping."""
+    base = _hostile(spark, sf_dir, nested=True)
+    work = tempfile.mkdtemp(prefix="ocr-spark-orc-")
+    path = os.path.join(work, "export")
+    textfmt.write_orc(base, path, num_shards=4)
+    return _unpack(textfmt.read_orc(spark, path), nested=True)
