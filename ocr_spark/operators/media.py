@@ -1,12 +1,15 @@
 """REAL media decode for codec-free formats: BMP (24-bit uncompressed)
-images and WAV (PCM16) audio, pure numpy/stdlib.
+and PNG (8-bit grey/RGB/RGBA) images, netpbm, and WAV (PCM16) audio, pure
+numpy/stdlib.
 
 The container has no image/audio codec libraries, so `multimodal.py`
-honestly stubs JPEG/PNG/MP4 decode behind NotImplementedError. But two
-formats need no codec at all — BMP's pixel array is raw bytes behind a
-54-byte header, and WAV PCM is raw int16 frames behind RIFF chunks — so
-for these the decode path is REAL: header parsing, row padding, bottom-up
-vs top-down row order, chunk walking, all implemented and all under test.
+honestly stubs JPEG/MP4 decode behind NotImplementedError. But several
+formats need no external codec at all — BMP's pixel array is raw bytes
+behind a 54-byte header, WAV PCM is raw int16 frames behind RIFF chunks,
+and PNG's only defined compression method IS stdlib zlib — so for these
+the decode path is REAL: header/chunk parsing, row padding, bottom-up vs
+top-down row order, CRC verification, inflate, and the five PNG scanline
+filters, all implemented and all under test.
 
 Execution shape is the multimodal contract: payloads stay columnar
 binary, every stage is an Arrow-batched ``mapInPandas`` (no per-row
@@ -26,6 +29,7 @@ malformed or unsupported.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -431,3 +435,211 @@ def netpbm_features(
             )
 
     return df.mapInPandas(fn, _PNM_FEAT_SCHEMA)
+
+
+# --- PNG (8-bit greyscale / RGB / RGBA, non-interlaced) ------------------------------
+# PNG needs no external codec either: the container's stdlib zlib IS the
+# PNG compression method (method 0 is the only one the spec defines), so a
+# real decoder is chunk walking + inflate + the five scanline filters.
+# Supported honestly: bit depth 8, color types 0 (grey), 2 (RGB),
+# 6 (RGBA), interlace 0. Rejected as ok=false (never an exception):
+# palette (3) and grey+alpha (4) images, 16-bit depth, Adam7 interlace,
+# bad chunk CRCs, truncated/over-long rasters, unknown filter bytes.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes, corrupt_crc: bool = False) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    if corrupt_crc:
+        crc ^= 0xFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int,
+    interlace: int = 0,
+    corrupt_crc: bool = False,
+    split_idat: bool = True,
+) -> bytes:
+    """(h, w, ch) uint8 -> PNG bytes. Test/synth side: row r is written
+    with filter type r % 5, so a decoder must invert ALL five filters to
+    recover any image taller than 4 rows; the IDAT stream is split into
+    two chunks (multi-IDAT concatenation is part of the spec and a classic
+    decoder gap). ``corrupt_crc`` / ``interlace=1`` synthesize the reject
+    families."""
+    h, w, ch = pixels.shape
+    bpp = ch
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int64)
+    for r in range(h):
+        recon = pixels[r].reshape(-1).astype(np.int64)
+        t = r % 5
+        raw.append(t)
+        if t == 0:
+            filt = recon
+        elif t == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), recon[:-bpp]])
+            filt = (recon - left) % 256
+        elif t == 2:  # Up
+            filt = (recon - prior) % 256
+        elif t == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), recon[:-bpp]])
+            filt = (recon - (left + prior) // 2) % 256
+        else:  # Paeth
+            filt = np.empty_like(recon)
+            for i in range(len(recon)):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                filt[i] = (int(recon[i]) - _paeth(a, b, c)) % 256
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = recon
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    comp = zlib.compress(bytes(raw), 6)
+    mid = len(comp) // 2
+    idats = (
+        _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:], corrupt_crc=corrupt_crc)
+        if split_idat
+        else _png_chunk(b"IDAT", comp, corrupt_crc=corrupt_crc)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes | None) -> np.ndarray | None:
+    """PNG bytes -> (h, w, ch) uint8 array, or None for anything outside
+    the supported profile or malformed at any layer (signature, chunk
+    framing, per-chunk CRC, IHDR fields, zlib stream, raster length,
+    filter bytes).
+
+    Written against the spec, not the sibling encoder: chunk CRCs are
+    verified, IDAT chunks are concatenated before ONE inflate, and the
+    five filters are inverted with the exact recon arithmetic (including
+    Paeth's tie-break order). The unfilter loop is per-byte Python for
+    Sub/Average/Paeth rows (the spec makes them sequentially dependent);
+    Up rows vectorize. At corpus scale this is the honest stdlib-only
+    cost — a native pixel library would slot in behind the same
+    mapInPandas signature."""
+    if data is None or len(data) < len(_PNG_SIG) + 12:
+        return None
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    saw_end = False
+    while pos + 12 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen or pos + 12 + clen > len(data):
+            return None  # truncated chunk
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            if ihdr is not None or clen != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not saw_end or not idat:
+        return None
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt_m != 0:
+        return None
+    if interlace != 0 or w == 0 or h == 0 or w > 1 << 16 or h > 1 << 16:
+        return None
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        return None
+    bpp = ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        row = raw[r * (1 + stride) : (r + 1) * (1 + stride)]
+        t = row[0]
+        filt = np.frombuffer(row, dtype=np.uint8, offset=1).astype(np.int64)
+        if t == 0:
+            recon = filt
+        elif t == 2:  # Up
+            recon = (filt + prior) % 256
+        elif t in (1, 3, 4):
+            recon = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                if t == 1:  # Sub
+                    recon[i] = (filt[i] + a) % 256
+                elif t == 3:  # Average
+                    recon[i] = (filt[i] + (a + int(prior[i])) // 2) % 256
+                else:  # Paeth
+                    c = int(prior[i - bpp]) if i >= bpp else 0
+                    recon[i] = (filt[i] + _paeth(a, int(prior[i]), c)) % 256
+        else:
+            return None  # unknown filter type
+        out[r] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(h, w, ch)
+
+
+_PNG_FEAT_SCHEMA = (
+    "doc_id bigint, ok boolean, width int, height int, channels int,"
+    " sum_c0 bigint, sum_c1 bigint, sum_c2 bigint, sum_c3 bigint"
+)
+
+
+def png_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary PNG payload -> (ok, width, height, channels, per-channel
+    pixel sums; absent channels null) via the real decoder; anything
+    outside the supported profile yields an ok=false null row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png(p)
+                if px is None:
+                    rows.append(
+                        (i, False, None, None, None, None, None, None, None)
+                    )
+                    continue
+                h, w, ch = px.shape
+                s = px.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+                sums = [int(s[k]) if k < ch else None for k in range(4)]
+                rows.append((i, True, w, h, ch, *sums))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "width", "height", "channels",
+                    "sum_c0", "sum_c1", "sum_c2", "sum_c3",
+                ],
+            )
+
+    return df.mapInPandas(fn, _PNG_FEAT_SCHEMA)

@@ -2,12 +2,14 @@
 binary + typed metadata).
 
 NOTE: codec-FREE formats now have REAL decode paths in
-:mod:`ocr_spark.operators.media` — BMP (24-bit uncompressed) images and
-WAV (PCM16) audio are parsed byte-for-byte with numpy/stdlib, graded by
-first-principles DuckDB oracles (queries_media.py) and adversarial tests
-(tests/test_media.py). This module keeps the honest stubs for the
-formats that genuinely need a codec library absent from this container
-(JPEG/PNG/MP4), plus the generic plumbing shapes.
+:mod:`ocr_spark.operators.media` — BMP (24-bit uncompressed) and PNG
+(8-bit grey/RGB/RGBA via stdlib zlib, CRC-verified, all five scanline
+filters) images, netpbm, and WAV (PCM16) audio are parsed byte-for-byte
+with numpy/stdlib, graded by first-principles DuckDB oracles
+(queries_media.py) and adversarial tests (tests/test_media.py,
+tests/test_png.py). This module keeps the honest stubs for the formats
+that genuinely need a codec library absent from this container
+(JPEG/MP4), plus the generic plumbing shapes.
 
 The container has no image/audio codecs, so the actual decoding is stubbed:
 :func:`_decode_stub` raises ``NotImplementedError`` unless a known library is

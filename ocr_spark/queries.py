@@ -747,7 +747,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asymmetric quote/subset pairs resemblance LSH misses),
 # scan_jsonl_roundtrip + scan_csv_roundtrip + scan_orc_roundtrip
 # (text-format connectors: hostile-column exports read back under the
-# value hash — escaping/dialect/timestamp/nested-type coverage) —
+# value hash — escaping/dialect/timestamp/nested-type coverage),
+# mm_decode_png (REAL stdlib-zlib PNG decode: chunk CRCs, multi-IDAT
+# inflate, all five scanline filters, grey/RGB/RGBA, reject families) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -334,3 +334,75 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(reps, ["phash_hi", "phash_lo"]).select(
         "doc_id", "phash_hi", "phash_lo", "rep_id"
     )
+
+
+# --- PNG (stdlib-zlib real decode) ----------------------------------------------------
+# Synth parameters, every value a closed-form function of doc_id:
+#   color type: doc_id % 3 -> {0: grey (1ch), 1: RGB (3ch), 2: RGBA (4ch)}
+#   w = 11 + doc_id % 8 (11..18), h = 7 + doc_id % 6 (7..12) — h >= 5, so
+#   the encoder's filter cycle (row r written with filter r % 5) forces
+#   the decoder through ALL FIVE scanline filters on every image
+#   px[r, c, k] = (doc_id * 29 + r * 5 + c * 3 + k * 113) % 256
+# Reject families (ok=false under the hash):
+#   doc_id % 17 = 0 -> second IDAT chunk's CRC corrupted
+#   doc_id % 13 = 0 (and not % 17) -> IHDR interlace flag = 1 (Adam7 is
+#   outside the supported profile; header-level honest reject)
+
+
+def synth_png(doc_id: int) -> bytes:
+    from ocr_spark.operators.media import encode_png
+
+    ctype = (0, 2, 6)[doc_id % 3]
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    w, h = 11 + doc_id % 8, 7 + doc_id % 6
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    k = np.arange(ch, dtype=np.int64)[None, None, :]
+    px = ((doc_id * 29 + r * 5 + c * 3 + k * 113) % 256).astype(np.uint8)
+    return encode_png(
+        px,
+        ctype,
+        interlace=1 if (doc_id % 13 == 0 and doc_id % 17 != 0) else 0,
+        corrupt_crc=doc_id % 17 == 0,
+    )
+
+
+@register(
+    "mm_decode_png",
+    """
+WITH p AS (
+  SELECT doc_id, 11 + doc_id % 8 AS w, 7 + doc_id % 6 AS h,
+    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+    (doc_id % 17 = 0) OR (doc_id % 13 = 0) AS bad
+  FROM documents
+)
+SELECT doc_id, NOT bad AS ok,
+  CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+  CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+  CASE WHEN bad THEN NULL ELSE CAST(ch AS INT) END AS channels,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 29 + r * 5 + c * 3) % 256)))) AS BIGINT) END AS sum_c0,
+  CASE WHEN bad OR ch < 3 THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, h), r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 29 + r * 5 + c * 3 + 113) % 256)))) AS BIGINT) END AS sum_c1,
+  CASE WHEN bad OR ch < 3 THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, h), r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 29 + r * 5 + c * 3 + 226) % 256)))) AS BIGINT) END AS sum_c2,
+  CASE WHEN bad OR ch < 4 THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, h), r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 29 + r * 5 + c * 3 + 339) % 256)))) AS BIGINT) END AS sum_c3
+FROM p
+""",
+)
+def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a gradient PNG per doc (color type cycling
+    grey/RGB/RGBA, every scanline filter exercised, IDAT split in two),
+    decode with the REAL stdlib-zlib parser, grade dimensions + exact
+    per-channel sums; the CRC-corrupt and Adam7-flagged families must
+    come back ok=false. The oracle recomputes everything closed-form and
+    never sees a PNG byte — chunk framing, CRC checks, inflate, filter
+    inversion and channel order all sit under the value hash."""
+    from ocr_spark.operators.media import png_features
+
+    return png_features(_payloads(spark, sf_dir, synth_png))
