@@ -643,3 +643,278 @@ def png_features(
             )
 
     return df.mapInPandas(fn, _PNG_FEAT_SCHEMA)
+
+
+# --- GIF (87a/89a, first frame, global/local palette, interlace) ---------------------
+# GIF's LZW is ~80 lines of integer bit-fiddling — no codec library
+# involved. Supported for real: global AND local color tables, the 4-pass
+# interlace row order, deferred clear codes, the cScSc
+# code==next-dict-entry case, code-size growth to 12 bits. Rejected as
+# ok=false: bad magic, missing color table, out-of-range codes, truncated
+# sub-block streams, oversized dims. Animation frames beyond the first
+# and transparency are out of profile (extensions are skipped per the
+# block grammar).
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """File-row -> image-row order for interlaced GIFs."""
+    return [r for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, h, step)]
+
+
+def _lzw_encode(seq: np.ndarray, mcs: int, uncompressed: bool) -> bytes:
+    """GIF-variant LZW. ``uncompressed=True`` emits a clear code before
+    every run of literals (the classic 'uncompressed GIF' stream — fixed
+    code width, mid-stream clears a decoder must honor); False builds the
+    real dictionary with code-width growth."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bits: list[int] = []  # little-endian bit stream
+    code_size = mcs + 1
+
+    def emit(code: int, size: int) -> None:
+        bits.extend((code >> b) & 1 for b in range(size))
+
+    if uncompressed:
+        # re-clear every 2^mcs - 2 literals so code_size never grows
+        emit(clear, code_size)
+        for n, k in enumerate(seq):
+            if n and n % ((1 << mcs) - 2) == 0:
+                emit(clear, code_size)
+            emit(int(k), code_size)
+        emit(end, code_size)
+    else:
+        table: dict[tuple, int] = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        emit(clear, code_size)
+        w: tuple = ()
+        for k_ in seq:
+            k = int(k_)
+            wk = w + (k,)
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], code_size)
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            if next_code == 4097:  # table full: clear and restart
+                emit(clear, code_size)
+                table = {(i,): i for i in range(clear)}
+                next_code = end + 1
+                code_size = mcs + 1
+            w = (k,)
+        if w:
+            emit(table[w], code_size)
+        emit(end, code_size)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        out.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, npix: int) -> np.ndarray | None:
+    if not 2 <= mcs <= 8:
+        return None
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: int | None = None
+    acc = bitlen = pos = 0
+    while len(out) < npix:
+        while bitlen < code_size:
+            if pos >= len(data):
+                return None  # ran out of stream before npix pixels
+            acc |= data[pos] << bitlen
+            bitlen += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bitlen -= code_size
+        if code == clear:
+            table = table[: end + 1]
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+        elif code == len(table):  # cScSc: entry being defined right now
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = code
+    if len(out) != npix:
+        return None
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    uncompressed: bool = False,
+    local_palette: bool = False,
+    truncate: bool = False,
+) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette -> GIF89a
+    bytes. ``local_palette`` moves the color table from the screen
+    descriptor to the image descriptor; ``truncate`` drops the stream's
+    tail to synthesize the reject family."""
+    h, w = indices.shape
+    n = len(palette)
+    mcs = max(2, (n - 1).bit_length())
+    pal = np.zeros((1 << mcs, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    gct_flag = 0 if local_palette else 1
+    out += struct.pack(
+        "<HHBBB", w, h, (gct_flag << 7) | ((mcs - 1) & 7), 0, 0
+    )
+    if not local_palette:
+        out += pal.tobytes()
+    # a skippable comment extension: decoders must walk sub-blocks
+    out += b"\x21\xfe\x05hello\x00"
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h,
+        ((1 if local_palette else 0) << 7)
+        | ((1 if interlace else 0) << 6)
+        | ((mcs - 1) & 7 if local_palette else 0),
+    )
+    if local_palette:
+        out += pal.tobytes()
+    seq = indices
+    if interlace:
+        order = _gif_interlace_order(h)
+        seq = indices[order]
+    stream = _lzw_encode(seq.reshape(-1), mcs, uncompressed)
+    out.append(mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out[: len(out) - 12] if truncate else out)
+
+
+def decode_gif(data: bytes | None) -> np.ndarray | None:
+    """GIF bytes -> (h, w, 3) uint8 RGB of the first frame, or None.
+
+    Walks the real block grammar: screen descriptor, optional global
+    color table, extension blocks (skipped sub-block by sub-block), image
+    descriptor with optional local color table and interlace flag, then
+    the length-prefixed LZW sub-block stream."""
+    if data is None or len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            if pos + 10 > len(data):
+                return None
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                if pos + 3 * n > len(data):
+                    return None
+                pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0 or w > 1 << 14 or h > 1 << 14:
+                return None
+            if pos >= len(data):
+                return None
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                if pos + 1 + ln > len(data):
+                    return None  # truncated sub-block
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(data):
+                return None  # missing terminator
+            idx = _lzw_decode(bytes(stream), mcs, w * h)
+            if idx is None or int(idx.max(initial=0)) >= len(pal):
+                return None
+            img = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: undo the 4-pass row order
+                order = _gif_interlace_order(h)
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return pal[img]
+        elif b == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None
+    return None
+
+
+_GIF_FEAT_SCHEMA = (
+    "doc_id bigint, ok boolean, width int, height int,"
+    " sum_r bigint, sum_g bigint, sum_b bigint, chk bigint"
+)
+
+
+def gif_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary GIF payload -> (ok, dims, per-channel sums, placement
+    checksum). ``chk`` weights each pixel's red value by its (row, col)
+    position — channel sums are invariant under row permutation, so an
+    interlace (or any placement) bug is invisible to them; chk breaks."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_gif(p)
+                if px is None:
+                    rows.append((i, False, None, None, None, None, None, None))
+                    continue
+                h, w, _ = px.shape
+                s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                r_w = (np.arange(h, dtype=np.int64)[:, None] * w
+                       + np.arange(w, dtype=np.int64)[None, :] + 1)
+                chk = int((px[:, :, 0].astype(np.int64) * r_w).sum())
+                rows.append((
+                    i, True, w, h, int(s[0]), int(s[1]), int(s[2]), chk,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "chk",
+                ],
+            )
+
+    return df.mapInPandas(fn, _GIF_FEAT_SCHEMA)

@@ -406,3 +406,89 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import png_features
 
     return png_features(_payloads(spark, sf_dir, synth_png))
+
+
+# --- GIF (hand-rolled LZW real decode) --------------------------------------------------
+# Synth parameters, closed-form in doc_id:
+#   psize = 4 + doc_id % 29 (4..32 palette entries -> LZW min code size
+#   2..5), w = 9 + doc_id % 10, h = 6 + doc_id % 7
+#   idx[r, c]  = (doc_id * 13 + r * 3 + c) % psize
+#   pal[i] = ((d*41 + i*7) % 256, (d*43 + i*11) % 256, (d*47 + i*13) % 256)
+# Stream-variant families (identical pixels, different bytes — the oracle
+# is variant-blind, so every variant must decode identically):
+#   doc_id % 5 = 0 -> interlaced (4-pass row order; the placement
+#   checksum `chk` is what catches a wrong de-interlace — channel sums
+#   alone are row-permutation invariant)
+#   doc_id % 7 = 0 -> 'uncompressed' LZW (clear-code-spam stream with
+#   mid-stream clears)   doc_id % 3 = 0 -> local color table
+# Reject family: doc_id % 19 = 0 -> truncated sub-block stream.
+
+
+def synth_gif(doc_id: int) -> bytes:
+    from ocr_spark.operators.media import encode_gif
+
+    psize = 4 + doc_id % 29
+    w, h = 9 + doc_id % 10, 6 + doc_id % 7
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    idx = ((doc_id * 13 + r * 3 + c) % psize).astype(np.uint8)
+    i = np.arange(psize, dtype=np.int64)
+    pal = np.stack(
+        [(doc_id * 41 + i * 7) % 256,
+         (doc_id * 43 + i * 11) % 256,
+         (doc_id * 47 + i * 13) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return encode_gif(
+        idx, pal,
+        interlace=doc_id % 5 == 0,
+        uncompressed=doc_id % 7 == 0,
+        local_palette=doc_id % 3 == 0,
+        truncate=doc_id % 19 == 0,
+    )
+
+
+@register(
+    "mm_decode_gif",
+    """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 29 AS psize,
+    9 + doc_id % 10 AS w, 6 + doc_id % 7 AS h,
+    doc_id % 19 = 0 AS bad
+  FROM documents
+)
+SELECT doc_id, NOT bad AS ok,
+  CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+  CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 41 + ((doc_id * 13 + r * 3 + c) % psize) * 7) % 256))))
+    AS BIGINT) END AS sum_r,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 43 + ((doc_id * 13 + r * 3 + c) % psize) * 11) % 256))))
+    AS BIGINT) END AS sum_g,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 47 + ((doc_id * 13 + r * 3 + c) % psize) * 13) % 256))))
+    AS BIGINT) END AS sum_b,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (r * w + c + 1) *
+      ((doc_id * 41 + ((doc_id * 13 + r * 3 + c) % psize) * 7) % 256)))))
+    AS BIGINT) END AS chk
+FROM p
+""",
+)
+def q_mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a palette GIF per doc (palette size / dims / gradient
+    all doc_id-closed-form; interlace, 'uncompressed' LZW, and
+    local-color-table stream variants cycle through the corpus), decode
+    with the REAL hand-rolled LZW + block-grammar parser, grade dims +
+    per-channel sums + a (row, col)-weighted placement checksum. The
+    oracle recomputes everything from the index formula and never sees a
+    GIF byte — LZW bit unpacking, code growth, clear codes, palette
+    mapping AND de-interlacing all sit under the value hash."""
+    from ocr_spark.operators.media import gif_features
+
+    return gif_features(_payloads(spark, sf_dir, synth_gif))
