@@ -918,3 +918,98 @@ def gif_features(
             )
 
     return df.mapInPandas(fn, _GIF_FEAT_SCHEMA)
+
+
+# --- audio frame features + mixed-format image sniffing ------------------------------
+
+AUDIO_FRAME = 64  # samples per analysis frame (non-overlapping)
+
+
+def wav_frame_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    frame: int = AUDIO_FRAME,
+) -> DataFrame:
+    """binary WAV payload -> one row per FULL analysis frame:
+    (frame_id, sumsq, zero crossings). The row-amplifying audio stage —
+    output grows with duration, input stays columnar, no shuffle. sumsq
+    is the exact integer energy (no float RMS under the hash); zc counts
+    strict sign flips between adjacent samples WITHIN the frame."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_wav(p)
+                if dec is None:
+                    rows.append((i, None, False, None, None))
+                    continue
+                _, s = dec
+                s = s.astype(np.int64)
+                nf = len(s) // frame
+                if nf == 0:
+                    rows.append((i, None, True, None, None))
+                    continue
+                fr = s[: nf * frame].reshape(nf, frame)
+                sumsq = (fr * fr).sum(axis=1)
+                zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+                for f in range(nf):
+                    rows.append((i, f, True, int(sumsq[f]), int(zc[f])))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_id", "ok", "sumsq", "zc"],
+            )
+
+    return df.mapInPandas(
+        fn,
+        f"{id_col} bigint, frame_id int, ok boolean, sumsq bigint,"
+        " zc bigint",
+    )
+
+
+def decode_image_any(data: bytes | None) -> tuple[str, np.ndarray] | None:
+    """Magic-byte dispatch over the real decoders: mixed-format crawl
+    image columns don't announce their codec in the schema. Returns
+    (fmt, (h, w, ch) array) or None."""
+    if data is None or len(data) < 8:
+        return None
+    if data[:2] == b"BM":
+        px = decode_bmp(data)
+        return None if px is None else ("bmp", px)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        px = decode_png(data)
+        return None if px is None else ("png", px)
+    if data[:4] in (b"GIF8",):
+        px = decode_gif(data)
+        return None if px is None else ("gif", px)
+    return None
+
+
+def image_sniff_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Mixed-format payloads -> (ok, fmt, width, height, sum over every
+    channel value) via magic sniffing + the real per-format decoders."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_image_any(p)
+                if dec is None:
+                    rows.append((i, False, None, None, None, None))
+                    continue
+                fmt, px = dec
+                h, w, _ = px.shape
+                rows.append((
+                    i, True, fmt, w, h, int(px.sum(dtype=np.int64)),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ok", "fmt", "width", "height", "sum_all"],
+            )
+
+    return df.mapInPandas(
+        fn,
+        f"{id_col} bigint, ok boolean, fmt string, width int, height int,"
+        " sum_all bigint",
+    )

@@ -751,7 +751,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_decode_png (REAL stdlib-zlib PNG decode: chunk CRCs, multi-IDAT
 # inflate, all five scanline filters, grey/RGB/RGBA, reject families),
 # mm_decode_gif (REAL hand-rolled LZW GIF decode: bit unpacking, code
-# growth, clear codes, cScSc, interlace under a placement checksum) —
+# growth, clear codes, cScSc, interlace under a placement checksum),
+# mm_audio_frames (per-64-sample-frame integer energy + zero crossings)
+# and mm_sniff_decode (magic-byte dispatch over mixed BMP/PNG/GIF
+# payloads, per-branch closed-form oracle) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -492,3 +492,114 @@ def q_mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import gif_features
 
     return gif_features(_payloads(spark, sf_dir, synth_gif))
+
+
+# --- audio frame features + mixed-format sniffing ------------------------------------
+
+
+@register(
+    "mm_audio_frames",
+    """
+WITH p AS (SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+f AS (SELECT doc_id, unnest(range(0, n // 64)) AS frame_id FROM p)
+SELECT doc_id, CAST(frame_id AS INT) AS frame_id, true AS ok,
+  CAST(list_sum(list_transform(range(frame_id * 64, frame_id * 64 + 64),
+    i -> ((doc_id * 7919 + i * 104729) % 4001 - 2000)
+       * ((doc_id * 7919 + i * 104729) % 4001 - 2000)))
+    AS BIGINT) AS sumsq,
+  CAST(list_sum(list_transform(range(frame_id * 64 + 1, frame_id * 64 + 64),
+    i -> CASE WHEN
+      ((doc_id * 7919 + (i - 1) * 104729) % 4001 - 2000)
+      * ((doc_id * 7919 + i * 104729) % 4001 - 2000) < 0
+      THEN 1 ELSE 0 END)) AS BIGINT) AS zc
+FROM f
+""",
+)
+def q_mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio feature-extract stage: decode each synthetic WAV with the
+    real RIFF walker, emit one row per 64-sample frame with exact integer
+    energy (sum of squares) and strict-sign zero-crossing count. Frame
+    boundary arithmetic, the dropped partial tail frame, and within-frame
+    adjacency are all under the hash (the oracle re-derives every sample
+    from the synth formula)."""
+    from ocr_spark.operators.media import wav_frame_features
+
+    return wav_frame_features(_payloads(spark, sf_dir, synth_wav))
+
+
+def synth_image_any(doc_id: int) -> bytes:
+    """Mixed-format corpus: format chosen by doc_id % 3, payload produced
+    by the per-format synths (inheriting their reject families)."""
+    sel = doc_id % 3
+    if sel == 0:
+        return synth_bmp(doc_id)
+    if sel == 1:
+        return synth_png(doc_id)
+    return synth_gif(doc_id)
+
+
+@register(
+    "mm_sniff_decode",
+    """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS sel,
+    -- bmp params
+    17 + doc_id % 13 AS bw, 9 + doc_id % 7 AS bh,
+    (doc_id * 37) % 256 AS br, (doc_id * 59) % 256 AS bg,
+    (doc_id * 83) % 256 AS bb,
+    -- png params (sel=1 -> color type 2, 3 channels)
+    11 + doc_id % 8 AS pw, 7 + doc_id % 6 AS ph,
+    -- gif params
+    4 + doc_id % 29 AS psize, 9 + doc_id % 10 AS gw, 6 + doc_id % 7 AS gh,
+    CASE
+      WHEN doc_id % 3 = 1 THEN (doc_id % 17 = 0) OR (doc_id % 13 = 0)
+      WHEN doc_id % 3 = 2 THEN doc_id % 19 = 0
+      ELSE false
+    END AS bad
+  FROM documents
+)
+SELECT doc_id, NOT bad AS ok,
+  CASE WHEN bad THEN NULL
+       WHEN sel = 0 THEN 'bmp' WHEN sel = 1 THEN 'png' ELSE 'gif'
+  END AS fmt,
+  CASE WHEN bad THEN NULL
+       WHEN sel = 0 THEN CAST(bw AS INT) WHEN sel = 1 THEN CAST(pw AS INT)
+       ELSE CAST(gw AS INT) END AS width,
+  CASE WHEN bad THEN NULL
+       WHEN sel = 0 THEN CAST(bh AS INT) WHEN sel = 1 THEN CAST(ph AS INT)
+       ELSE CAST(gh AS INT) END AS height,
+  CASE WHEN bad THEN NULL
+    WHEN sel = 0 THEN CAST(
+      bw * list_sum(list_transform(range(0, bh), r -> (br + r) % 256))
+      + bh * list_sum(list_transform(range(0, bw), c -> (bg + c) % 256))
+      + list_sum(list_transform(range(0, bh), r ->
+          list_sum(list_transform(range(0, bw), c -> (bb + r + c) % 256))))
+      AS BIGINT)
+    WHEN sel = 1 THEN CAST(
+      list_sum(list_transform(range(0, ph), r ->
+        list_sum(list_transform(range(0, pw), c ->
+          (doc_id * 29 + r * 5 + c * 3) % 256
+          + (doc_id * 29 + r * 5 + c * 3 + 113) % 256
+          + (doc_id * 29 + r * 5 + c * 3 + 226) % 256))))
+      AS BIGINT)
+    ELSE CAST(
+      list_sum(list_transform(range(0, gh), r ->
+        list_sum(list_transform(range(0, gw), c ->
+          (doc_id * 41 + ((doc_id * 13 + r * 3 + c) % psize) * 7) % 256
+          + (doc_id * 43 + ((doc_id * 13 + r * 3 + c) % psize) * 11) % 256
+          + (doc_id * 47 + ((doc_id * 13 + r * 3 + c) % psize) * 13) % 256))))
+      AS BIGINT)
+  END AS sum_all
+FROM p
+""",
+)
+def q_mm_sniff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format image ingest, the production shape: a binary column
+    whose codec varies row to row. Magic-byte sniffing dispatches to the
+    real BMP/PNG/GIF decoders; the oracle recomputes format, dimensions
+    and the all-channel pixel sum per branch closed-form. A wrong
+    dispatch, or any per-format decode bug, lands in the wrong CASE arm
+    and breaks the hash; the PNG/GIF reject families stay ok=false."""
+    from ocr_spark.operators.media import image_sniff_features
+
+    return image_sniff_features(_payloads(spark, sf_dir, synth_image_any))
