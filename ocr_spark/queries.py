@@ -754,7 +754,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # growth, clear codes, cScSc, interlace under a placement checksum),
 # mm_audio_frames (per-64-sample-frame integer energy + zero crossings)
 # and mm_sniff_decode (magic-byte dispatch over mixed BMP/PNG/GIF
-# payloads, per-branch closed-form oracle) —
+# payloads, per-branch closed-form oracle), tpch_q1/q3/q5/q6/q18 (the
+# named TPC-H suite through the spark.sql entry point, identical query
+# text on both engines, integer-cents revenue) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -835,6 +837,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_paradedup  # noqa: F401
     from ocr_spark import queries_streamjoin  # noqa: F401
     from ocr_spark import queries_formats  # noqa: F401
+    from ocr_spark import queries_tpch  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

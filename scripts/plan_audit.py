@@ -787,6 +787,17 @@ def main() -> None:
         tree_of(q["dedup_containment"](spark, sf), max_lines=20),
     ))
 
+    sections.append((
+        "tpch_q18 (round 4 late — SQL entry point, HAVING subquery)",
+        "The warehouse-user surface: identical SQL text runs on both "
+        "engines. The IN (... GROUP BY ... HAVING ...) subquery plans as "
+        "an aggregate feeding a SEMI join on orderkey — never a "
+        "materialized IN-list or BNLJ; the outer 3-table join then "
+        "aggregates per order. Revenue math is integer cents before any "
+        "SUM, so aggregation order can never move a hashed value.",
+        tree_of(q["tpch_q18"](spark, sf), max_lines=22),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are

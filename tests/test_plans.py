@@ -392,3 +392,40 @@ def test_containment_plan_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_tpch_q1_partial_final_and_pushdown(spark):
+    """tpch_q1 (SQL entry point): exactly one partial/final HashAggregate
+    pair, shipdate filter pushed into the parquet scan, no Python."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q1"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert "LessThanOrEqual(l_shipdate" in plan  # PushedFilters
+    assert "Python" not in plan
+
+
+def test_tpch_q18_having_subquery_is_semi_join(spark):
+    """tpch_q18: the HAVING-threshold IN subquery must plan as an
+    aggregate feeding a SEMI join on orderkey — never a BNLJ or a
+    cartesian against a materialized list."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q18"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_no_cartesian(spark):
+    """tpch_q5: the 6-table join with the nation-residual never plans a
+    cartesian shape; dims ride hash joins."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q5"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
