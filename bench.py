@@ -111,6 +111,12 @@ HEADLINE = [
     "text_ppl_kn",          # training-data: Kneser-Ney bigram LM (2 corpus passes)
     "pipe_ppl_buckets",     # corpus prep: CCNet head/middle/tail terciles
     "dedup_containment",    # training-data: quote/subset containment pairs
+    # late round-4 SQL entry point + real media decode
+    "tpch_q1",              # SQL surface: pricing summary (partial/final agg)
+    "tpch_q18",             # SQL surface: HAVING subquery as LeftSemi join
+    "mm_decode_png",        # multimodal: real zlib PNG decode (5 filters)
+    "mm_decode_gif",        # multimodal: real LZW GIF decode + interlace
+    "mm_sniff_decode",      # multimodal: magic-dispatch mixed-format ingest
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
