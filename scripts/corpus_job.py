@@ -8,7 +8,8 @@ Usage (same launch mode as extract_job.py)::
     zip -qr engine.zip ocr_spark
     spark-submit --master <cluster> --py-files engine.zip \\
         scripts/corpus_job.py <out_dir> [n_pages] [budget] [pages_location] \\
-        [--full-cc] [--substr-clean] [--host-gate] [--line-dedup]
+        [--full-cc] [--substr-clean] [--host-gate] [--line-dedup] \\
+        [--export-jsonl]
 
 ``--full-cc`` upgrades near-dedup clustering from the one-round star pass
 to full connected components (fixpoint label propagation over the
@@ -20,6 +21,10 @@ below-gate host BEFORE per-document work (RefinedWeb host curation;
 per-host integer-mean stopword density >= corpus.HOST_Q_GATE_E4).
 ``--line-dedup`` rewrites documents with per-host common-line boilerplate
 removed BEFORE dedup (CCNet order; corpus.drop_common_lines).
+``--export-jsonl`` additionally writes the packed corpus as sharded
+``.jsonl.gz`` training-export files (sources/textfmt.write_jsonl) with a
+built-in read-back digest check (count + xxhash64 fold over the explicit
+schema — serialization loss anywhere fails the report).
 
 With no ``pages_location`` the job generates ``n_pages`` deterministic
 synthetic pages (ocr_spark.gen.corpus_pages — a diversity-controlled
@@ -62,6 +67,8 @@ def run_corpus_job(
     host_gate: bool = False,
     line_dedup: bool = False,
     lang_recover: bool = False,
+    export_jsonl: bool = False,
+    export_shards: int = 16,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -183,6 +190,45 @@ def run_corpus_job(
         final = {"rows": 0, "tokens": 0, "sequences": 0}
     stage_sec["readback"] = round(time.perf_counter() - ts, 3)
 
+    export: dict | None = None
+    if export_jsonl and funnel.get("6_sampled", 0) > 0:
+        # training-export handoff: the packed corpus as sharded .jsonl.gz
+        # (sources/textfmt.write_jsonl — gzip shards are the downstream
+        # loader's unit of read parallelism, so the shard count is an
+        # explicit knob, not an upstream-partitioning accident) plus a
+        # round-trip digest: read back with the EXPLICIT schema and fold
+        # count + xxhash64(text)-sum — a dropped/duplicated/mangled row
+        # anywhere in the serialize/deserialize path breaks the digest.
+        from ocr_spark.sources import textfmt
+
+        ts = time.perf_counter()
+        packed = spark.read.parquet(out_path).select(
+            "doc_id", "url", "warc_ts", "lang", "source", "n_words",
+            "pack_shard", "seq_id", "text",
+        )
+        export_path = str(pathlib.Path(out_dir) / "export")
+        textfmt.write_jsonl(packed, export_path, num_shards=export_shards)
+
+        def digest(df):
+            # xor fold: order-independent like SUM but can't overflow
+            # int64 under ANSI mode
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(doc_id, text, seq_id))"),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+            return int(row["n"]), int(row["h"])
+
+        back = textfmt.read_jsonl(spark, export_path, packed.schema)
+        export = {
+            "path": export_path,
+            "shards": export_shards,
+            "roundtrip_ok": digest(packed) == digest(back),
+        }
+        stage_sec["export_jsonl"] = round(time.perf_counter() - ts, 3)
+
     for key in ("3_exact", "4_near", "4b_substr", "5_clean"):
         if key in stages:
             stages[key].unpersist()
@@ -202,6 +248,7 @@ def run_corpus_job(
         },
         "host_gate": host_gate,
         "line_dedup": line_dedup,
+        "export": export,
         "stage_sec": stage_sec,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
@@ -212,12 +259,14 @@ def run_corpus_job(
 
 
 def main() -> None:
-    flags = {"--full-cc", "--substr-clean", "--host-gate", "--line-dedup"}
+    flags = {"--full-cc", "--substr-clean", "--host-gate", "--line-dedup",
+             "--export-jsonl"}
     argv = [a for a in sys.argv[1:] if a not in flags]
     full_cc = "--full-cc" in sys.argv[1:]
     substr_clean = "--substr-clean" in sys.argv[1:]
     host_gate = "--host-gate" in sys.argv[1:]
     line_dedup = "--line-dedup" in sys.argv[1:]
+    export_jsonl = "--export-jsonl" in sys.argv[1:]
     if not argv:
         print(__doc__)
         sys.exit(2)
@@ -233,6 +282,7 @@ def main() -> None:
         print(json.dumps(run_corpus_job(
             spark, out_dir, n_pages, budget, pages_location, full_cc,
             substr_clean, host_gate, line_dedup,
+            export_jsonl=export_jsonl,
         )))
     finally:
         spark.stop()

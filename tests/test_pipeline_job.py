@@ -98,3 +98,32 @@ def test_langid_extraction_stays_shuffle_free(spark, fixture_df):
     assert "Exchange" not in plan
     assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_job_jsonl_export(spark, tmp_path):
+    """--export-jsonl: packed corpus -> sharded .jsonl.gz with a read-back
+    digest; the export carries exactly the packed rows."""
+    import os
+
+    from corpus_job import run_corpus_job
+
+    report = run_corpus_job(
+        spark, str(tmp_path / "c"), n_pages=600, budget=256,
+        export_jsonl=True, export_shards=3,
+    )
+    exp = report["export"]
+    assert exp is not None and exp["roundtrip_ok"] is True
+    parts = [f for f in os.listdir(exp["path"]) if f.startswith("part-")]
+    assert len(parts) == 3 and all(f.endswith(".json.gz") for f in parts)
+    from ocr_spark.sources import textfmt
+    from pyspark.sql.types import StructType
+
+    packed = spark.read.parquet(report["out"])
+    back = textfmt.read_jsonl(
+        spark, exp["path"],
+        StructType.fromJson(packed.select(
+            "doc_id", "url", "warc_ts", "lang", "source", "n_words",
+            "pack_shard", "seq_id", "text",
+        ).schema.jsonValue()),
+    )
+    assert back.count() == report["kept_rows"]
