@@ -224,3 +224,73 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- gap-filled resampling -------------------------------------------------------------
+
+_RESAMPLE_STEP_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+
+@register(
+    "events_resample",
+    f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {_RESAMPLE_STEP_US} AS b,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT min(b) AS bmin, max(b) AS bmax FROM e
+), axis AS (
+  SELECT t.event_type, unnest(range(r.bmin, r.bmax + 1)) AS b
+  FROM (SELECT DISTINCT event_type FROM events) t, r
+), a AS (
+  SELECT event_type, b, count(*) AS n, sum(cents) AS cents
+  FROM e GROUP BY event_type, b
+)
+SELECT axis.event_type,
+  CAST(axis.b * {_RESAMPLE_STEP_US} AS BIGINT) AS bucket_start_us,
+  CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+  CAST(coalesce(a.cents, 0) AS BIGINT) AS value_cents
+FROM axis LEFT JOIN a ON axis.event_type = a.event_type AND axis.b = a.b
+""",
+)
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap fill): 6-hour buckets per event
+    type over the full corpus span, EVERY (type, bucket) present — empty
+    buckets as explicit zero rows, the shape dashboards and
+    anomaly-detection windows require.
+
+    Scale shape: events aggregate per (type, bucket) in ONE shuffle; the
+    dense axis is types x buckets — a tiny generated dimension (explode
+    of one sequence() against the distinct types), so the gap-filling
+    LEFT join is broadcast-sized no matter how large the fact side is.
+    Value sums are per-row integer cents (order-independent). Bucket
+    index uses integer division of positive epoch-us — Spark's `div`
+    truncates while DuckDB's `//` floors, identical on the positive
+    domain (pre-epoch timestamps would need floor-division care)."""
+    step = F.lit(_RESAMPLE_STEP_US)
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            # parquet event times are TIMESTAMP_NTZ; the cast is
+            # instant-preserving under the pinned UTC session and keeps
+            # unix_micros == DuckDB epoch_us
+            f"unix_micros(CAST(ts AS TIMESTAMP)) div {_RESAMPLE_STEP_US}"
+        ).alias("b"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    agg = e.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("n_"), F.sum("cents").alias("cents_")
+    )
+    rng = e.agg(F.min("b").alias("bmin"), F.max("b").alias("bmax"))
+    buckets = rng.selectExpr("explode(sequence(bmin, bmax)) AS b")
+    axis = e.select("event_type").distinct().crossJoin(F.broadcast(buckets))
+    return (
+        axis.join(agg, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            (F.col("b") * step).cast("bigint").alias("bucket_start_us"),
+            F.coalesce("n_", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("cents_", F.lit(0)).cast("bigint").alias("value_cents"),
+        )
+    )

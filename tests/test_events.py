@@ -113,3 +113,39 @@ def test_funnel_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_resample_gap_fill(spark):
+    """events_resample: the dense axis is complete (types x full bucket
+    range), empty buckets are explicit zero rows, and populated buckets
+    match an independent Python fold."""
+    from collections import defaultdict
+
+    import __spark_entry__ as em
+
+    from tests.conftest import SF_SMALL
+
+    got = em.queries()["events_resample"](spark, SF_SMALL).collect()
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    step = 6 * 3600 * 1_000_000
+    import datetime as dt
+
+    def us(ts):
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    agg = defaultdict(lambda: [0, 0])
+    buckets = [us(r.ts) // step for r in rows]
+    for r, b in zip(rows, buckets):
+        a = agg[(r.event_type, b)]
+        a[0] += 1
+        a[1] += int(round(r.value * 100))
+    types = {r.event_type for r in rows}
+    full = range(min(buckets), max(buckets) + 1)
+    expect = {
+        (ty, b * step): tuple(agg[(ty, b)]) for ty in types for b in full
+    }
+    gotmap = {
+        (r.event_type, r.bucket_start_us): (r.n, r.value_cents) for r in got
+    }
+    assert gotmap == expect
+    assert any(v == (0, 0) for v in gotmap.values())  # real gaps exist
