@@ -981,6 +981,9 @@ def decode_image_any(data: bytes | None) -> tuple[str, np.ndarray] | None:
     if data[:4] in (b"GIF8",):
         px = decode_gif(data)
         return None if px is None else ("gif", px)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        px = decode_tiff(data)
+        return None if px is None else ("tiff", px)
     return None
 
 
@@ -1013,3 +1016,222 @@ def image_sniff_features(
         f"{id_col} bigint, ok boolean, fmt string, width int, height int,"
         " sum_all bigint",
     )
+
+
+# --- TIFF (baseline: uncompressed, 8-bit, grey/RGB, strips) --------------------------
+# The third image container, and the only one with a BYTE-ORDER axis: the
+# header declares II (little-endian) or MM (big-endian) and every integer
+# in the IFD follows it — a decoder that hard-codes one order reads
+# garbage dimensions on half of real-world files. Supported: baseline
+# uncompressed (Compression=1), 8 bits per sample, PhotometricInterpretation
+# 1 (grey) / 2 (RGB), chunky planar config, multi-strip rasters. Rejected
+# as ok=false: any compression, tiled layout (tag 322), planar=2, 16-bit,
+# truncated strips, bad magic.
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    322: "tile_width",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+    truncate: bool = False,
+) -> bytes:
+    """(h, w, ch) uint8 (ch 1 or 3) -> baseline TIFF bytes in the chosen
+    byte order, raster split into ``rows_per_strip``-row strips."""
+    h, w, ch = pixels.shape
+    bo = ">" if big_endian else "<"
+    nstrips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = [
+        pixels[r : r + rows_per_strip].tobytes()
+        for r in range(0, h, rows_per_strip)
+    ]
+    entries = []  # (tag, type, count, value_or_bytes)
+    # layout: header(8) + IFD + extra-value area + strip data
+    n_entries = 10 if ch == 3 else 9
+    ifd_size = 2 + n_entries * 12 + 4
+    extra_off = 8 + ifd_size
+    extra = bytearray()
+
+    def put_extra(data: bytes) -> int:
+        off = extra_off + len(extra)
+        extra.extend(data)
+        return off
+
+    bits_val = None
+    if ch == 3:
+        bits_val = put_extra(struct.pack(f"{bo}3H", 8, 8, 8))
+    # strip offsets/counts arrays (always via the extra area when > 1)
+    data_off_pos = None
+    if nstrips == 1:
+        strip_off_entry = ("inline",)
+    counts = [len(s) for s in strips]
+    # reserve the arrays now; fill offsets once the data origin is known
+    counts_off = put_extra(struct.pack(f"{bo}{nstrips}I", *counts))
+    offsets_pos = len(extra)
+    offsets_off = put_extra(struct.pack(f"{bo}{nstrips}I", *([0] * nstrips)))
+    data_origin = extra_off + len(extra)
+    offs = []
+    acc = data_origin
+    for c in counts:
+        offs.append(acc)
+        acc += c
+    extra[offsets_pos : offsets_pos + 4 * nstrips] = struct.pack(
+        f"{bo}{nstrips}I", *offs
+    )
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{bo}HHI", tag, typ, count) + struct.pack(
+            f"{bo}I", value
+        )
+
+    e = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        entry(258, 3, ch, bits_val if ch == 3 else 8 << (16 if big_endian else 0)),
+        entry(259, 3, 1, 1 << (16 if big_endian else 0)),
+        entry(262, 3, 1, (2 if ch == 3 else 1) << (16 if big_endian else 0)),
+        entry(273, 4, nstrips, offs[0] if nstrips == 1 else offsets_off),
+        entry(277, 3, 1, ch << (16 if big_endian else 0)),
+        entry(278, 4, 1, rows_per_strip),
+        entry(279, 4, nstrips, counts[0] if nstrips == 1 else counts_off),
+    ]
+    if ch == 3:
+        e.insert(8, entry(284, 3, 1, 1 << (16 if big_endian else 0)))
+    ifd = struct.pack(f"{bo}H", len(e)) + b"".join(e) + struct.pack(f"{bo}I", 0)
+    assert len(ifd) == ifd_size, (len(ifd), ifd_size)
+    out = (
+        struct.pack(f"{bo}2sHI", b"MM" if big_endian else b"II", 42, 8)
+        + ifd
+        + bytes(extra)
+        + b"".join(strips)
+    )
+    return out[: len(out) - 11] if truncate else out
+
+
+def decode_tiff(data: bytes | None) -> np.ndarray | None:
+    """Baseline TIFF bytes -> (h, w, ch) uint8 array or None. Honors the
+    declared byte order for EVERY integer read; walks the first IFD,
+    resolves inline-vs-offset values by size, assembles multi-strip
+    rasters (short last strip allowed)."""
+    if data is None or len(data) < 8:
+        return None
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    try:
+        magic, ifd_off = struct.unpack_from(f"{bo}HI", data, 2)
+    except struct.error:
+        return None
+    if magic != 42 or ifd_off + 2 > len(data):
+        return None
+    try:
+        (n,) = struct.unpack_from(f"{bo}H", data, ifd_off)
+    except struct.error:
+        return None
+    if ifd_off + 2 + n * 12 + 4 > len(data):
+        return None
+    tags: dict[str, list[int]] = {}
+    for i in range(n):
+        pos = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", data, pos)
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * count
+        if size <= 4:
+            vpos = pos + 8
+        else:
+            (vpos,) = struct.unpack_from(f"{bo}I", data, pos + 8)
+            if vpos + size > len(data):
+                return None
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        try:
+            tags[name] = list(
+                struct.unpack_from(f"{bo}{count}{fmt}", data, vpos)
+            )
+        except struct.error:
+            return None
+    if "tile_width" in tags:
+        return None  # tiled layout unsupported
+    try:
+        w = tags["width"][0]
+        h = tags["height"][0]
+        spp = tags.get("spp", [1])[0]
+        bits = tags.get("bits", [8])
+        comp = tags.get("compression", [1])[0]
+        photo = tags["photometric"][0]
+        offs = tags["strip_offsets"]
+        counts = tags["strip_counts"]
+        rps = tags.get("rows_per_strip", [h])[0]
+    except (KeyError, IndexError):
+        return None
+    if comp != 1 or any(b != 8 for b in bits) or len(bits) != spp:
+        return None
+    if tags.get("planar", [1])[0] != 1:
+        return None
+    if (photo, spp) not in ((1, 1), (2, 3)):
+        return None
+    if w == 0 or h == 0 or w > 1 << 15 or h > 1 << 15:
+        return None
+    if len(offs) != len(counts) or len(offs) != (h + rps - 1) // rps:
+        return None
+    raster = bytearray()
+    for o, c in zip(offs, counts):
+        if o + c > len(data):
+            return None  # truncated strip
+        raster += data[o : o + c]
+    if len(raster) != h * w * spp:
+        return None
+    return np.frombuffer(bytes(raster), np.uint8).reshape(h, w, spp)
+
+
+_TIFF_FEAT_SCHEMA = (
+    "doc_id bigint, ok boolean, width int, height int, channels int,"
+    " sum_c0 bigint, sum_c1 bigint, sum_c2 bigint, chk bigint"
+)
+
+
+def tiff_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary TIFF payload -> (ok, dims, channels, per-channel sums,
+    placement checksum). ``chk`` weights channel-0 values by pixel
+    position — strip mis-assembly permutes rows, which channel sums alone
+    cannot see."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_tiff(p)
+                if px is None:
+                    rows.append(
+                        (i, False, None, None, None, None, None, None, None)
+                    )
+                    continue
+                h, w, ch = px.shape
+                s = px.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+                sums = [int(s[k]) if k < ch else None for k in range(3)]
+                r_w = (np.arange(h, dtype=np.int64)[:, None] * w
+                       + np.arange(w, dtype=np.int64)[None, :] + 1)
+                chk = int((px[:, :, 0].astype(np.int64) * r_w).sum())
+                rows.append((i, True, w, h, ch, *sums, chk))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "width", "height", "channels",
+                    "sum_c0", "sum_c1", "sum_c2", "chk",
+                ],
+            )
+
+    return df.mapInPandas(fn, _TIFF_FEAT_SCHEMA)

@@ -757,7 +757,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # payloads, per-branch closed-form oracle), tpch_q1/q3/q5/q6/q18 (the
 # named TPC-H suite through the spark.sql entry point, identical query
 # text on both engines, integer-cents revenue), events_resample
-# (gap-filled 6h time-series densification, broadcast dense axis) —
+# (gap-filled 6h time-series densification, broadcast dense axis),
+# mm_decode_tiff (REAL byte-order-honoring baseline TIFF: II/MM IFD
+# walk, inline-vs-offset values, multi-strip assembly under chk) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

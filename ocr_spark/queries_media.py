@@ -603,3 +603,73 @@ def q_mm_sniff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import image_sniff_features
 
     return image_sniff_features(_payloads(spark, sf_dir, synth_image_any))
+
+
+# --- TIFF (byte-order-honoring real decode) ---------------------------------------------
+# Synth parameters, closed-form in doc_id:
+#   big-endian (MM) when doc_id % 2 = 1 — byte order is THE adversarial
+#   axis here: a decoder that hard-codes II reads garbage on half the
+#   corpus and every graded column breaks
+#   grey (1ch) when doc_id % 3 = 0 else RGB; w = 10 + d % 9, h = 5 + d % 8
+#   rows_per_strip = 1 + d % 5 (multi-strip assembly; chk catches a
+#   wrong strip order)   px[r, c, k] = (d*31 + r*7 + c*5 + k*97) % 256
+# Reject family: d % 23 = 0 -> truncated final strip.
+
+
+def synth_tiff(doc_id: int) -> bytes:
+    from ocr_spark.operators.media import encode_tiff
+
+    ch = 1 if doc_id % 3 == 0 else 3
+    w, h = 10 + doc_id % 9, 5 + doc_id % 8
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    k = np.arange(ch, dtype=np.int64)[None, None, :]
+    px = ((doc_id * 31 + r * 7 + c * 5 + k * 97) % 256).astype(np.uint8)
+    return encode_tiff(
+        px,
+        big_endian=doc_id % 2 == 1,
+        rows_per_strip=1 + doc_id % 5,
+        truncate=doc_id % 23 == 0,
+    )
+
+
+@register(
+    "mm_decode_tiff",
+    """
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch,
+    10 + doc_id % 9 AS w, 5 + doc_id % 8 AS h,
+    doc_id % 23 = 0 AS bad
+  FROM documents
+)
+SELECT doc_id, NOT bad AS ok,
+  CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+  CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+  CASE WHEN bad THEN NULL ELSE CAST(ch AS INT) END AS channels,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 31 + r * 7 + c * 5) % 256)))) AS BIGINT) END AS sum_c0,
+  CASE WHEN bad OR ch < 3 THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, h), r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 31 + r * 7 + c * 5 + 97) % 256)))) AS BIGINT) END AS sum_c1,
+  CASE WHEN bad OR ch < 3 THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, h), r -> list_sum(list_transform(range(0, w), c ->
+      (doc_id * 31 + r * 7 + c * 5 + 194) % 256)))) AS BIGINT) END AS sum_c2,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (r * w + c + 1) * ((doc_id * 31 + r * 7 + c * 5) % 256)))))
+    AS BIGINT) END AS chk
+FROM p
+""",
+)
+def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a baseline TIFF per doc — byte order alternating II/MM
+    row by row, grey/RGB, varying strip heights — decode with the REAL
+    IFD walker, grade dims + channel sums + the placement checksum. The
+    oracle recomputes everything closed-form; a hard-coded byte order,
+    wrong inline-vs-offset resolution, or mis-assembled strips all break
+    the hash; truncated strips reject."""
+    from ocr_spark.operators.media import tiff_features
+
+    return tiff_features(_payloads(spark, sf_dir, synth_tiff))
