@@ -759,7 +759,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text on both engines, integer-cents revenue), events_resample
 # (gap-filled 6h time-series densification, broadcast dense axis),
 # mm_decode_tiff (REAL byte-order-honoring baseline TIFF: II/MM IFD
-# walk, inline-vs-offset values, multi-strip assembly under chk) —
+# walk, inline-vs-offset values, multi-strip assembly under chk),
+# events_anomaly (rolling z-score outlier flags, integer cross-multiplied
+# 3-sigma test, one event_type Exchange for all three frame aggregates) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

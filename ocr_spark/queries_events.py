@@ -294,3 +294,97 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cents_", F.lit(0)).cast("bigint").alias("value_cents"),
         )
     )
+
+
+# --- rolling z-score anomaly detection --------------------------------------------------
+
+_ANOM_W = 8          # trailing window width (rows, excluding current)
+_ANOM_MIN_N = 4      # need at least this many baseline rows to judge
+_ANOM_K2 = 9         # flag when z^2 > 9, i.e. |x - mu| > 3 sigma
+
+
+@register(
+    "events_anomaly",
+    f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, event_type, us, cents,
+    count(*) OVER fr AS n,
+    CAST(coalesce(sum(cents) OVER fr, 0) AS BIGINT) AS s,
+    CAST(coalesce(sum(cents * cents) OVER fr, 0) AS BIGINT) AS ss
+  FROM e
+  WINDOW fr AS (PARTITION BY event_type ORDER BY us, event_id
+                ROWS BETWEEN {_ANOM_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, us, cents,
+  CAST(n AS BIGINT) AS n,
+  CAST(n * cents - s AS BIGINT) AS dev,
+  CAST(n * ss - s * s AS BIGINT) AS var_i,
+  n >= {_ANOM_MIN_N} AND (
+    (n * cents - s) * (n * cents - s) > {_ANOM_K2} * (n * ss - s * s)
+  ) AS flagged
+FROM w
+""",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier detection over the event stream: each
+    event judged against the trailing {W}-row baseline of its own
+    event_type — the monitoring primitive every ingestion pipeline runs
+    (sudden value spikes, stuck sensors).
+
+    Integer-exact under the value hash: with n, s = count/sum and
+    ss = sum of squares over the trailing frame (all BIGINT cents),
+    z^2 > k^2  <=>  (n*x - s)^2 > k^2 * (n*ss - s^2)   [n^2*sigma^2 both
+    sides], so the 3-sigma test is pure BIGINT cross-multiplication —
+    no sqrt, no float division, no engine-dependent rounding. A
+    zero-variance baseline flags any deviation (dev^2 > 0 = k^2*0).
+
+    Scale shape: ONE event_type Exchange serves all three frame
+    aggregates (same WINDOW spec); the frame is rows-bounded so state is
+    O(W) per partition. Window order (us, event_id) is collision-free.
+    Magnitudes: |cents| <= ~5e4 at the driver's value range, so
+    n*ss <= 8 * 2.5e9 * ... ~ 2e13 and dev^2 <= (8 * 1e5)^2 ~ 6.4e11 —
+    comfortably inside BIGINT."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-_ANOM_W, -1)
+    )
+    w = e.select(
+        "event_id",
+        "event_type",
+        "us",
+        "cents",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.coalesce(F.sum("cents").over(fr), F.lit(0))
+        .cast("bigint")
+        .alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(fr), F.lit(0))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var_i = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return w.select(
+        "event_id",
+        "event_type",
+        "us",
+        "cents",
+        F.col("n").cast("bigint").alias("n"),
+        dev.cast("bigint").alias("dev"),
+        var_i.cast("bigint").alias("var_i"),
+        (
+            (F.col("n") >= _ANOM_MIN_N)
+            & (dev * dev > F.lit(_ANOM_K2) * var_i)
+        ).alias("flagged"),
+    )
