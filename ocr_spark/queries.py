@@ -761,7 +761,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_decode_tiff (REAL byte-order-honoring baseline TIFF: II/MM IFD
 # walk, inline-vs-offset values, multi-strip assembly under chk),
 # events_anomaly (rolling z-score outlier flags, integer cross-multiplied
-# 3-sigma test, one event_type Exchange for all three frame aggregates) —
+# 3-sigma test, one event_type Exchange for all three frame aggregates),
+# mm_mp4_meta (REAL ISO-BMFF box walk: version-aware mvhd/tkhd/mdhd,
+# u64 largesize + v1 durations, order-sensitive handler checksum) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

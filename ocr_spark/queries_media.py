@@ -673,3 +673,99 @@ def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import tiff_features
 
     return tiff_features(_payloads(spark, sf_dir, synth_tiff))
+
+
+# --- MP4 structural metadata ---------------------------------------------------------
+# Synth axes chosen adversarially: mvhd/mdhd FullBox VERSION alternates
+# per doc (v1 durations get +2^33, so a u32 read breaks half the corpus),
+# track count 1..3 (DC-prediction-style per-track state), largesize mdat
+# every 4th doc (the u64 size path), skippable free/udta boxes always /
+# every other doc, and two reject families (mid-moov truncation, inner
+# size < 8).
+
+_MP4_DUR_HI = 8589934592  # 2^33 — added to every version-1 duration
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    from ocr_spark.operators.media import encode_mp4
+
+    d = doc_id
+    mv_version = d % 2
+    brand = (b"isom", b"mp42", b"avc1")[d % 3]
+    mv_ts = 600 * (1 + d % 4)
+    mv_dur = 10000 + (d * 97) % 90000 + (_MP4_DUR_HI if mv_version else 0)
+    tracks = []
+    for k in range(1 + d % 3):
+        tv = (d + k) % 2
+        tracks.append(
+            dict(
+                version=tv,
+                track_id=k + 1,
+                handler=(b"vide", b"soun", b"text")[k],
+                width=320 + 16 * (d % 8) if k == 0 else 0,
+                height=240 + 16 * (d % 5) if k == 0 else 0,
+                md_timescale=1000 * (1 + (d + k) % 3),
+                md_duration=5000 + (d * 31 + k * 7919) % 50000
+                + (_MP4_DUR_HI if tv else 0),
+            )
+        )
+    return encode_mp4(
+        brand,
+        mv_version,
+        mv_ts,
+        mv_dur,
+        tracks,
+        largesize_mdat=d % 4 == 0,
+        with_udta=d % 2 == 1,
+        truncate=d % 17 == 0,
+        corrupt_size=d % 23 == 0,
+    )
+
+
+@register(
+    "mm_mp4_meta",
+    f"""
+WITH p AS (
+  SELECT doc_id,
+    doc_id % 17 = 0 OR doc_id % 23 = 0 AS bad,
+    10000 + (doc_id * 97) % 90000
+      + CASE WHEN doc_id % 2 = 1 THEN {_MP4_DUR_HI} ELSE 0 END AS mv_dur,
+    600 * (1 + doc_id % 4) AS mv_ts,
+    1 + doc_id % 3 AS n_tracks
+  FROM documents
+)
+SELECT doc_id, NOT bad AS ok,
+  CASE WHEN bad THEN NULL
+    ELSE (CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+          ELSE 'avc1' END) END AS brand,
+  CASE WHEN bad THEN NULL
+    ELSE CAST((mv_dur * 1000) // mv_ts AS BIGINT) END AS dur_ms,
+  CASE WHEN bad THEN NULL ELSE CAST(n_tracks AS INT) END AS n_tracks,
+  CASE WHEN bad THEN NULL ELSE 1 END AS n_video,
+  CASE WHEN bad THEN NULL
+    ELSE CAST(320 + 16 * (doc_id % 8) AS BIGINT) END AS width_sum,
+  CASE WHEN bad THEN NULL
+    ELSE CAST(240 + 16 * (doc_id % 5) AS BIGINT) END AS height_sum,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, n_tracks), k ->
+      ((5000 + (doc_id * 31 + k * 7919) % 50000
+        + ((doc_id + k) % 2) * {_MP4_DUR_HI}) * 1000)
+      // (1000 * (1 + (doc_id + k) % 3))
+  )) AS BIGINT) END AS track_ms_sum,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, n_tracks), k -> (k + 1) * (CASE k WHEN 0 THEN 1986618469
+      WHEN 1 THEN 1936684398 ELSE 1952807028 END)
+  )) AS BIGINT) END AS handler_chk
+FROM p
+""",
+)
+def q_mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an ISO-BMFF structure per doc (version/largesize/track
+    axes above), parse it with the REAL box walker, grade brand,
+    timescale-normalized durations, track dims and the order-sensitive
+    handler checksum. The oracle recomputes everything closed-form from
+    doc_id — a u32 read of a v1 duration, a missed largesize, a skipped
+    box mishandled, or a wrong version offset each shift a feature."""
+    from ocr_spark.operators.media import mp4_features
+
+    return mp4_features(_payloads(spark, sf_dir, synth_mp4))
