@@ -763,7 +763,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_anomaly (rolling z-score outlier flags, integer cross-multiplied
 # 3-sigma test, one event_type Exchange for all three frame aggregates),
 # mm_mp4_meta (REAL ISO-BMFF box walk: version-aware mvhd/tkhd/mdhd,
-# u64 largesize + v1 durations, order-sensitive handler checksum) —
+# u64 largesize + v1 durations, order-sensitive handler checksum),
+# dq_suite (Deequ-pattern constraint suite: 9 checks compiled into ONE
+# scan + single-row agg, integer-e6 verdicts, both pass/fail polarities) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -845,6 +847,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_streamjoin  # noqa: F401
     from ocr_spark import queries_formats  # noqa: F401
     from ocr_spark import queries_tpch  # noqa: F401
+    from ocr_spark import queries_dq  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)
