@@ -117,6 +117,11 @@ HEADLINE = [
     "mm_decode_png",        # multimodal: real zlib PNG decode (5 filters)
     "mm_decode_gif",        # multimodal: real LZW GIF decode + interlace
     "mm_sniff_decode",      # multimodal: magic-dispatch mixed-format ingest
+    # final round-4 additions
+    "mm_decode_jpeg",       # multimodal: real baseline JPEG entropy decode
+    "mm_mp4_meta",          # multimodal: ISO-BMFF structural box walk
+    "dq_suite",             # warehouse: Deequ-style suite as ONE scan
+    "events_anomaly",       # analytics: rolling z-score outliers
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -984,6 +984,11 @@ def decode_image_any(data: bytes | None) -> tuple[str, np.ndarray] | None:
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         px = decode_tiff(data)
         return None if px is None else ("tiff", px)
+    if data[:3] == b"\xff\xd8\xff":
+        from ocr_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
+        return None if px is None else ("jpeg", px)
     return None
 
 

@@ -765,7 +765,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_mp4_meta (REAL ISO-BMFF box walk: version-aware mvhd/tkhd/mdhd,
 # u64 largesize + v1 durations, order-sensitive handler checksum),
 # dq_suite (Deequ-pattern constraint suite: 9 checks compiled into ONE
-# scan + single-row agg, integer-e6 verdicts, both pass/fail polarities) —
+# scan + single-row agg, integer-e6 verdicts, both pass/fail polarities),
+# mm_decode_jpeg (REAL baseline JPEG: canonical Huffman entropy decode,
+# DC prediction + restart resets, byte unstuffing, 4:2:0 upsample,
+# exact DC-only roundtrip under the placement checksum) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

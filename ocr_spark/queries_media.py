@@ -769,3 +769,86 @@ def q_mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import mp4_features
 
     return mp4_features(_payloads(spark, sf_dir, synth_mp4))
+
+
+# --- baseline JPEG decode --------------------------------------------------------------
+# Exactness trick (operators/jpeg.py header): DC-only 8x8 blocks with DC
+# quant 8 make the lossy-format roundtrip pixel-exact, so the full real
+# entropy/marker machinery (canonical Huffman, DC prediction, restart
+# resets, byte unstuffing, 4:2:0 upsample, YCbCr transform with constant
+# chroma) sits under a closed-form value hash. Axes: gray/color per
+# parity, restart interval every 3rd doc, w covers all w%8 residues
+# (partial right-edge MCUs), two reject families (entropy truncation,
+# SOF2 progressive flip).
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    import numpy as np
+
+    from ocr_spark.operators.jpeg import encode_jpeg_blocks
+
+    d = doc_id
+    w, h = 17 + d % 16, 9 + d % 12
+    bw, bh = -(-w // 8), -(-h // 8)
+    bi = np.arange(bh, dtype=np.int64)[:, None]
+    bj = np.arange(bw, dtype=np.int64)[None, :]
+    vals = 64 + (d * 37 + bi * 29 + bj * 13) % 128
+    data = encode_jpeg_blocks(
+        vals,
+        color=d % 2 == 1,
+        restart_interval=2 if d % 3 == 0 else 0,
+        width=w,
+        height=h,
+    )
+    if d % 19 == 0:
+        return data[: int(len(data) * 0.6)]
+    if d % 29 == 0:
+        out = bytearray(data)
+        out[out.find(b"\xff\xc0") + 1] = 0xC2  # pretend progressive
+        return bytes(out)
+    return data
+
+
+@register(
+    "mm_decode_jpeg",
+    """
+WITH p AS (
+  SELECT doc_id, doc_id % 2 = 1 AS color,
+    17 + doc_id % 16 AS w, 9 + doc_id % 12 AS h,
+    doc_id % 19 = 0 OR doc_id % 29 = 0 AS bad
+  FROM documents
+)
+SELECT doc_id, NOT bad AS ok,
+  CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+  CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+  CASE WHEN bad THEN NULL WHEN color THEN 3 ELSE 1 END AS channels,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      64 + (doc_id * 37 + (r // 8) * 29 + (c // 8) * 13) % 128))))
+    AS BIGINT) END AS sum_c0,
+  CASE WHEN bad OR NOT color THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, h), r -> list_sum(list_transform(range(0, w), c ->
+      64 + (doc_id * 37 + (r // 8) * 29 + (c // 8) * 13) % 128))))
+    AS BIGINT) END AS sum_c1,
+  CASE WHEN bad OR NOT color THEN NULL ELSE CAST(list_sum(list_transform(
+    range(0, h), r -> list_sum(list_transform(range(0, w), c ->
+      64 + (doc_id * 37 + (r // 8) * 29 + (c // 8) * 13) % 128))))
+    AS BIGINT) END AS sum_c2,
+  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(range(0, h),
+    r -> list_sum(list_transform(range(0, w), c ->
+      (r * w + c + 1) * (64 + (doc_id * 37 + (r // 8) * 29
+                               + (c // 8) * 13) % 128)))))
+    AS BIGINT) END AS chk
+FROM p
+""",
+)
+def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a DC-only baseline JPEG per doc (gray/4:2:0, restart
+    markers, partial-MCU edges), decode with the REAL entropy decoder,
+    grade dims/channels/sums/placement checksum against the closed-form
+    oracle. A DC-prediction bug, a missed restart reset, wrong Huffman
+    table routing, or a misplaced Y block inside the MCU each shift chk
+    or a sum."""
+    from ocr_spark.operators.jpeg import jpeg_features
+
+    return jpeg_features(_payloads(spark, sf_dir, synth_jpeg))
