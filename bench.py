@@ -121,6 +121,7 @@ HEADLINE = [
     "mm_decode_jpeg",       # multimodal: real baseline JPEG entropy decode
     "mm_mp4_meta",          # multimodal: ISO-BMFF structural box walk
     "dq_suite",             # warehouse: Deequ-style suite as ONE scan
+    "stream_dq_metrics",    # warehouse: exactly-once streaming DQ fold
     "events_anomaly",       # analytics: rolling z-score outliers
 ]
 

@@ -81,13 +81,16 @@ def dq_check(df: DataFrame, constraints: list[tuple]) -> DataFrame:
     is scan -> partial agg -> single-row final agg -> generate (explode):
     one table pass total."""
     aggs = [F.count(F.lit(1)).alias("_total")]
-    metas = []
     for i, c in enumerate(constraints):
-        sat_sql, kind = _sat_expr(c)
+        sat_sql, _ = _sat_expr(c)
         aggs.append(F.expr(sat_sql).cast("bigint").alias(f"_s{i}"))
-        metas.append((c[1], kind, *_bounds(c)))
-    row = df.agg(*aggs)
+    return _verdicts_from_counters(df.agg(*aggs), constraints)
 
+
+def _verdicts_from_counters(row: DataFrame, constraints) -> DataFrame:
+    """Single counter row (_total, _s0..) -> one verdict row per
+    constraint."""
+    metas = [(c[1], c[0], *_bounds(c)) for c in constraints]
     verdicts = []
     for i, (name, kind, lo, hi) in enumerate(metas):
         if kind == "row_count_between":
@@ -111,3 +114,42 @@ def dq_check(df: DataFrame, constraints: list[tuple]) -> DataFrame:
         row.select(F.explode(F.array(*verdicts)).alias("v"))
         .select("v.*")
     )
+
+
+# --- streaming-mergeable split --------------------------------------------------------
+# Every counter above except ``unique`` is SUM-mergeable across disjoint
+# data slices: count_if/count/sum partials add. count(DISTINCT) does NOT
+# (per-slice distincts over-count shared values), which is exactly why
+# streaming uniqueness belongs to a sketch (stream_hll_registers), not a
+# counter — enforced here rather than silently mis-merged.
+
+
+def dq_partial_counts(df: DataFrame, constraints: list[tuple]) -> DataFrame:
+    """One-row counter frame (_total, _s0..) for ONE data slice — the
+    per-micro-batch unit of the streaming DQ path. Rejects non-mergeable
+    kinds up front."""
+    for c in constraints:
+        if c[0] == "unique":
+            raise ValueError(
+                "uniqueness is not sum-mergeable across batches; use an "
+                "HLL sketch (streaming/incremental.incremental_hll)"
+            )
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, c in enumerate(constraints):
+        sat_sql, _ = _sat_expr(c)
+        aggs.append(F.expr(sat_sql).cast("bigint").alias(f"_s{i}"))
+    return df.agg(*aggs)
+
+
+def dq_fold_verdicts(
+    counters: DataFrame, constraints: list[tuple]
+) -> DataFrame:
+    """Fold committed per-slice counter rows (SUM — the merge law) and
+    produce the same verdict rows dq_check would emit over the union of
+    the slices. Exact, not approximate: integer counters add losslessly,
+    so incremental DQ equals batch DQ by construction."""
+    cols = ["_total"] + [f"_s{i}" for i in range(len(constraints))]
+    folded = counters.agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in cols]
+    )
+    return _verdicts_from_counters(folded, constraints)

@@ -768,7 +768,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan + single-row agg, integer-e6 verdicts, both pass/fail polarities),
 # mm_decode_jpeg (REAL baseline JPEG: canonical Huffman entropy decode,
 # DC prediction + restart resets, byte unstuffing, 4:2:0 upsample,
-# exact DC-only roundtrip under the placement checksum) —
+# exact DC-only roundtrip under the placement checksum),
+# stream_dq_metrics (streaming DQ monitoring: one exactly-once counter
+# row per micro-batch, SUM-folded verdicts equal batch dq_check — the
+# merge law under the value hash; uniqueness rejected as non-mergeable) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -880,3 +880,66 @@ def stream_interval_join(
         left.withWatermark(left_ts, watermark)
         .join(right.withWatermark(right_ts, watermark), cond)
     )
+
+
+# --- streaming data-quality monitoring (round 4 late) -------------------------
+
+class _DQCounterCommitter(_BatchCommitter):
+    """foreachBatch function: reduce the micro-batch to its one-row DQ
+    counter frame (operators/dq.dq_partial_counts) and commit it under
+    the standard exactly-once protocol. Counters fold by SUM — the
+    replay guard matters here (unlike the MAX-folded HLL registers, a
+    double-committed counter row WOULD double-count), which is exactly
+    what the manifest-before-data ordering prevents."""
+
+    def __init__(self, out_dir: str, run_id: str, constraints) -> None:
+        super().__init__(out_dir, run_id)
+        self.constraints = constraints
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ocr_spark.operators.dq import dq_partial_counts
+
+        super().__call__(
+            dq_partial_counts(batch_df, self.constraints), batch_id
+        )
+
+
+def incremental_dq(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    constraints,
+    run_id: str = "stream",
+) -> tuple[DataStreamWriter, _DQCounterCommitter]:
+    """Streaming DQ monitoring: each micro-batch contributes exactly ONE
+    counter row (executor-side reduction, map-side combined), so the
+    committed state grows with batch count, not data volume, and the
+    folded verdicts at any point equal batch ``dq_check`` over
+    everything ingested so far — exact, because integer counters are
+    sum-mergeable (uniqueness is rejected up front; that belongs to the
+    HLL path)."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    committer = _DQCounterCommitter(out_dir, run_id, constraints)
+    writer = (
+        src.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer
+
+
+def dq_stream_verdicts(
+    spark: SparkSession, out_dir: str, constraints
+) -> DataFrame:
+    """Fold every committed per-batch counter row into current verdicts."""
+    from ocr_spark.operators.dq import dq_fold_verdicts
+
+    return dq_fold_verdicts(
+        spark.read.parquet(f"{out_dir}/data"), constraints
+    )

@@ -121,3 +121,67 @@ def test_registry_suite_has_both_verdict_polarities(spark):
     passed = {r["name"]: r["passed"] for r in rows}
     assert passed["docid_unique"] and passed["lang_domain"]
     assert not passed["nchars_tight"]
+
+
+class TestStreamingFold:
+    def test_fold_equals_batch_any_slicing(self, spark):
+        """SUM-folded per-slice counters == batch dq_check: the merge
+        law, over an adversarial 3-way slicing."""
+        from ocr_spark.operators.dq import (
+            dq_check,
+            dq_fold_verdicts,
+            dq_partial_counts,
+        )
+
+        df = _frame(spark)
+        cons = [
+            ("complete", "c", "s", E6),
+            ("between", "b", "n", 4, 5, 700_000),
+            ("mean_between", "m", "n", 5 * E6, 6 * E6),
+            ("row_count_between", "rc", 4, 4),
+        ]
+        slices = [
+            df.where("id = 1"),
+            df.where("id = 2"),
+            df.where("id = 3"),
+            df.where("id < 0"),  # an empty micro-batch
+        ]
+        counters = slices[0].sparkSession.createDataFrame(
+            [r for s in slices for r in dq_partial_counts(s, cons).collect()]
+        )
+        folded = {
+            r["name"]: r for r in dq_fold_verdicts(counters, cons).collect()
+        }
+        batch = {r["name"]: r for r in dq_check(df, cons).collect()}
+        assert folded == batch
+
+    def test_unique_rejected_up_front(self, spark):
+        import pytest as _pytest
+
+        from ocr_spark.operators.dq import dq_partial_counts
+
+        with _pytest.raises(ValueError, match="not sum-mergeable"):
+            dq_partial_counts(_frame(spark), [("unique", "u", "id", E6)])
+
+    def test_stream_restart_does_not_double_count(self, spark, tmp_path):
+        """Drain availableNow twice over the same checkpoint: replayed
+        batches hit the manifest guard, counters stay single-counted."""
+        from ocr_spark.streaming.incremental import (
+            dq_stream_verdicts,
+            incremental_dq,
+        )
+
+        df = _frame(spark)
+        cons = [("row_count_between", "rc", 4, 4)]
+        src = str(tmp_path / "src")
+        df.repartition(2).write.parquet(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        for _ in range(2):
+            writer, _c = incremental_dq(
+                spark, src, df.schema, out, ckpt, cons
+            )
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        v = dq_stream_verdicts(spark, out, cons).collect()[0]
+        assert v["metric_e6"] == 4 and v["passed"]
