@@ -771,7 +771,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact DC-only roundtrip under the placement checksum),
 # stream_dq_metrics (streaming DQ monitoring: one exactly-once counter
 # row per micro-batch, SUM-folded verdicts equal batch dq_check — the
-# merge law under the value hash; uniqueness rejected as non-mergeable) —
+# merge law under the value hash; uniqueness rejected as non-mergeable),
+# events_range_frame (time-RANGE window frames: value-bounded trailing
+# 6h, tie-order-free), win_ntile_buckets (ntile quartiles over a unique
+# order), fn_pivot (listed-values PIVOT as one conditional-agg pass) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -388,3 +388,84 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dev * dev > F.lit(_ANOM_K2) * var_i)
         ).alias("flagged"),
     )
+
+
+# --- time-RANGE window frame ---------------------------------------------------------
+
+_RANGE_US = 6 * 3600 * 1_000_000  # 6-hour trailing window, microseconds
+
+
+@register(
+    "events_range_frame",
+    f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, us, cents,
+  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY us
+    RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS trailing_6h_cents,
+  CAST(count(*) OVER (PARTITION BY event_type ORDER BY us
+    RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS trailing_6h_n
+FROM e
+""",
+)
+def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) window frames — the rows-vs-range axis the
+    rest of the window family doesn't cover: the frame is bounded by the
+    ORDER-BY VALUE (trailing 6 hours of wall time), so rows with equal
+    timestamps are peers and the result is deterministic under any tie
+    order — no tiebreak column needed, unlike every ROWS frame.
+
+    Scale shape: identical to the ROWS entries — one event_type
+    Exchange, one Window operator serving both aggregates; frame state
+    is bounded by the densest 6h of a single type."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-_RANGE_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "us",
+        "cents",
+        F.sum("cents").over(fr).cast("bigint").alias("trailing_6h_cents"),
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("trailing_6h_n"),
+    )
+
+
+# --- ntile bucketing -----------------------------------------------------------------
+
+
+@register(
+    "win_ntile_buckets",
+    """
+SELECT event_id, event_type,
+  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY event_id)
+    AS INT) AS quartile
+FROM events
+""",
+)
+def q_win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment per event_type — the equal-count
+    bucketing primitive (train/val splits, load tiers). Ordered by the
+    unique event_id so the assignment is total and engine-independent
+    (ntile over a tied order is implementation-defined; a unique key
+    removes the ambiguity the same way every ROWS-frame entry does)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

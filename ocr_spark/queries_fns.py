@@ -363,3 +363,55 @@ def q_udtf_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.pos, s.word FROM udtf_docs_in,"
         " LATERAL split_words(text) s"
     )
+
+
+# --- relational pivot ---------------------------------------------------------
+
+_PIVOT_LANGS = ("en", "zh", "es", "de", "fr")
+
+
+@register(
+    "fn_pivot",
+    """
+SELECT source,
+  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh,
+  CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+  CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+  CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'en'), 0) AS BIGINT)
+    AS en_chars
+FROM documents
+GROUP BY source
+""",
+)
+def q_fn_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the wide-format reshape (one column per pivot value).
+    The value list is EXPLICIT — ``pivot(col, values)`` — which is the
+    scale-correct form: an unlisted pivot costs an extra distinct scan
+    to discover values and can explode the schema; a listed one compiles
+    to a single pass of conditional aggregates (the exact FILTER
+    aggregation the oracle spells out). Missing cells are coalesced to
+    0 so the wide frame has no engine-dependent nulls."""
+    d = t(spark, sf_dir, "documents")
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    cols = [F.col("source")]
+    cols += [
+        F.coalesce(F.col(f"{lg}_n"), F.lit(0))
+        .cast("bigint")
+        .alias(lg)
+        for lg in _PIVOT_LANGS
+    ]
+    cols.append(
+        F.coalesce(F.col("en_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("en_chars")
+    )
+    return wide.select(*cols)
