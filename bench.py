@@ -114,6 +114,9 @@ HEADLINE = [
     # late round-4 SQL entry point + real media decode
     "tpch_q1",              # SQL surface: pricing summary (partial/final agg)
     "tpch_q18",             # SQL surface: HAVING subquery as LeftSemi join
+    "tpch_q4",              # SQL surface: correlated EXISTS as LeftSemi
+    "tpch_q19",             # SQL surface: OR-of-ANDs residual hash join
+    "tpch_q22",             # SQL surface: scalar subquery + LeftAnti
     "mm_decode_png",        # multimodal: real zlib PNG decode (5 filters)
     "mm_decode_gif",        # multimodal: real LZW GIF decode + interlace
     "mm_sniff_decode",      # multimodal: magic-dispatch mixed-format ingest

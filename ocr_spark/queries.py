@@ -774,7 +774,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge law under the value hash; uniqueness rejected as non-mergeable),
 # events_range_frame (time-RANGE window frames: value-bounded trailing
 # 6h, tie-order-free), win_ntile_buckets (ntile quartiles over a unique
-# order), fn_pivot (listed-values PIVOT as one conditional-agg pass) —
+# order), fn_pivot (listed-values PIVOT as one conditional-agg pass),
+# tpch_q4/q12/q14/q19/q22 (suite growth: EXISTS->semi, conditional
+# counts, promo share, OR-of-ANDs residual hash join, scalar-subquery +
+# NOT EXISTS->anti; plan shapes pinned in tests/test_plans.py) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -36,6 +36,7 @@ _CHARGE = (
 
 _TABLES = (
     "lineitem", "orders", "customer", "supplier", "nation", "region",
+    "part",
 )
 
 
@@ -174,3 +175,131 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         _Q18.format(fmt="date_format(o.o_orderdate, 'yyyy-MM-dd')"),
     )
+
+
+# --- round-4 late suite growth: Q4, Q12, Q14, Q19, Q22 -------------------------
+# Adapted to the slimmed synthetic schemas like Q1-Q18 above (no
+# commitdate/receiptdate/shipmode/container/phone columns), preserving
+# each query's CHARACTERISTIC plan shape: Q4 correlated EXISTS -> semi
+# join, Q12 join + conditional aggregation, Q14 conditional revenue
+# share, Q19 OR-of-ANDs disjunctive pushdown, Q22 scalar subquery +
+# NOT EXISTS anti join. Determinism: counts/cents are BIGINT; each
+# double appears as ONE division of integer-exact operands (identical
+# IEEE inputs -> identical result on both engines).
+
+_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("tpch_q4", _Q4)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking: the correlated EXISTS must plan
+    as a LEFT SEMI join on l_orderkey (pinned in tests/test_plans.py),
+    never a per-row subquery."""
+    return _sql(spark, sf_dir, _Q4)
+
+
+_Q12 = """
+SELECT l.l_returnflag,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("tpch_q12", _Q12)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-priority split (returnflag standing in for the
+    slimmed-away shipmode): fact-fact join + conditional counts."""
+    return _sql(spark, sf_dir, _Q12)
+
+
+_Q14 = """
+SELECT
+  CAST(100 * sum(CASE WHEN p.p_type = 'PROMO' THEN {rev} ELSE 0 END)
+    AS DOUBLE)
+  / CAST(sum({rev}) AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1999-08-01 00:00:00'
+""".format(rev=_REV)
+
+
+@register("tpch_q14", _Q14)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion-revenue share: both sums are exact BIGINT
+    cents^2, the division is the only float op."""
+    return _sql(spark, sf_dir, _Q14)
+
+
+_Q19 = """
+SELECT CAST(sum({rev}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+   AND l.l_quantity BETWEEN 1 AND 20)
+  OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+   AND l.l_quantity BETWEEN 5 AND 30)
+  OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 50
+   AND l.l_quantity BETWEEN 10 AND 40)
+""".format(rev=_REV)
+
+
+@register("tpch_q19", _Q19)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under OR-of-ANDs: the disjunction
+    mixes join-side and scan-side predicates — the planner must still
+    hash-join on partkey and evaluate the residual post-join rather than
+    falling back to a nested loop."""
+    return _sql(spark, sf_dir, _Q19)
+
+
+_Q22 = """
+SELECT cntrycode, count(*) AS numcust,
+  CAST(sum(acctbal_cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM (
+  SELECT substring(c.c_name, 17, 2) AS cntrycode,
+    CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+  FROM customer c
+  WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) > (
+      SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / count(*)
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+    )
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register("tpch_q22", _Q22)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity: an uncorrelated scalar
+    subquery (integer-cents average — the sum is exact, the one divide
+    sees identical operands on both engines) plus a NOT EXISTS that must
+    plan as a LEFT ANTI join on custkey ('customers with no urgent
+    order' standing in for the slimmed-away phone prefix)."""
+    return _sql(spark, sf_dir, _Q22)

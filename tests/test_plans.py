@@ -429,3 +429,38 @@ def test_tpch_q5_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    """tpch_q4: the correlated EXISTS must decorrelate to a SEMI join on
+    orderkey — never a per-row subquery or a nested loop."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q4"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_not_exists_is_anti_join(spark):
+    """tpch_q22: NOT EXISTS plans as a LEFT ANTI join on custkey; the
+    scalar average subquery is a one-row broadcast, not a rescan."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q22"](spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_disjunction_keeps_hash_join(spark):
+    """tpch_q19: OR-of-ANDs must stay an equi hash join on partkey with
+    a post-join residual, not degrade to a nested loop."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q19"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
