@@ -120,6 +120,7 @@ HEADLINE = [
     "mm_decode_png",        # multimodal: real zlib PNG decode (5 filters)
     "mm_decode_gif",        # multimodal: real LZW GIF decode + interlace
     "mm_sniff_decode",      # multimodal: magic-dispatch mixed-format ingest
+    "mm_sniff_all",         # multimodal: five-format dispatch incl. tiff/jpeg
     # final round-4 additions
     "mm_decode_jpeg",       # multimodal: real baseline JPEG entropy decode
     "mm_mp4_meta",          # multimodal: ISO-BMFF structural box walk

@@ -777,7 +777,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order), fn_pivot (listed-values PIVOT as one conditional-agg pass),
 # tpch_q4/q12/q14/q19/q22 (suite growth: EXISTS->semi, conditional
 # counts, promo share, OR-of-ANDs residual hash join, scalar-subquery +
-# NOT EXISTS->anti; plan shapes pinned in tests/test_plans.py) —
+# NOT EXISTS->anti; plan shapes pinned in tests/test_plans.py),
+# tpch_q13 (LEFT OUTER with ON-residual + two-level aggregation),
+# mm_sniff_all (FIVE-format magic dispatch: bmp/png/gif/tiff/jpeg each
+# graded in its own closed-form oracle CASE arm) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -852,3 +852,113 @@ def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.jpeg import jpeg_features
 
     return jpeg_features(_payloads(spark, sf_dir, synth_jpeg))
+
+
+# --- full-dispatch sniffing (five real decoders) ---------------------------------------
+
+
+def synth_image_all(doc_id: int) -> bytes:
+    """Mixed five-format corpus: doc_id % 5 selects bmp/png/gif/tiff/
+    jpeg, payload produced by that format's synth (inheriting its reject
+    families)."""
+    sel = doc_id % 5
+    if sel == 0:
+        return synth_bmp(doc_id)
+    if sel == 1:
+        return synth_png(doc_id)
+    if sel == 2:
+        return synth_gif(doc_id)
+    if sel == 3:
+        return synth_tiff(doc_id)
+    return synth_jpeg(doc_id)
+
+
+@register(
+    "mm_sniff_all",
+    """
+WITH p AS (
+  SELECT doc_id, doc_id % 5 AS sel,
+    -- bmp
+    17 + doc_id % 13 AS bw, 9 + doc_id % 7 AS bh,
+    (doc_id * 37) % 256 AS br, (doc_id * 59) % 256 AS bg,
+    (doc_id * 83) % 256 AS bb,
+    -- png (color type cycles with doc_id % 3)
+    11 + doc_id % 8 AS pw, 7 + doc_id % 6 AS ph,
+    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS pch,
+    -- gif
+    4 + doc_id % 29 AS psize, 9 + doc_id % 10 AS gw, 6 + doc_id % 7 AS gh,
+    -- tiff
+    10 + doc_id % 9 AS tw, 5 + doc_id % 8 AS th,
+    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS tch,
+    -- jpeg
+    17 + doc_id % 16 AS jw, 9 + doc_id % 12 AS jh,
+    CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS jch,
+    CASE doc_id % 5
+      WHEN 1 THEN (doc_id % 17 = 0) OR (doc_id % 13 = 0)
+      WHEN 2 THEN doc_id % 19 = 0
+      WHEN 3 THEN doc_id % 23 = 0
+      WHEN 4 THEN (doc_id % 19 = 0) OR (doc_id % 29 = 0)
+      ELSE false
+    END AS bad
+  FROM documents
+)
+SELECT doc_id, NOT bad AS ok,
+  CASE WHEN bad THEN NULL
+       WHEN sel = 0 THEN 'bmp' WHEN sel = 1 THEN 'png'
+       WHEN sel = 2 THEN 'gif' WHEN sel = 3 THEN 'tiff' ELSE 'jpeg'
+  END AS fmt,
+  CASE WHEN bad THEN NULL
+       WHEN sel = 0 THEN CAST(bw AS INT) WHEN sel = 1 THEN CAST(pw AS INT)
+       WHEN sel = 2 THEN CAST(gw AS INT) WHEN sel = 3 THEN CAST(tw AS INT)
+       ELSE CAST(jw AS INT) END AS width,
+  CASE WHEN bad THEN NULL
+       WHEN sel = 0 THEN CAST(bh AS INT) WHEN sel = 1 THEN CAST(ph AS INT)
+       WHEN sel = 2 THEN CAST(gh AS INT) WHEN sel = 3 THEN CAST(th AS INT)
+       ELSE CAST(jh AS INT) END AS height,
+  CASE WHEN bad THEN NULL
+    WHEN sel = 0 THEN CAST(
+      bw * list_sum(list_transform(range(0, bh), r -> (br + r) % 256))
+      + bh * list_sum(list_transform(range(0, bw), c -> (bg + c) % 256))
+      + list_sum(list_transform(range(0, bh), r ->
+          list_sum(list_transform(range(0, bw), c -> (bb + r + c) % 256))))
+      AS BIGINT)
+    WHEN sel = 1 THEN CAST(
+      list_sum(list_transform(range(0, pch), k ->
+        list_sum(list_transform(range(0, ph), r ->
+          list_sum(list_transform(range(0, pw), c ->
+            (doc_id * 29 + r * 5 + c * 3 + k * 113) % 256))))))
+      AS BIGINT)
+    WHEN sel = 2 THEN CAST(
+      list_sum(list_transform(range(0, gh), r ->
+        list_sum(list_transform(range(0, gw), c ->
+          (doc_id * 41 + ((doc_id * 13 + r * 3 + c) % psize) * 7) % 256
+          + (doc_id * 43 + ((doc_id * 13 + r * 3 + c) % psize) * 11) % 256
+          + (doc_id * 47 + ((doc_id * 13 + r * 3 + c) % psize) * 13) % 256))))
+      AS BIGINT)
+    WHEN sel = 3 THEN CAST(
+      list_sum(list_transform(range(0, th), r ->
+        list_sum(list_transform(range(0, tw), c ->
+          (doc_id * 31 + r * 7 + c * 5) % 256
+          + CASE WHEN tch = 3 THEN
+              (doc_id * 31 + r * 7 + c * 5 + 97) % 256
+              + (doc_id * 31 + r * 7 + c * 5 + 194) % 256
+            ELSE 0 END))))
+      AS BIGINT)
+    ELSE CAST(
+      jch * list_sum(list_transform(range(0, jh), r ->
+        list_sum(list_transform(range(0, jw), c ->
+          64 + (doc_id * 37 + (r // 8) * 29 + (c // 8) * 13) % 128))))
+      AS BIGINT)
+  END AS sum_all
+FROM p
+""",
+)
+def q_mm_sniff_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL magic-byte dispatch: five real decoders (BMP, PNG, GIF,
+    TIFF both byte orders, baseline JPEG) behind one binary column, each
+    format's dimensions and all-channel pixel sum recomputed closed-form
+    in its own oracle CASE arm. A wrong dispatch lands in the wrong arm;
+    each format's reject families stay ok=false."""
+    from ocr_spark.operators.media import image_sniff_features
+
+    return image_sniff_features(_payloads(spark, sf_dir, synth_image_all))

@@ -303,3 +303,27 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan as a LEFT ANTI join on custkey ('customers with no urgent
     order' standing in for the slimmed-away phone prefix)."""
     return _sql(spark, sf_dir, _Q22)
+
+
+_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey AS custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+    AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("tpch_q13", _Q13)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: LEFT OUTER with an ON-clause
+    residual (zero-order customers must survive as c_count = 0), then a
+    second aggregation over the first's output — the classic two-level
+    agg whose inner keys are the outer's values."""
+    return _sql(spark, sf_dir, _Q13)

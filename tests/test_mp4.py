@@ -163,3 +163,29 @@ def test_box_helper_largesize_layout():
     size, btype = struct.unpack_from(">I4s", b, 0)
     assert size == 1 and btype == b"mdat"
     assert struct.unpack_from(">Q", b, 8)[0] == len(b) == 18
+
+
+class TestFiveWayDispatch:
+    def test_sniff_all_sweep(self):
+        """decode_image_any routes every synth_image_all payload to the
+        right decoder; rejects match each format's families."""
+        from ocr_spark.operators.media import decode_image_any
+        from ocr_spark.queries_media import synth_image_all
+
+        fmts = {0: "bmp", 1: "png", 2: "gif", 3: "tiff", 4: "jpeg"}
+        bad = {
+            1: lambda d: d % 17 == 0 or d % 13 == 0,
+            2: lambda d: d % 19 == 0,
+            3: lambda d: d % 23 == 0,
+            4: lambda d: d % 19 == 0 or d % 29 == 0,
+        }
+        seen = set()
+        for d in range(100):
+            sel = d % 5
+            got = decode_image_any(synth_image_all(d))
+            if bad.get(sel, lambda _: False)(d):
+                assert got is None, d
+                continue
+            assert got is not None and got[0] == fmts[sel], d
+            seen.add(got[0])
+        assert seen == set(fmts.values())
