@@ -780,7 +780,8 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOT EXISTS->anti; plan shapes pinned in tests/test_plans.py),
 # tpch_q13 (LEFT OUTER with ON-residual + two-level aggregation),
 # mm_sniff_all (FIVE-format magic dispatch: bmp/png/gif/tiff/jpeg each
-# graded in its own closed-form oracle CASE arm) —
+# graded in its own closed-form oracle CASE arm), fn_unpivot (stack:
+# wide->long with explicit zero cells — the reshape pair of fn_pivot) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

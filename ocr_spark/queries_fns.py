@@ -415,3 +415,40 @@ def q_fn_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("en_chars")
     )
     return wide.select(*cols)
+
+
+@register(
+    "fn_unpivot",
+    """
+WITH langs AS (
+  SELECT unnest(['en','zh','es','de','fr']) AS lang
+),
+counts AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+)
+SELECT s.source, l.lang,
+  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT source FROM documents) s
+CROSS JOIN langs l
+LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+""",
+)
+def q_fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): the wide->long reshape back from fn_pivot's
+    output — one row per (source, lang) INCLUDING explicit zero cells
+    (the wide frame's dense grid is the contract; a bare GROUP BY would
+    drop empty combinations). stack() is a Generate, not a shuffle: the
+    only Exchange is the pivot aggregation's own."""
+    d = t(spark, sf_dir, "documents")
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(F.count(F.lit(1)))
+    )
+    pairs = ", ".join(f"'{lg}', coalesce({lg}, 0)" for lg in _PIVOT_LANGS)
+    return wide.select(
+        "source",
+        F.expr(
+            f"stack({len(_PIVOT_LANGS)}, {pairs}) AS (lang, n)"
+        ),
+    ).select("source", "lang", F.col("n").cast("bigint").alias("n"))
