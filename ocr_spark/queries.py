@@ -781,7 +781,11 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tpch_q13 (LEFT OUTER with ON-residual + two-level aggregation),
 # mm_sniff_all (FIVE-format magic dispatch: bmp/png/gif/tiff/jpeg each
 # graded in its own closed-form oracle CASE arm), fn_unpivot (stack:
-# wide->long with explicit zero cells — the reshape pair of fn_pivot) —
+# wide->long with explicit zero cells — the reshape pair of fn_pivot),
+# tpch_q2/q7/q8/q9/q10/q11/q15/q16/q17/q20/q21 (suite COMPLETION — all 22
+# named queries now run through the SQL entry point; the partsupp-built
+# four treat lineitem as the part-supplier catalog; plan pins for
+# Q2/Q16/Q17/Q20/Q21 in tests/test_plans.py) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -464,3 +464,69 @@ def test_tpch_q19_disjunction_keeps_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_tpch_q2_correlated_min_decorrelates(spark):
+    """tpch_q2: the correlated scalar MIN (with the repeated region
+    filter inside) must decorrelate to an aggregate + equi-join on
+    partkey — no nested loop, no per-row subquery, no Python."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q2"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+    assert "Python" not in plan
+
+
+def test_tpch_q16_not_in_is_null_aware_anti(spark):
+    """tpch_q16: NOT IN over the filtered supplier set plans as an anti
+    join (null-aware single-column form), never a materialized list or
+    a cartesian."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q16"](spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_double_decorrelation(spark):
+    """tpch_q17: BOTH correlated scalar aggregates (count and sum on the
+    same partkey correlation) decorrelate to aggregate + join — the plan
+    carries at least two aggregate pairs and no nested-loop shape."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q17"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+
+
+def test_tpch_q20_nested_in_is_semi_chain(spark):
+    """tpch_q20: both nested INs plan as LEFT SEMI joins (part-name
+    prefix scan inside the lineitem aggregate inside the supplier
+    probe); the HAVING threshold stays inside the aggregate."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q20"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"LeftSemi", plan)) >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_and_anti_with_inequality_residual(spark):
+    """tpch_q21: EXISTS -> semi and NOT EXISTS -> anti on the same fact
+    table, with the correlated suppkey INEQUALITY riding the orderkey
+    equi-join as a residual — never a nested loop."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tpch  # noqa: F401
+
+    plan = _plan(QUERIES["tpch_q21"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
