@@ -785,7 +785,13 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tpch_q2/q7/q8/q9/q10/q11/q15/q16/q17/q20/q21 (suite COMPLETION — all 22
 # named queries now run through the SQL entry point; the partsupp-built
 # four treat lineitem as the part-supplier catalog; plan pins for
-# Q2/Q16/Q17/Q20/Q21 in tests/test_plans.py) —
+# Q2/Q16/Q17/Q20/Q21 in tests/test_plans.py), scan_xml_roundtrip (Spark 4
+# built-in xml source: entity escaping, null-as-omitted-element, struct/
+# array nesting under the hash — avro stays env-blocked like Iceberg, the
+# jar is not in the sandbox), join_lateral (correlated LATERAL subquery,
+# identical text both engines, WindowGroupLimit plan pinned), agg_rollup
+# (ROLLUP + grouping() — CUBE's prefix-hierarchy pair, one Expand pinned),
+# win_cume_dist (tie-safe empirical-CDF window) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -469,3 +469,37 @@ def q_win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# --- cumulative distribution ----------------------------------------------------------
+
+
+@register(
+    "win_cume_dist",
+    """
+SELECT event_id, event_type,
+  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+  cume_dist() OVER (
+    PARTITION BY event_type
+    ORDER BY CAST(round(value * 100, 0) AS BIGINT)
+  ) AS cdist
+FROM events
+""",
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per event_type over the integer-cents value — the
+    empirical-CDF window primitive (quantile position of every event
+    within its type). Unlike row_number/ntile, cume_dist is TIE-SAFE by
+    definition (peers share #rows<=current / total), so an order with
+    duplicates is still engine-deterministic; the division's operands
+    (two exact integers) are identical on both engines, hence the raw
+    double survives the value hash without rounding."""
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(cents.asc())
+    return e.select(
+        "event_id",
+        "event_type",
+        cents.alias("cents"),
+        F.cume_dist().over(w).alias("cdist"),
+    )

@@ -126,3 +126,61 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(work, "export")
     textfmt.write_orc(base, path, num_shards=4)
     return _unpack(textfmt.read_orc(spark, path), nested=True)
+
+
+# XML-specific hostile column: the characters the XML writer must entity-
+# escape (`<`, `&`, a pre-escaped-looking literal '&amp;' that a double-
+# unescaping reader would mangle) plus the newline and unicode the other
+# formats carry. No value-edge whitespace: the xml reader's
+# ignoreSurroundingSpaces trims it by design (see sources/textfmt.read_xml).
+_XTRICKY_SPARK = (
+    "concat('<a href=\"x\">&', split(text, ' ')[0], '</a>', char(10),"
+    " 'é&amp;raw', CAST(doc_id % 7 AS STRING))"
+)
+_XTRICKY_SQL = (
+    "'<a href=\"x\">&' || split_part(text, ' ', 1) || '</a>' || chr(10)"
+    " || 'é&amp;raw' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+_XML_SQL = f"""
+SELECT doc_id, lang, source, n_chars, text,
+  {_XTRICKY_SQL} AS tricky,
+  {_TS_US_SQL} AS ts_us,
+  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS maybe_lang,
+  lang AS meta_lang, n_chars AS meta_n,
+  array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS toks3
+FROM documents
+"""
+
+
+@register("scan_xml_roundtrip", _XML_SQL)
+def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + XML-hostile columns → 4 XML shards (Spark 4 built-in
+    xml source) → explicit-schema read-back. Under the hash: text-node
+    entity escaping (`<`, `&`, and a literal '&amp;' a double-unescaping
+    reader would mangle), field-internal newlines, null-as-omitted-element
+    (maybe_lang), instant-preserving timestamps, struct nesting and
+    repeated-element arrays. The oracle rebuilds every value from parquet
+    and never parses an XML byte."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text",
+        F.expr(_XTRICKY_SPARK).alias("tricky"),
+        F.expr(_TS_SPARK).alias("ts"),
+        F.expr(
+            "CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END"
+        ).alias("maybe_lang"),
+        F.expr("named_struct('ml', lang, 'mn', n_chars)").alias("meta"),
+        F.expr("slice(split(text, ' '), 1, 3)").alias("toks"),
+    )
+    work = tempfile.mkdtemp(prefix="ocr-spark-xml-")
+    path = os.path.join(work, "export")
+    textfmt.write_xml(base, path, num_shards=4)
+    back = textfmt.read_xml(spark, path, base.schema)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", "text", "tricky",
+        F.unix_micros("ts").alias("ts_us"),
+        "maybe_lang",
+        F.col("meta.ml").alias("meta_lang"),
+        F.col("meta.mn").alias("meta_n"),
+        F.concat_ws("|", "toks").alias("toks3"),
+    )

@@ -699,3 +699,59 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         '*', 'n_rows', CAST(n_rows AS BIGINT)
         ) AS (col, metric, value)"""
     )
+
+
+# --- correlated LATERAL subquery join -------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, ls.s_name, ls.acctbal_cents
+FROM nation n
+JOIN LATERAL (
+  SELECT s_name, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY acctbal_cents DESC, s_name
+  LIMIT 2
+) AS ls ON true
+ORDER BY n.n_name, ls.acctbal_cents DESC, ls.s_name
+"""
+
+
+@register("join_lateral", _LATERAL_SQL)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-nation top-2 suppliers by
+    integer-cents balance, IDENTICAL query text on both engines (the
+    third SQL-surface portability entry after the TPC-H suite and the
+    UDTF's LATERAL table function). Spark must decorrelate the inner
+    ORDER BY ... LIMIT to a WindowGroupLimit (rank pushed below the
+    shuffle, partial + final) feeding a hash join — never a per-outer-row
+    re-execution; pinned in tests/test_plans.py. The unique s_name
+    tie-break makes the per-group limit deterministic."""
+    for name in ("nation", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_SQL)
+
+
+# --- ROLLUP + GROUPING() --------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT lang, source,
+  CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+  count(*) AS n, sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY gid, lang, source
+"""
+
+
+@register("agg_rollup", _ROLLUP_SQL)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (leaf / per-lang / grand total) with GROUPING()
+    disambiguating real NULL keys from rolled-up ones — the prefix-
+    hierarchy sibling of agg_groupingsets' CUBE. One expand + one
+    partial/final aggregate pair; the BIGINT gid is portable across
+    engines (Spark's raw GROUPING__ID bit order is not part of the SQL
+    standard, grouping() per column is)."""
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_ROLLUP_SQL)

@@ -113,3 +113,38 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     the files, so no explicit schema is required (unlike the text formats,
     where schema-on-read is an inference scan we refuse to pay)."""
     return spark.read.orc(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    row_tag: str = "doc",
+) -> None:
+    """Write ``df`` as XML shards (Spark 4's built-in xml source — the
+    interchange format of feed/sitemap/library ecosystems). The writer
+    entity-escapes ``<``/``&`` in text nodes, omits null fields, and
+    nests struct fields / repeats array elements under their column
+    tag."""
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(
+        path
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType, row_tag: str = "doc"
+) -> DataFrame:
+    """Read XML with an EXPLICIT schema (inference over XML is even
+    costlier than JSON — a full parse pass just to guess types). Omitted
+    elements surface as nulls; repeated elements gather into arrays.
+    Reader default ``ignoreSurroundingSpaces=true`` trims value-edge
+    whitespace — values that must carry leading/trailing whitespace are
+    a known lossy edge of the format, keep them in JSONL/parquet."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

@@ -530,3 +530,29 @@ def test_tpch_q21_semi_and_anti_with_inequality_residual(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_lateral_is_group_limit_plus_hash_join(spark):
+    """join_lateral: the correlated LATERAL ORDER BY ... LIMIT must
+    decorrelate to a WindowGroupLimit (rank pushed below the shuffle)
+    feeding an equi hash join — never a per-outer-row re-execution or a
+    nested loop."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_joins_aggs  # noqa: F401
+
+    plan = _plan(QUERIES["join_lateral"](spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_agg_rollup_single_expand_aggregate(spark):
+    """agg_rollup: ROLLUP compiles to one Expand + one partial/final
+    aggregate pair — not one aggregate per grouping set."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_joins_aggs  # noqa: F401
+
+    plan = _plan(QUERIES["agg_rollup"](spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
