@@ -791,7 +791,14 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # jar is not in the sandbox), join_lateral (correlated LATERAL subquery,
 # identical text both engines, WindowGroupLimit plan pinned), agg_rollup
 # (ROLLUP + grouping() — CUBE's prefix-hierarchy pair, one Expand pinned),
-# win_cume_dist (tie-safe empirical-CDF window) —
+# win_cume_dist (tie-safe empirical-CDF window), fn_xml_parse +
+# fn_csv_parse (from_xml/from_csv in-COLUMN parse expressions — the
+# per-value siblings of the file connectors, quoted-delimiter and
+# attribute coverage), web_feed_items (RSS-style channel assembly ->
+# from_xml ARRAY<STRUCT> -> explode), pipe_sample_systematic
+# (stride-walk weighted sampling: exact-BIGINT budget law, md5-permuted
+# per-bucket prefix sums — the low-variance pair of the Bernoulli
+# stratified sampler; property-tested in tests/test_corpus.py) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -452,3 +452,76 @@ def q_fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_PIVOT_LANGS)}, {pairs}) AS (lang, n)"
         ),
     ).select("source", "lang", F.col("n").cast("bigint").alias("n"))
+
+
+# --- semi-structured in-column parsing: from_xml / from_csv ----------------------------
+# The source-level connectors (queries_formats.py) gate whole-FILE
+# round-trips; these two gate the per-VALUE parse functions — the shape a
+# crawl actually presents (an XML sitemap fragment or CSV line inside a
+# string column of an already-loaded table). Synthesize-then-parse: the
+# string is assembled from columns both engines see, Spark parses it back
+# with an explicit schema, and the oracle recomputes the fields directly —
+# the hash fails if the parser drops, shears or retypes anything.
+
+_XML_CELL = (
+    "concat('<d id=\"', CAST(doc_id AS STRING), '\"><lg>', lang,"
+    " '</lg><w>', split(text, ' ')[0], '</w><n>',"
+    " CAST(n_chars AS STRING), '</n></d>')"
+)
+
+_FN_XML_SQL = """
+SELECT doc_id, doc_id AS xid, lang AS xlang,
+  split_part(text, ' ', 1) AS xword, n_chars AS xn
+FROM documents
+"""
+
+
+@register("fn_xml_parse", _FN_XML_SQL)
+def q_fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml over a string column: per-row XML fragment with an
+    ATTRIBUTE (reads back as _id), three typed child elements, explicit
+    schema (no inference). Entirely JVM-side — the parse is a catalyst
+    expression, not a UDF."""
+    d = t(spark, sf_dir, "documents")
+    p = F.expr(
+        f"from_xml({_XML_CELL}, '_id BIGINT, lg STRING, w STRING, n BIGINT')"
+    )
+    return d.select(
+        "doc_id",
+        p.getField("_id").alias("xid"),
+        p.getField("lg").alias("xlang"),
+        p.getField("w").alias("xword"),
+        p.getField("n").cast("bigint").alias("xn"),
+    )
+
+
+_CSV_CELL = (
+    "concat('\"', source, ',x\",', CAST(doc_id AS STRING), ',', lang,"
+    " ',', CAST(n_chars AS STRING))"
+)
+
+_FN_CSV_SQL = """
+SELECT doc_id, source || ',x' AS qf, doc_id AS cid,
+  lang AS clang, n_chars AS cn
+FROM documents
+"""
+
+
+@register("fn_csv_parse", _FN_CSV_SQL)
+def q_fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv over a string column: the first field is QUOTED AND
+    CONTAINS THE DELIMITER — a parser that splits on raw commas shears
+    the row and breaks the hash. Explicit schema, default RFC-4180
+    quoting, JVM-side expression."""
+    d = t(spark, sf_dir, "documents")
+    p = F.expr(
+        f"from_csv({_CSV_CELL}, 'qf STRING, cid BIGINT, clang STRING,"
+        f" cn BIGINT')"
+    )
+    return d.select(
+        "doc_id",
+        p.getField("qf").alias("qf"),
+        p.getField("cid").alias("cid"),
+        p.getField("clang").alias("clang"),
+        p.getField("cn").cast("bigint").alias("cn"),
+    )

@@ -572,3 +572,71 @@ def q_pipe_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return funnel_report(funnel_stages(d))
+
+
+# --- systematic (stride) weighted sampling ----------------------------------------------
+# pipe_sample_stratified is Bernoulli: each doc decides independently, so
+# the realized token budget has binomial variance. Systematic sampling
+# walks the cumulative-weight axis with a fixed stride T and keeps the doc
+# covering each multiple of T: realized budget = total/T docs (+-1 per
+# bucket), inclusion probability ~ w/T (length-proportional), and every
+# step is exact BIGINT. Order inside each bucket is the md5 hex of doc_id
+# — a deterministic decorrelated permutation, identical in both engines.
+# Bucketing (P=8 on the md5 integer) bounds the window partition: the
+# prefix sum runs per bucket, so parallelism is P (the knob to raise at
+# corpus scale), never a single global sort.
+
+_SAMPLE_STRIDE = 4096  # chars of cumulative weight per kept doc
+
+_SYS_KEY_SPARK = "md5(CAST(doc_id AS STRING))"
+_SYS_KEY_SQL = "md5(CAST(doc_id AS VARCHAR))"
+# first md5 hex digit -> 0..15 -> % 8: cheap portable bucket
+_SYS_BKT_SPARK = (
+    f"CAST(conv(substring({_SYS_KEY_SPARK}, 1, 1), 16, 10) AS BIGINT) % 8"
+)
+_SYS_BKT_SQL = (
+    f"(CAST(strpos('0123456789abcdef', substr({_SYS_KEY_SQL}, 1, 1)) - 1"
+    f" AS BIGINT)) % 8"
+)
+
+_SYS_SQL = f"""
+SELECT doc_id, n_chars, bucket, cum
+FROM (
+  SELECT doc_id, n_chars, bucket,
+    sum(n_chars) OVER (
+      PARTITION BY bucket ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum
+  FROM (
+    SELECT doc_id, n_chars, {_SYS_KEY_SQL} AS h, {_SYS_BKT_SQL} AS bucket
+    FROM documents
+  )
+)
+WHERE cum // {_SAMPLE_STRIDE} > (cum - n_chars) // {_SAMPLE_STRIDE}
+"""
+
+
+@register("pipe_sample_systematic", _SYS_SQL)
+def q_pipe_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic weighted sample: keep the doc whose
+    cumulative n_chars span (in md5-permuted order, per bucket) crosses
+    a multiple of the stride. Integer-exact throughout — the kept set is
+    a pure function of (doc_id, n_chars), low-variance in realized
+    budget, and length-proportional in inclusion probability."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(_SYS_KEY_SPARK).alias("h"),
+        F.expr(_SYS_BKT_SPARK).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum", F.sum("n_chars").over(w))
+    k = _SAMPLE_STRIDE
+    # integer DIV, not a double divide: cum outgrows 2^53 at corpus scale
+    return cum.filter(
+        F.expr(f"cum DIV {k} > (cum - n_chars) DIV {k}")
+    ).select("doc_id", "n_chars", "bucket", "cum")

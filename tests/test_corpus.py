@@ -285,3 +285,50 @@ def test_corpus_job_host_gate_line_dedup_flags(spark, tmp_path):
     assert f["1c_lines"] == f["1b_host"]  # rewrite, not filter
     assert f["2_quality"] <= f["1c_lines"]
     assert rep["kept_rows"] >= 0
+
+
+def test_systematic_sample_budget_and_invariance(spark):
+    """pipe_sample_systematic: per-bucket kept count equals the number of
+    stride multiples the bucket's total weight crosses (cum_max DIV T —
+    the +-0 budget law Bernoulli sampling can't give); any doc at least
+    one stride long is always kept; and the kept set is a pure function
+    of the data (two runs agree row-for-row)."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from ocr_spark.queries import QUERIES, t
+    from ocr_spark.queries_pipeline import _SAMPLE_STRIDE, _SYS_BKT_SPARK
+    import ocr_spark.queries_pipeline  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["pipe_sample_systematic"](spark, sf).collect()
+
+    # budget law: per bucket, kept == bucket_total DIV stride
+    per_bucket = defaultdict(int)
+    for r in rows:
+        per_bucket[r["bucket"]] += 1
+    totals = {
+        r["bucket"]: r["tot"]
+        for r in t(spark, sf, "documents")
+        .groupBy(F.expr(_SYS_BKT_SPARK).alias("bucket"))
+        .agg(F.sum("n_chars").alias("tot"))
+        .collect()
+    }
+    for b, tot in totals.items():
+        assert per_bucket.get(b, 0) == tot // _SAMPLE_STRIDE, b
+
+    # long-doc law: every doc spanning >= one stride is kept
+    big = (
+        t(spark, sf, "documents")
+        .filter(F.col("n_chars") >= _SAMPLE_STRIDE)
+        .count()
+    )
+    assert sum(1 for r in rows if r["n_chars"] >= _SAMPLE_STRIDE) == big
+
+    # determinism: a second evaluation keeps the identical doc_id set
+    ids2 = sorted(
+        r["doc_id"]
+        for r in QUERIES["pipe_sample_systematic"](spark, sf).collect()
+    )
+    assert sorted(r["doc_id"] for r in rows) == ids2
