@@ -297,3 +297,59 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over a directed edge list → (node, dist) for every
+    node within ``max_hops`` of any seed (dist = hop count to the NEAREST
+    seed; seeds themselves are dist 0).
+
+    Frontier expansion, not matrix powering: each round joins only the
+    newly-reached frontier against the edge table (repartitioned on src
+    once, reused every round), dedups, and anti-joins the settled set so a
+    node is labeled the FIRST round it appears — which is exactly min-dist,
+    no min-aggregation needed. Rounds are eager (persist + count) like
+    pagerank's, keeping recompute depth at 1; frontier size is |reached
+    this round|, never |V|. Like pagerank, the RETURNED frame stays
+    persisted (every intermediate is released here) — callers running
+    repeatedly in one session should .unpersist() it. At corpus scale the
+    settled set is the memory bound — for deeper traversals swap the
+    anti-join target to a bucketed table checkpoint."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    settled = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    settled.count()
+    frontier = settled.select("node")
+    to_release = [e]
+    for k in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .withColumn("dist", F.lit(k).cast("bigint"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        to_release.append(nxt)
+        if nxt.count() == 0:
+            break
+        to_release.append(settled)
+        settled = settled.union(nxt).persist(StorageLevel.MEMORY_AND_DISK)
+        settled.count()
+        frontier = nxt.select("node")
+    for df in to_release:
+        df.unpersist()
+    return settled

@@ -798,7 +798,11 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from_xml ARRAY<STRUCT> -> explode), pipe_sample_systematic
 # (stride-walk weighted sampling: exact-BIGINT budget law, md5-permuted
 # per-bucket prefix sums — the low-variance pair of the Bernoulli
-# stratified sampler; property-tested in tests/test_corpus.py) —
+# stratified sampler; property-tested in tests/test_corpus.py),
+# graph_bfs_dist (multi-source BFS frontier expansion vs a recursive-CTE
+# oracle — crawl-depth reachability; functions/graph.bfs_distances),
+# events_scd2 (SCD2 validity intervals via gaps-and-islands; current row
+# open) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

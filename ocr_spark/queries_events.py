@@ -503,3 +503,80 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+# --- SCD2 dimension build ---------------------------------------------------------------
+# Slowly-changing-dimension type 2 from an event stream: the warehouse
+# move that turns "user's tier changed over time" into validity intervals
+# [valid_from, valid_to) with the current row open (valid_to NULL).
+# Gaps-and-islands: lag() flags changes, a running sum numbers the
+# islands, one aggregate per island takes its first timestamp, lead()
+# closes each interval with the next one's start. tier = cents DIV 500 of
+# 'purchase' events — derived, not random, so both engines see identical
+# input. One shuffle on user_id serves every window; ties broken by the
+# unique event_id.
+
+_SCD2_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+    CAST(round(value * 100, 0) AS BIGINT) // 500 AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT user_id, ts, event_id, tier,
+    CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0 END
+      AS chg
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, tier,
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, isl, tier, min(ts) AS valid_from
+  FROM islands GROUP BY user_id, isl, tier
+)
+SELECT user_id, CAST(isl AS BIGINT) AS version, tier, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+    AS valid_to
+FROM iv
+"""
+
+
+@register("events_scd2", _SCD2_SQL)
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals per user from purchase events: each run of equal
+    tiers becomes one versioned row; the newest row stays open
+    (valid_to NULL). All keys and the tier are exact integers; interval
+    edges are the raw event timestamps."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT) div 500").alias("tier"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = p.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("tier").over(wo).eqNullSafe(F.col("tier")), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("chg").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = islands.groupBy("user_id", "isl", "tier").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wl = Window.partitionBy("user_id").orderBy("valid_from")
+    return iv.select(
+        "user_id",
+        F.col("isl").cast("bigint").alias("version"),
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+    )

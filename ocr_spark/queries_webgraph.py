@@ -1457,3 +1457,52 @@ def q_graph_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the caller's job per functions/graph.py's contract — the driver
     # collects immediately, so the session-lifetime cost is one frame.
     return out
+
+
+# --- multi-source BFS distances --------------------------------------------------------
+# Crawl-frontier reachability: "how many hops is every host from the seed
+# list" drives crawl depth budgets and link-spam moats. Graded over the
+# same bidirectional part<->supplier graph pagerank uses (dense enough to
+# exercise 4 hops); seeds are the partkeys divisible by 97. The DuckDB
+# oracle is a recursive CTE with UNION (not UNION ALL) semantics — the
+# state set is bounded by |V| x hops, then min(d) collapses to nearest-seed
+# distance, which the Spark side produces structurally (a node is labeled
+# the first round it appears).
+
+_BFS_HOPS = 4
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + {_PR_SUPP_OFFSET} AS dst
+  FROM lineitem
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+walk(node, d) AS (
+  SELECT DISTINCT src AS node, 0 AS d FROM e0 WHERE src % 97 = 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < {_BFS_HOPS}
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@register("graph_bfs_dist", _BFS_ORACLE)
+def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegates to functions/graph.bfs_distances (frontier expansion,
+    per-round anti-join against the settled set, eager rounds — see its
+    docstring). Hop counts are exact integers, so the recursive-CTE
+    oracle matches bit-for-bit."""
+    from ocr_spark.functions.graph import bfs_distances
+
+    li = t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey") + _PR_SUPP_OFFSET).cast("bigint").alias("dst"),
+    ).distinct()
+    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = e0.filter(F.col("src") % 97 == 0).select(
+        F.col("src").alias("node")
+    ).distinct()
+    return bfs_distances(e, seeds, _BFS_HOPS).select("node", "dist")

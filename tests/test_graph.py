@@ -137,3 +137,24 @@ def test_cc_refines_star_pass_on_documents(spark):
     for d, r in star.items():
         by_star.setdefault(r, set()).add(cc[d])
     assert all(len(v) == 1 for v in by_star.values())
+
+
+def test_bfs_distances_hand_graph(spark):
+    """bfs_distances on a hand graph: nearest-seed distance, early stop
+    when the frontier drains, unreachable nodes absent, no cached frames
+    left behind."""
+    from ocr_spark.functions.graph import bfs_distances
+
+    # 1 -> 2 -> 3 -> 4, 10 -> 3 (two seeds: 1 and 10); 99 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 3), (99, 99)], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "node LONG")
+    res = bfs_distances(edges, seeds, max_hops=10)
+    out = {r["node"]: r["dist"] for r in res.collect()}
+    # 3 is reachable in 2 from seed 1 but in 1 from seed 10 -> nearest wins
+    assert out == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2}
+    # only the returned (documented-persisted) frame remains cached
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() <= 1
+    res.unpersist()
