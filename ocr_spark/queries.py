@@ -802,7 +802,13 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_bfs_dist (multi-source BFS frontier expansion vs a recursive-CTE
 # oracle — crawl-depth reachability; functions/graph.bfs_distances),
 # events_scd2 (SCD2 validity intervals via gaps-and-islands; current row
-# open) —
+# open), pipe_c4_rules (C4 line-level cleaning, Raffel et al. 2020:
+# terminal-punct/>=3-word line gates, lorem-ipsum/javascript drops,
+# curly-brace + <3-line doc rejection — lines synthesized
+# deterministically, both polarities fire), sketch_source_jaccard
+# (source-vs-source MinHash similarity matrix with the exact Jaccard
+# audit column riding along), sim_random_projection (Achlioptas +-1 JL
+# projection 64d->8d, literal sign arrays, zero exchanges) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -213,3 +213,62 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# --- signed random projection (JL sketch) ------------------------------------------------
+# Dimensionality reduction for the embedding column: project 64-d vectors
+# onto 8 +-1 directions (Achlioptas 2003 — the database-friendly
+# Johnson-Lindenstrauss form: no Gaussians, just sign flips, so the
+# "matrix" is 8 literal arrays baked into the plan and the projection is
+# a narrow map over the scan, broadcast-free). Signs are md5-derived
+# constants, identical in both engines; each output coordinate is ONE
+# sequential fold of +-x terms (the fn_vector determinism device), so
+# the doubles are bit-identical and survive the value hash.
+
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+
+
+def _rp_signs(j: int) -> list[int]:
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1
+        for i in range(_RP_IN_DIMS)
+    ]
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for j in range(_RP_OUT_DIMS):
+        lits = ", ".join(f"{s}.0" for s in _rp_signs(j))
+        cols.append(
+            f"round(list_aggregate(list_transform("
+            f"generate_series(1, {_RP_IN_DIMS}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]),"
+            f" 'sum'), 6) AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register("sim_random_projection", _rp_oracle())
+def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-d -> 8-d signed random projection over the embedding column —
+    the preprocessing sketch in front of clustering / ANN when the full
+    dimension is too wide to shuffle. Zero exchanges: literal sign
+    arrays, one fold per output coordinate."""
+    e = t(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for j in range(_RP_OUT_DIMS):
+        lits = ", ".join(
+            f"CAST({s} AS DOUBLE)" for s in _rp_signs(j)
+        )
+        cols.append(
+            F.expr(
+                f"round(aggregate(zip_with(embedding, array({lits}),"
+                f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+                f" (s, v) -> s + v), 6)"
+            ).alias(f"p{j}")
+        )
+    return e.select(*cols)

@@ -640,3 +640,108 @@ def q_pipe_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(
         F.expr(f"cum DIV {k} > (cum - n_chars) DIV {k}")
     ).select("doc_id", "n_chars", "bucket", "cum")
+
+
+# --- C4-style line-level cleaning ---------------------------------------------------
+# Raffel et al. 2020's C4 cleaning is LINE-grained: keep a line only if it
+# ends in terminal punctuation, has >= 3 words, and mentions none of the
+# junk markers (lorem ipsum / javascript); drop the whole document if it
+# ever opens a curly brace or keeps < 3 lines. The synthetic corpus has no
+# newlines, so lines are synthesized deterministically (7 words per line,
+# terminal mark cycling . ! ? and MISSING every 4th line) and three junk
+# families are injected by doc_id arithmetic — every rule fires in both
+# polarities and the oracle rebuilds the same lines from first principles.
+# All ops are JVM array HOFs over one scan; no explode, no shuffle.
+
+_C4_LINES_SPARK = """
+concat(
+  transform(sequence(1, greatest(CAST((size({w}) + 6) div 7 AS INT), 1)),
+    i -> concat(array_join(slice({w}, (i - 1) * 7 + 1, 7), ' '),
+      element_at(array('.', '!', '?', ''),
+        CAST((doc_id * 31 + i) % 4 AS INT) + 1))),
+  slice(array('lorem ipsum dolor sit.'), 1,
+    CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END),
+  slice(array('enable javascript to view this page.'), 1,
+    CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END),
+  slice(array('function f() {{'), 1,
+    CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END)
+)
+""".format(w="filter(split(text, ' '), x -> x != '')")
+
+_C4_KEEP_SPARK = """
+filter({lines}, l ->
+  substr(l, length(l), 1) IN ('.', '!', '?')
+  AND size(filter(split(l, ' '), x -> x != '')) >= 3
+  AND NOT contains(l, 'lorem ipsum')
+  AND NOT contains(l, 'javascript')
+  AND NOT contains(l, '{{'))
+"""
+
+_C4_LINES_SQL = """
+list_concat(
+  list_concat(
+    list_transform(generate_series(1, greatest(CAST((len({w}) + 6) // 7 AS INT), 1)),
+      i -> array_to_string(list_slice({w}, (i - 1) * 7 + 1, (i - 1) * 7 + 7), ' ')
+        || list_extract(['.', '!', '?', ''],
+             CAST((doc_id * 31 + i) % 4 AS INT) + 1)),
+    CASE WHEN doc_id % 37 = 0 THEN ['lorem ipsum dolor sit.']
+         ELSE [] END),
+  list_concat(
+    CASE WHEN doc_id % 13 = 0 THEN ['enable javascript to view this page.']
+         ELSE [] END,
+    CASE WHEN doc_id % 41 = 0 THEN ['function f() {{'] ELSE [] END)
+)
+""".format(w="list_filter(string_split(text, ' '), x -> x != '')")
+
+_C4_KEEP_SQL = """
+list_filter({lines}, l ->
+  substr(l, length(l), 1) IN ('.', '!', '?')
+  AND len(list_filter(string_split(l, ' '), x -> x != '')) >= 3
+  AND NOT contains(l, 'lorem ipsum')
+  AND NOT contains(l, 'javascript')
+  AND NOT contains(l, '{{'))
+"""
+
+_C4_SQL = f"""
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CASE WHEN len(list_filter(lines, l -> contains(l, '{{'))) = 0
+        AND len(kept) >= 3 THEN 1 ELSE 0 END AS kept_doc,
+  CASE WHEN len(list_filter(lines, l -> contains(l, '{{'))) = 0
+        AND len(kept) >= 3
+       THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+FROM (
+  SELECT doc_id, lines, {_C4_KEEP_SQL.format(lines="lines")} AS kept
+  FROM (SELECT doc_id, {_C4_LINES_SQL} AS lines FROM documents)
+)
+"""
+
+
+@register("pipe_c4_rules", _C4_SQL)
+def q_pipe_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020): terminal-punctuation
+    and >=3-word line gates, lorem-ipsum / javascript line drops, whole-
+    document rejection on any '{' or on < 3 surviving lines, kept lines
+    reassembled in order. One narrow map over the scan — the line grain
+    never explodes into rows."""
+    d = t(spark, sf_dir, "documents")
+    lines = d.select("doc_id", F.expr(_C4_LINES_SPARK).alias("lines"))
+    kept = lines.select(
+        "doc_id",
+        "lines",
+        F.expr(_C4_KEEP_SPARK.format(lines="lines")).alias("kept"),
+    )
+    brace = "size(filter(lines, l -> contains(l, '{'))) = 0"
+    return kept.select(
+        "doc_id",
+        F.expr("CAST(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(size(kept) AS BIGINT)").alias("n_kept"),
+        F.expr(
+            f"CASE WHEN {brace} AND size(kept) >= 3 THEN 1 ELSE 0 END"
+        ).alias("kept_doc"),
+        F.expr(
+            f"CASE WHEN {brace} AND size(kept) >= 3"
+            " THEN array_join(kept, char(10)) ELSE '' END"
+        ).alias("clean_text"),
+    )

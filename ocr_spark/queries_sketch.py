@@ -292,3 +292,132 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked, F.col("rn") == F.col("thr")
     ).selectExpr("CAST(q AS BIGINT) AS q", "CAST(v AS BIGINT) AS exact_val")
     return est.join(exact, "q").select("q", "est_hi", "exact_val")
+
+
+# --- corpus-level MinHash similarity matrix ---------------------------------------------
+# Which SOURCES overlap? The dedup family answers doc-vs-doc; curation also
+# needs the source-vs-source diagnostic (is src3 a mirror of src7? how much
+# does a new crawl overlap the last one?). One MinHash signature per source
+# over its DISTINCT shingle-hash set estimates Jaccard in O(num_perms) per
+# pair; the exact Jaccard rides along (a shingle-hash equi-join) so the
+# estimate's quality is itself on record. At corpus scale only the
+# signatures (sources x num_perms) ever meet the pair join — the exact
+# column is the audit path you'd sample, not compute exhaustively.
+
+def _src_sig_exprs(dialect_min: str, h: str) -> list[str]:
+    from ocr_spark.queries_textml import _MH_PRIME, _mh_ab, NUM_PERMS
+
+    a, b = _mh_ab(NUM_PERMS)
+    return [
+        dialect_min.format(
+            perm=f"({a[i]} * {h} + {b[i]}) % {_MH_PRIME}", i=i
+        )
+        for i in range(NUM_PERMS)
+    ]
+
+
+def _source_jaccard_oracle() -> str:
+    from ocr_spark.queries_textml import (
+        _SHASH_SQL, _SHINGLES_SQL, NUM_PERMS,
+    )
+
+    sig_cols = ",\n    ".join(
+        _src_sig_exprs("min({perm}) AS s{i}", "h")
+    )
+    eq = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERMS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, {_SHASH_SQL.replace('md5(s)', 'md5(sg)')} AS h
+  FROM (
+    SELECT source, unnest({_SHINGLES_SQL}) AS sg
+    FROM (SELECT source,
+            list_filter(string_split(text, ' '), x -> x != '') AS w
+          FROM documents)
+  )
+),
+sig AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh,
+    {sig_cols}
+  FROM sh GROUP BY source
+),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST({eq} AS BIGINT) AS est_matches,
+  CAST(coalesce(i.i, 0) * 1000000
+       // (a.n_sh + b.n_sh - coalesce(i.i, 0)) AS BIGINT) AS jaccard_e6
+FROM sig a
+JOIN sig b ON a.source < b.source
+LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+"""
+
+
+@register("sketch_source_jaccard", _source_jaccard_oracle())
+def q_sketch_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-source similarity: per-source MinHash signature (min of
+    each Broder permutation over the source's distinct shingle hashes)
+    beside the exact Jaccard from the shingle-hash equi-join. Signatures
+    are one groupBy over the deduped shingle table; the pair join is
+    sources^2 over num_perms-wide rows — trivial at any corpus size."""
+    from ocr_spark.queries_textml import (
+        _SHASH_SPARK, _SHINGLES_SPARK, _WORDS_SPARK, NUM_PERMS,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(_WORDS_SPARK.format(col="text")).alias("w"),
+    )
+    sh = (
+        d.select("source", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+        .select("source", F.expr(_SHASH_SPARK).alias("h"))
+        .distinct()
+    )
+    sig_exprs = [
+        F.expr(e)
+        for e in _src_sig_exprs("CAST(min({perm}) AS BIGINT) AS s{i}", "h")
+    ]
+    sig = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"), *sig_exprs
+    )
+    a = sig.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("na"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(NUM_PERMS)],
+    )
+    b = sig.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("nb"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(NUM_PERMS)],
+    )
+    eq = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(NUM_PERMS)
+    )
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b")).join(
+        inter, ["source_a", "source_b"], "left"
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.expr(f"CAST({eq} AS BIGINT)").alias("est_matches"),
+        F.expr(
+            "CAST(coalesce(i, 0) * 1000000"
+            " div (na + nb - coalesce(i, 0)) AS BIGINT)"
+        ).alias("jaccard_e6"),
+    )
