@@ -127,6 +127,19 @@ HEADLINE = [
     "dq_suite",             # warehouse: Deequ-style suite as ONE scan
     "stream_dq_metrics",    # warehouse: exactly-once streaming DQ fold
     "events_anomaly",       # analytics: rolling z-score outliers
+    # session-3 round-4 additions (suite completion + closure entries)
+    "tpch_q2",              # SQL surface: correlated scalar MIN decorrelation
+    "tpch_q8",              # SQL surface: deepest join tree (7 tables)
+    "tpch_q17",             # SQL surface: double correlated-agg decorrelation
+    "tpch_q21",             # SQL surface: semi+anti with inequality residual
+    "scan_xml_roundtrip",   # connector: built-in xml source round-trip
+    "join_lateral",         # SQL surface: LATERAL -> WindowGroupLimit
+    "pipe_c4_rules",        # corpus prep: C4 line-level cleaning (narrow map)
+    "pipe_sample_systematic",  # corpus prep: stride-walk weighted sample
+    "graph_bfs_dist",       # webtext: multi-source BFS frontier expansion
+    "sketch_source_jaccard",  # corpus diagnostics: source-vs-source MinHash
+    "sim_random_projection",  # training-data: +-1 JL projection (zero Exchange)
+    "events_scd2",          # warehouse: SCD2 gaps-and-islands intervals
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
