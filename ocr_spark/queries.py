@@ -808,7 +808,11 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministically, both polarities fire), sketch_source_jaccard
 # (source-vs-source MinHash similarity matrix with the exact Jaccard
 # audit column riding along), sim_random_projection (Achlioptas +-1 JL
-# projection 64d->8d, literal sign arrays, zero exchanges) —
+# projection 64d->8d, literal sign arrays, zero exchanges), stream_scd2
+# (streaming SCD2 maintenance: exactly-once append-only purchase log +
+# read-side interval fold sharing events_scd2's code path — intervals are
+# deliberately log-structured, not merge-maintained; see
+# incremental_scd2's docstring) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

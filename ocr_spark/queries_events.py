@@ -545,14 +545,12 @@ FROM iv
 """
 
 
-@register("events_scd2", _SCD2_SQL)
-def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 intervals per user from purchase events: each run of equal
-    tiers becomes one versioned row; the newest row stays open
-    (valid_to NULL). All keys and the tier are exact integers; interval
-    edges are the raw event timestamps."""
-    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    p = e.select(
+def scd2_from_purchases(purchases: DataFrame) -> DataFrame:
+    """The SCD2 interval build over a (user_id, ts, event_id, value)
+    purchase frame — shared by the batch entry and the streaming fold
+    (streaming/incremental.scd2_intervals), so both faces are one code
+    path by construction."""
+    p = purchases.select(
         "user_id", "ts", "event_id",
         F.expr("CAST(round(value * 100, 0) AS BIGINT) div 500").alias("tier"),
     )
@@ -580,3 +578,42 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(wl).alias("valid_to"),
     )
+
+
+@register("events_scd2", _SCD2_SQL)
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals per user from purchase events: each run of equal
+    tiers becomes one versioned row; the newest row stays open
+    (valid_to NULL). All keys and the tier are exact integers; interval
+    edges are the raw event timestamps."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return scd2_from_purchases(e)
+
+
+@register("stream_scd2", _SCD2_SQL)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of events_scd2: events arrive as file
+    micro-batches (maxFilesPerTrigger=1 over a 3-file copy), purchase
+    rows are committed as exactly-once APPEND-ONLY deltas, and the
+    read-side fold derives the interval table — which must equal the
+    batch build under the SAME oracle, independent of how the file
+    source sliced the batches (the log is the state; see
+    incremental_scd2's docstring for why intervals are deliberately not
+    merge-maintained)."""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.incremental import (
+        incremental_scd2,
+        scd2_intervals,
+    )
+
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-scd2-")
+    src = os.path.join(work, "src")
+    t(spark, sf_dir, "events").repartition(3).write.parquet(src)
+    out = os.path.join(work, "dim")
+    ckpt = os.path.join(work, "ckpt")
+    writer, _ = incremental_scd2(spark, src, out, ckpt)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return scd2_intervals(spark, out)

@@ -778,3 +778,72 @@ def test_stream_static_enrich_stateless_broadcast(spark, tmp_path):
         (r.event_id, r.segment) for r in events.join(dim, "user_id").collect()
     }
     assert got == expected and len(expected) == 30  # user 3 unmatched
+
+
+def test_incremental_scd2_matches_batch_and_replays(spark, tmp_path):
+    """stream_scd2's machinery: a user whose tier history spans three
+    micro-batches fuses/splits islands exactly like the batch build
+    (fold-on-read makes this structural); a full restart over the same
+    source replays every batch as a no-op — zero duplicate rows in the
+    committed log."""
+    import datetime as dt
+
+    from ocr_spark.queries_events import scd2_from_purchases
+    from ocr_spark.streaming.incremental import (
+        incremental_scd2,
+        scd2_intervals,
+    )
+
+    def ev(i, user, cents, typ="purchase"):
+        return (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+            user,
+            typ,
+            cents / 100.0,
+            "{}",
+        )
+
+    # user 7: tier 0 (b0), tier 0 then tier 4 (b1), tier 4 (b2)
+    # -> exactly two intervals after all three batches fold
+    batches = [
+        [ev(1, 7, 100), ev(2, 8, 2600, "click")],
+        [ev(3, 7, 150), ev(4, 7, 2100)],
+        [ev(5, 7, 2200), ev(6, 8, 900)],
+    ]
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING"
+    )
+    src = tmp_path / "src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    out, ckpt = str(tmp_path / "dim"), str(tmp_path / "ckpt")
+    writer, committer = incremental_scd2(spark, str(src), out, ckpt)
+    _drain(writer)
+    folded = scd2_intervals(spark, out)
+    allp = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    ).filter("event_type = 'purchase'")
+    batch = scd2_from_purchases(allp)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    u7 = sorted(
+        (r["version"], r["tier"]) for r in folded.collect()
+        if r["user_id"] == 7
+    )
+    assert u7 == [(1, 0), (2, 4)]  # three batches fused to two intervals
+
+    committed_before = committer.committed()
+    rows_before = spark.read.parquet(f"{out}/data").count()
+    # replayed micro-batch (crash after manifest commit): short-circuited,
+    # the committed log is unchanged
+    replay = spark.createDataFrame(batches[1], schema).filter(
+        "event_type = 'purchase'"
+    ).select("user_id", "ts", "event_id", "value")
+    committer(replay, committed_before[-1])
+    assert committer.committed() == committed_before
+    assert spark.read.parquet(f"{out}/data").count() == rows_before
