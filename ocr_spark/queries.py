@@ -895,6 +895,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_formats  # noqa: F401
     from ocr_spark import queries_tpch  # noqa: F401
     from ocr_spark import queries_dq  # noqa: F401
+    from ocr_spark import queries_sql4  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)
