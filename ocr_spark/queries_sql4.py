@@ -21,9 +21,13 @@ from ocr_spark.queries import register, t
 # The classic "calendar dimension without a table": a month spine spanning
 # the orders range, LEFT-joined so zero-order months survive with n = 0.
 # IDENTICAL text on both engines (Spark 4.1 ships WITH RECURSIVE).
-# Scale note: the recursion materializes ~80 rows on the driver-side plan
-# (a linear chain of 1-row steps) and then BROADCASTS into the join — the
-# fact table is scanned once; recursion never touches corpus-sized data.
+# Scale shape: aggregate the fact table FIRST (one scan, partial/final
+# pair over ~80 month keys), then LEFT JOIN the 80-row recursive spine
+# against that tiny aggregate — the spine-side recursion (UnionLoop)
+# never touches corpus-sized data and the join broadcasts. The naive
+# spelling (months LEFT JOIN orders ... GROUP BY m) would drag every
+# fact row through a join before aggregating, and LeftOuter can only
+# build-right, so the big side could never be the hash side.
 # Recursions whose working set IS corpus-sized (reachability) belong to
 # the iterative DataFrame loops (graph_bfs_dist, dedup_cc), not to CTEs.
 
@@ -33,11 +37,14 @@ WITH RECURSIVE months(m) AS (
   UNION ALL
   SELECT m + INTERVAL 1 MONTH FROM months
   WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+),
+om AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(count(o_orderkey) AS BIGINT) AS n
+  FROM orders GROUP BY 1
 )
-SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
-FROM months
-LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
-GROUP BY m
+SELECT months.m, CAST(coalesce(om.n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN om USING (m)
 ORDER BY m
 """
 

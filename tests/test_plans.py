@@ -556,3 +556,45 @@ def test_agg_rollup_single_expand_aggregate(spark):
     plan = _plan(QUERIES["agg_rollup"](spark, "/root/testdata/sf0.001"))
     assert "Expand" in plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+
+
+def test_sql_recursive_cte_agg_before_broadcast_join(spark):
+    """sql_recursive_cte: the fact table aggregates BEFORE the join (one
+    scan, one partial/final pair over ~80 month keys) and the joined
+    sides are both spine-sized, so the join is a broadcast; the
+    recursion itself is a UnionLoop over OneRowRelation steps that never
+    touches corpus-sized data."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_sql4  # noqa: F401
+
+    plan = _plan(QUERIES["sql_recursive_cte"](spark, "/root/testdata/sf0.001"))
+    assert "UnionLoop" in plan
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fn_sql_udf_inlines_no_python(spark):
+    """fn_sql_udf: the CREATE FUNCTION body is a pure SQL expression, so
+    Catalyst inlines it — no Python evaluation node appears, and the
+    n_chars filter still reaches the parquet scan through the call
+    site."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_sql4  # noqa: F401
+
+    plan = _plan(QUERIES["fn_sql_udf"](spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]" in plan
+
+
+def test_agg_group_by_all_is_plain_aggregate(spark):
+    """agg_group_by_all: GROUP BY ALL / ORDER BY ALL are parser-level
+    sugar — the physical plan is exactly the explicit-keys aggregate
+    (one partial/final pair, no Expand)."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_sql4  # noqa: F401
+
+    plan = _plan(QUERIES["agg_group_by_all"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert "Expand" not in plan
