@@ -140,6 +140,16 @@ HEADLINE = [
     "sketch_source_jaccard",  # corpus diagnostics: source-vs-source MinHash
     "sim_random_projection",  # training-data: +-1 JL projection (zero Exchange)
     "events_scd2",          # warehouse: SCD2 gaps-and-islands intervals
+    "stream_scd2",          # warehouse: streaming SCD2 (event-log fold)
+    # session-4 Spark 4 SQL surface block
+    "sql_recursive_cte",    # SQL surface: WITH RECURSIVE month spine (agg-first)
+    "fn_variant",           # SQL surface: VARIANT typed-path extraction
+    "fn_sql_udf",           # SQL surface: catalog SQL UDF (Catalyst-inlined)
+    "agg_group_by_all",     # SQL surface: GROUP BY ALL sugar -> plain agg
+    "set_union_byname",     # SQL surface: UNION ALL BY NAME schema evolution
+    # session-4 runtime-pruning join block
+    "join_dpp",             # scale: dynamic partition pruning (month dirs)
+    "join_runtime_bloom",   # scale: runtime bloom filter on probe side
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

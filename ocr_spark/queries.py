@@ -812,7 +812,21 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (streaming SCD2 maintenance: exactly-once append-only purchase log +
 # read-side interval fold sharing events_scd2's code path — intervals are
 # deliberately log-structured, not merge-maintained; see
-# incremental_scd2's docstring) —
+# incremental_scd2's docstring), sql_recursive_cte (WITH RECURSIVE month
+# spine, fact aggregated BEFORE the broadcast join — UnionLoop never
+# touches corpus-sized data, plan-pinned), fn_variant (VARIANT
+# parse_json -> variant_get typed paths incl. nested/array/missing),
+# fn_sql_udf (catalog CREATE FUNCTION ... RETURN <expr>, Catalyst
+# inlines — no Python node, pushdown through the call site pinned),
+# agg_group_by_all (GROUP BY ALL / ORDER BY ALL sugar -> plain
+# partial/final agg, identical text both engines), set_union_byname
+# (UNION ALL BY NAME schema-evolution union vs DuckDB's native BY NAME),
+# join_dpp (dynamic partition pruning: month-partitioned fact side-write,
+# join-derived month set lands in the scan's PartitionFilters as a
+# dynamicpruningexpression — plan-pinned; oracle recomputes from raw
+# parquet), join_runtime_bloom (runtime bloom_filter_agg +
+# might_contain probe guard under floored thresholds on an isolated
+# newSession, conf non-leak pinned) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -896,6 +910,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_tpch  # noqa: F401
     from ocr_spark import queries_dq  # noqa: F401
     from ocr_spark import queries_sql4  # noqa: F401
+    from ocr_spark import queries_scaleopt  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

@@ -598,3 +598,43 @@ def test_agg_group_by_all_is_plain_aggregate(spark):
     plan = _plan(QUERIES["agg_group_by_all"](spark, "/root/testdata/sf0.001"))
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
     assert "Expand" not in plan
+
+
+def test_join_dpp_prunes_partitions_at_runtime(spark):
+    """join_dpp: the month-partitioned fact scan carries a
+    dynamicpruningexpression in PartitionFilters — the join-derived month
+    set prunes directories at listing time, which static pushdown cannot
+    do. The dim side must reach the fact as a reused broadcast, not a
+    shuffle."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_scaleopt  # noqa: F401
+
+    plan = _plan(QUERIES["join_dpp"](spark, "/root/testdata/sf0.001"))
+    assert "dynamicpruningexpression" in plan
+    assert re.search(r"PartitionFilters: \[.*dynamicpruning", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_runtime_bloom_guards_probe_scan(spark):
+    """join_runtime_bloom: Catalyst injects bloom_filter_agg over the
+    filtered build keys and a might_contain guard on the probe side, so
+    non-matching lineitem rows die before the shuffle. The entry's
+    newSession() conf floor must NOT leak into the shared session."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_scaleopt  # noqa: F401
+
+    before = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    df = QUERIES["join_runtime_bloom"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    after = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    assert before == after
