@@ -150,6 +150,9 @@ HEADLINE = [
     # session-4 runtime-pruning join block
     "join_dpp",             # scale: dynamic partition pruning (month dirs)
     "join_runtime_bloom",   # scale: runtime bloom filter on probe side
+    # session-4 privacy-release block
+    "privacy_k_anon",       # privacy: k-anonymous release (window + suppress)
+    "privacy_l_div",        # privacy: l-diversity homogeneity audit
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

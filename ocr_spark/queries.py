@@ -826,7 +826,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dynamicpruningexpression — plan-pinned; oracle recomputes from raw
 # parquet), join_runtime_bloom (runtime bloom_filter_agg +
 # might_contain probe guard under floored thresholds on an isolated
-# newSession, conf non-leak pinned) —
+# newSession, conf non-leak pinned), privacy_k_anon (k-anonymous
+# release: pseudonymize + generalize + suppress QI groups < K, one
+# QI-keyed window exchange — plan-pinned), privacy_l_div (l-diversity
+# homogeneity audit per QI group) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
@@ -911,6 +914,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_dq  # noqa: F401
     from ocr_spark import queries_sql4  # noqa: F401
     from ocr_spark import queries_scaleopt  # noqa: F401
+    from ocr_spark import queries_privacy  # noqa: F401
 
     prio = [k for k in _PRIORITY_R04 if k in QUERIES]
     tail = set(_R03_DRIVER_GRADED)

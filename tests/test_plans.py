@@ -638,3 +638,15 @@ def test_join_runtime_bloom_guards_probe_scan(spark):
         "applicationSideScanSizeThreshold"
     )
     assert before == after
+
+
+def test_privacy_k_anon_single_exchange(spark):
+    """privacy_k_anon: one hash-partitioning exchange on the QI key feeds
+    both the window count and the suppression filter — no self-join, no
+    second shuffle before the output sort."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_privacy  # noqa: F401
+
+    plan = _plan(QUERIES["privacy_k_anon"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+    assert "Join" not in plan
