@@ -153,6 +153,9 @@ HEADLINE = [
     # session-4 privacy-release block
     "privacy_k_anon",       # privacy: k-anonymous release (window + suppress)
     "privacy_l_div",        # privacy: l-diversity homogeneity audit
+    # session-4 sketch-algebra + time-series block
+    "sketch_hll_merge",     # scale: per-source HLL tables MAX-fold == global
+    "events_ewma",          # analytics: integer-exact EWMA (bounded frame)
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

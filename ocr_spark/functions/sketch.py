@@ -223,20 +223,28 @@ HLL_RANK_MAX = _HLL_REST_BITS + 1
 HLL_ALPHA_E6 = 709340
 
 
-def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
+def hll_registers(keys: DataFrame, key_col: str,
+                  group_cols: list[str] | None = None) -> DataFrame:
     """(bucket, reg) — max rank per bucket, only non-empty buckets emitted.
 
     ONE max shuffle, map-side-combined to ≤ m rows per task. Registers
     merge across any partitioning/union by elementwise MAX — the property
-    that makes HLL a distributed sketch (pinned in tests)."""
+    that makes HLL a distributed sketch (pinned in tests).
+
+    ``group_cols`` keys the sketch: one independent register table per
+    group (≤ m rows each), e.g. per-source or per-day sketches that later
+    MAX-merge to the corpus sketch without re-reading data."""
     h = mdhash_spark(key_col, 0)
+    gcols = list(group_cols or [])
     return (
-        keys.selectExpr(f"{h} AS _h")
+        keys.selectExpr(*gcols, f"{h} AS _h")
         .selectExpr(
+            *gcols,
             f"_h % {HLL_M} AS bucket",
             f"_h div {HLL_M} AS _rest",
         )
         .selectExpr(
+            *gcols,
             "bucket",
             # length(bin(x)) = floor(log2 x)+1 for x>0; bin(0)='0' needs
             # the explicit all-zeros arm
@@ -244,7 +252,7 @@ def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
             f" ELSE CAST({HLL_RANK_MAX} - length(bin(_rest)) AS BIGINT)"
             " END AS _rank",
         )
-        .groupBy("bucket")
+        .groupBy(*gcols, "bucket")
         .agg(F.max("_rank").alias("reg"))
     )
 

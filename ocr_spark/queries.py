@@ -829,7 +829,12 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # newSession, conf non-leak pinned), privacy_k_anon (k-anonymous
 # release: pseudonymize + generalize + suppress QI groups < K, one
 # QI-keyed window exchange — plan-pinned), privacy_l_div (l-diversity
-# homogeneity audit per QI group) —
+# homogeneity audit per QI group), sketch_hll_merge (the merge algebra
+# graded end-to-end: per-source register tables, their MAX-fold, and a
+# direct global build agree bucket-for-bucket under one oracle — the
+# property distributed sketching rests on), events_ewma (integer-exact
+# EWMA over a bounded 16-row window frame: powers-of-two cent weights,
+# BIGINT throughout, one user-keyed exchange) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

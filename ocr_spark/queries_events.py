@@ -617,3 +617,87 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return scd2_intervals(spark, out)
+
+
+# --- integer-exact EWMA smoothing -------------------------------------------
+
+_EWMA_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c
+  FROM events WHERE event_type = 'purchase'
+), f AS (
+  SELECT event_id, user_id,
+         list(v_c) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM p
+)
+SELECT event_id, user_id,
+       CAST(len(vals) AS BIGINT) AS n_in,
+       CAST(list_sum(list_transform(vals,
+              (x, i) -> x * (1::BIGINT << CAST(i - 1 AS INT)))) AS BIGINT)
+         AS num,
+       CAST((1::BIGINT << CAST(len(vals) AS INT)) - 1 AS BIGINT) AS den,
+       CAST(list_sum(list_transform(vals,
+              (x, i) -> x * (1::BIGINT << CAST(i - 1 AS INT))))
+            * 1000000
+            // ((1::BIGINT << CAST(len(vals) AS INT)) - 1) AS BIGINT)
+         AS ewma_e6
+FROM f
+ORDER BY event_id
+"""
+
+
+@register("events_ewma", _EWMA_SQL)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact exponentially-weighted moving average of purchase
+    value per user (half-life = one event, window capped at 16).
+
+    Float EWMAs are order-fragile (a+b*w != b*w+a in IEEE); this one is
+    EXACT: cents values weighted by powers of two over the trailing
+    16-row frame — newest row weight 2^(n-1), oldest 2^0, denominator
+    2^n - 1 — all BIGINT (max ~2^15 * 10^6 cents, far inside range), the
+    single rounding being the final e6 integer division. Shape: one
+    user-keyed window (collect over a BOUNDED 16-row frame, so state per
+    row is constant), then pure array algebra via transform/aggregate —
+    no second shuffle, no self-join, no Python.
+
+    DuckDB's list lambda index is 1-based, Spark's is 0-based; the
+    weight exponents differ accordingly (i-1 vs i) to mean the same
+    thing."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        )
+        .select(
+            "event_id", "user_id",
+            F.collect_list("v_c").over(w).alias("vals"),
+        )
+        .select(
+            "event_id", "user_id",
+            F.size("vals").cast("long").alias("n_in"),
+            F.expr(
+                "aggregate(transform(vals,"
+                " (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)),"
+                " CAST(0 AS BIGINT), (a, b) -> a + b)"
+            ).alias("num"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), size(vals))"
+                " - CAST(1 AS BIGINT)"
+            ).alias("den"),
+        )
+        .withColumn(
+            "ewma_e6", F.expr("num * CAST(1000000 AS BIGINT) div den")
+        )
+        .orderBy("event_id")
+    )

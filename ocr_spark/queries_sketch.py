@@ -421,3 +421,88 @@ def q_sketch_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (na + nb - coalesce(i, 0)) AS BIGINT)"
         ).alias("jaccard_e6"),
     )
+
+
+def _hll_merge_oracle() -> str:
+    """Per-source register tables + the merge law: @MERGED (max-fold of
+    the per-source tables) must equal @GLOBAL (one-pass build over the
+    whole corpus). The oracle computes the global table ONCE and emits it
+    under both labels — if Spark's two paths ever diverge, the value hash
+    breaks on whichever path is wrong."""
+    h = sk.mdhash_duck("url", 0)
+    rank_max = sk.HLL_RANK_MAX
+    scale = 1 << rank_max
+    num = sk.HLL_ALPHA_E6 * sk.HLL_M * sk.HLL_M * scale
+    keyed = f"""
+SELECT source, _h % {sk.HLL_M} AS bucket,
+       max(CASE WHEN _h // {sk.HLL_M} = 0 THEN {rank_max}::BIGINT
+                ELSE {rank_max}::BIGINT
+                     - length(bin(_h // {sk.HLL_M})) END) AS reg
+FROM (SELECT source, CAST({h} AS BIGINT) AS _h
+      FROM (SELECT source, {_URL_DUCK} AS url FROM documents))
+GROUP BY 1, 2
+"""
+    return f"""
+WITH _keyed AS ({keyed}),
+_global AS (
+  SELECT bucket, max(reg) AS reg FROM _keyed GROUP BY 1
+),
+_s AS (
+  SELECT sum(1::BIGINT << CAST({rank_max} - reg AS INT))
+         + ({sk.HLL_M}::BIGINT - count(*)) * {scale}::BIGINT AS s
+  FROM _global
+)
+SELECT source AS src, bucket, reg AS val FROM _keyed
+UNION ALL
+SELECT '@MERGED', bucket, reg FROM _global
+UNION ALL
+SELECT '@GLOBAL', bucket, reg FROM _global
+UNION ALL
+SELECT lbl, -1::BIGINT, CAST({num}::BIGINT // (s * 1000000) AS BIGINT)
+FROM _s, (VALUES ('@MERGED'), ('@GLOBAL')) AS t(lbl)
+UNION ALL
+SELECT '@TRUTH', -2::BIGINT, CAST(count(DISTINCT {_URL_DUCK}) AS BIGINT)
+FROM documents
+"""
+
+
+@register("sketch_hll_merge", _hll_merge_oracle())
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-merge algebra graded end-to-end: per-source HLL register
+    tables, their MAX-fold (@MERGED), and a direct one-pass global build
+    (@GLOBAL) must agree bucket-for-bucket, with the integer estimate
+    riding bucket -1 under both labels and exact truth at -2.
+
+    This is the property 1000-executor aggregation rests on: shard the
+    corpus any way (per source, per day, per partition), sketch each
+    shard in isolation (≤ m rows each), and elementwise MAX reproduces
+    the one true register table without re-reading data. Plan: the keyed
+    build is one (source, bucket) max shuffle; the merge is a second agg
+    over ≤ sources x m rows — never over raw keys."""
+    d = t(spark, sf_dir, "documents")
+    urls = d.selectExpr("source", f"{_URL_SPARK} AS url")
+    keyed = sk.hll_registers(urls, "url", group_cols=["source"])
+    merged = keyed.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    globl = sk.hll_registers(urls.select("url"), "url")
+    est_m = sk.hll_estimate(merged).selectExpr(
+        "'@MERGED' AS src", "CAST(-1 AS BIGINT) AS bucket", "est AS val"
+    )
+    est_g = sk.hll_estimate(globl).selectExpr(
+        "'@GLOBAL' AS src", "CAST(-1 AS BIGINT) AS bucket", "est AS val"
+    )
+    truth = urls.agg(F.countDistinct("url").alias("v")).selectExpr(
+        "'@TRUTH' AS src", "CAST(-2 AS BIGINT) AS bucket",
+        "CAST(v AS BIGINT) AS val",
+    )
+    return (
+        keyed.selectExpr("source AS src", "bucket", "reg AS val")
+        .unionByName(
+            merged.selectExpr("'@MERGED' AS src", "bucket", "reg AS val")
+        )
+        .unionByName(
+            globl.selectExpr("'@GLOBAL' AS src", "bucket", "reg AS val")
+        )
+        .unionByName(est_m)
+        .unionByName(est_g)
+        .unionByName(truth)
+    )

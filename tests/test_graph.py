@@ -150,11 +150,14 @@ def test_bfs_distances_hand_graph(spark):
         [(1, 2), (2, 3), (3, 4), (10, 3), (99, 99)], "src LONG, dst LONG"
     )
     seeds = spark.createDataFrame([(1,), (10,)], "node LONG")
+    # delta, not absolute count: the session is shared across the suite
+    # and other modules legitimately hold persisted frames
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     res = bfs_distances(edges, seeds, max_hops=10)
     out = {r["node"]: r["dist"] for r in res.collect()}
     # 3 is reachable in 2 from seed 1 but in 1 from seed 10 -> nearest wins
     assert out == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2}
     # only the returned (documented-persisted) frame remains cached
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() <= 1
+    assert jsc.getPersistentRDDs().size() - before <= 1
     res.unpersist()
