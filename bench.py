@@ -156,6 +156,7 @@ HEADLINE = [
     # session-4 sketch-algebra + time-series block
     "sketch_hll_merge",     # scale: per-source HLL tables MAX-fold == global
     "events_ewma",          # analytics: integer-exact EWMA (bounded frame)
+    "sketch_hist_merge",    # scale: per-source histograms SUM-fold == global
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -296,20 +296,26 @@ HIST_DOMAIN = 1024  # frozen value domain [0, 1024); outside clamps to edges
 
 
 def hist_build(df: DataFrame, col: str, b: int = HIST_B,
-               domain: int = HIST_DOMAIN) -> DataFrame:
+               domain: int = HIST_DOMAIN,
+               group_cols: list[str] | None = None) -> DataFrame:
     """(bucket, cnt) — equi-width histogram over the frozen domain.
 
     The fourth sketch monoid: counts merge by SUM (hostlinks' fold), so
     per-partition/per-day histograms combine without re-reading data —
     the property tests pin it. ONE count shuffle, map-side-combined to
     ≤ b rows per task. Values outside the domain clamp to the edge
-    buckets (the sketch stays total)."""
+    buckets (the sketch stays total).
+
+    ``group_cols`` keys the sketch (one ≤ b-row histogram per group),
+    mirroring hll_registers' keyed form."""
+    gcols = list(group_cols or [])
     return (
         df.selectExpr(
+            *gcols,
             f"greatest(0, least({b - 1},"
-            f" CAST({col} AS BIGINT) * {b} div {domain})) AS bucket"
+            f" CAST({col} AS BIGINT) * {b} div {domain})) AS bucket",
         )
-        .groupBy("bucket")
+        .groupBy(*gcols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -506,3 +506,102 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(est_g)
         .unionByName(truth)
     )
+
+
+def _hist_merge_oracle() -> str:
+    """Histogram merge law, mirroring _hll_merge_oracle: the global table
+    is computed ONCE and emitted under @MERGED and @GLOBAL — Spark's two
+    paths (SUM-fold of per-source tables vs direct build) must both equal
+    it. Estimates ride bucket -1 (P50 upper edge), truth -2."""
+    b, dom = sk.HIST_B, sk.HIST_DOMAIN
+    return f"""
+WITH _keyed AS (
+  SELECT source,
+         greatest(0, least({b - 1}, n_chars * {b} // {dom})) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+_global AS (
+  SELECT bucket, sum(cnt) AS cnt FROM _keyed GROUP BY 1
+),
+_cum AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM _global
+),
+_n AS (SELECT sum(cnt) AS n FROM _global),
+_est AS (
+  SELECT min(bucket) AS _bk FROM _cum, _n
+  WHERE cum >= CAST(-(-50 * n // 100) AS BIGINT)
+),
+_exact AS (
+  SELECT v FROM (
+    SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS rn
+    FROM documents
+  ), _n WHERE rn = CAST(-(-50 * n // 100) AS BIGINT)
+)
+SELECT source AS src, CAST(bucket AS BIGINT) AS bucket, cnt AS val
+FROM _keyed
+UNION ALL
+SELECT '@MERGED', CAST(bucket AS BIGINT), CAST(cnt AS BIGINT) FROM _global
+UNION ALL
+SELECT '@GLOBAL', CAST(bucket AS BIGINT), CAST(cnt AS BIGINT) FROM _global
+UNION ALL
+SELECT lbl, -1::BIGINT, CAST((_bk + 1) * {dom} // {b} AS BIGINT)
+FROM _est, (VALUES ('@MERGED'), ('@GLOBAL')) AS t(lbl)
+UNION ALL
+SELECT '@TRUTH', -2::BIGINT, CAST(v AS BIGINT) FROM _exact
+"""
+
+
+@register("sketch_hist_merge", _hist_merge_oracle())
+def q_sketch_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUM-monoid merge law graded beside HLL's MAX-monoid
+    (sketch_hll_merge): per-source equi-width histograms, their SUM-fold
+    (@MERGED), and a direct global build (@GLOBAL) must agree
+    bucket-for-bucket; the P50 upper-edge estimate rides bucket -1 under
+    both labels, the exact median rank statistic at -2.
+
+    Together the two merge entries cover both sketch algebras the
+    distributed plans rely on — MAX for occupancy sketches (HLL, Bloom
+    bit-or), SUM for count sketches (histogram, CMS) — and the shard ->
+    fold -> estimate path is exactly how a 1000-executor job computes a
+    corpus quantile without a global sort. Plan: the keyed build is one
+    (source, bucket) count shuffle (≤ b rows per source); the fold aggs
+    ≤ sources x b rows."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    keyed = sk.hist_build(d, "n_chars", group_cols=["source"])
+    merged = keyed.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    globl = sk.hist_build(d, "n_chars")
+
+    def _p50(hist: DataFrame, lbl: str) -> DataFrame:
+        return sk.hist_quantiles(hist, (50,)).selectExpr(
+            f"'{lbl}' AS src", "CAST(-1 AS BIGINT) AS bucket",
+            "CAST(est_hi AS BIGINT) AS val",
+        )
+
+    n = globl.agg(F.sum("cnt").alias("n"))
+    thr = n.selectExpr("CAST(-(-50 * n div 100) AS BIGINT) AS thr")
+    ranked = d.select(
+        F.col("n_chars").alias("v"),
+        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
+    )
+    truth = thr.join(ranked, F.col("rn") == F.col("thr")).selectExpr(
+        "'@TRUTH' AS src", "CAST(-2 AS BIGINT) AS bucket",
+        "CAST(v AS BIGINT) AS val",
+    )
+    return (
+        keyed.selectExpr("source AS src", "CAST(bucket AS BIGINT) AS bucket",
+                         "cnt AS val")
+        .unionByName(merged.selectExpr(
+            "'@MERGED' AS src", "CAST(bucket AS BIGINT) AS bucket",
+            "cnt AS val"))
+        .unionByName(globl.selectExpr(
+            "'@GLOBAL' AS src", "CAST(bucket AS BIGINT) AS bucket",
+            "cnt AS val"))
+        .unionByName(_p50(merged, "@MERGED"))
+        .unionByName(_p50(globl, "@GLOBAL"))
+        .unionByName(truth)
+    )
