@@ -157,6 +157,7 @@ HEADLINE = [
     "sketch_hll_merge",     # scale: per-source HLL tables MAX-fold == global
     "events_ewma",          # analytics: integer-exact EWMA (bounded frame)
     "sketch_hist_merge",    # scale: per-source histograms SUM-fold == global
+    "join_temporal_scd2",   # warehouse: as-of tier enrich via union-fold
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

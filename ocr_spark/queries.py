@@ -836,7 +836,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EWMA over a bounded 16-row window frame: powers-of-two cent weights,
 # BIGINT throughout, one user-keyed exchange), sketch_hist_merge (the
 # SUM-monoid merge law beside HLL's MAX — per-source histograms fold to
-# the global table, P50 at bucket -1, exact median at -2) —
+# the global table, P50 at bucket -1, exact median at -2),
+# join_temporal_scd2 (as-of tier enrichment against the SCD2 dim as a
+# union-fold: one user-keyed window, no interval join, no explode —
+# oracle spells the interval join independently) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -701,3 +701,83 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- temporal as-of enrichment against the SCD2 dimension -------------------
+
+# The oracle spells the semantics the WAREHOUSE way — an interval join
+# (valid_from <= ts < valid_to, open row NULL-bounded) against the same
+# iv derivation — while the Spark side uses the scale shape below. Two
+# independent spellings of "tier as of event time" under one hash.
+_TEMPORAL_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id,
+       CAST(coalesce(iv.tier, -1) AS BIGINT) AS tier_asof,
+       iv.valid_from AS tier_since
+FROM v
+LEFT JOIN ({_SCD2_SQL}) iv
+  ON v.user_id = iv.user_id
+ AND v.ts >= iv.valid_from
+ AND (iv.valid_to IS NULL OR v.ts < iv.valid_to)
+ORDER BY v.event_id
+"""
+
+
+@register("join_temporal_scd2", _TEMPORAL_SQL)
+def q_join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich view events with the user's tier AS OF event time from the
+    SCD2 dimension (events_scd2's build, one code path).
+
+    The scale shape is NOT an interval join: tier-change points and
+    probe events UNION into one frame and a single user-keyed window
+    propagates the last change forward (last(ignorenulls) over
+    unbounded-preceding). One shuffle total, no per-interval explode,
+    no BNLJ — the as-of fold that survives 10^12 probe rows. Change
+    rows sort before probes at equal ts (kind 0 < 1), so an interval
+    starting at t covers a probe at exactly t; among change rows at an
+    equal ts the higher version sorts last and wins, which is exactly
+    the interval join's empty-interval [t, t) exclusion."""
+    e = t(spark, sf_dir, "events")
+    iv = scd2_from_purchases(
+        e.filter(F.col("event_type") == "purchase")
+    )
+    changes = iv.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("version").alias("ord"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "tier",
+        F.col("valid_from").alias("vf"),
+    )
+    probes = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("ord"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("tier"),
+        F.lit(None).cast("timestamp").alias("vf"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        changes.unionByName(probes)
+        .select(
+            "event_id", "user_id", "kind",
+            F.last("tier", ignorenulls=True).over(w).alias("t_asof"),
+            F.last("vf", ignorenulls=True).over(w).alias("tier_since"),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id", "user_id",
+            F.coalesce("t_asof", F.lit(-1)).cast("bigint").alias("tier_asof"),
+            "tier_since",
+        )
+        .orderBy("event_id")
+    )

@@ -650,3 +650,18 @@ def test_privacy_k_anon_single_exchange(spark):
     plan = _plan(QUERIES["privacy_k_anon"](spark, "/root/testdata/sf0.001"))
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
     assert "Join" not in plan
+
+
+def test_join_temporal_scd2_is_union_fold(spark):
+    """join_temporal_scd2: the as-of enrichment is a union + ONE
+    user-keyed window fold — no join operator anywhere (the naive
+    interval join would explode per-interval and BNLJ on the range
+    predicate). Exactly two user-keyed exchanges: one inside the SCD2
+    build (whose windows AND island agg all ride it), one re-shuffling
+    the union for the fold (the probe side's only shuffle)."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_events  # noqa: F401
+
+    plan = _plan(QUERIES["join_temporal_scd2"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2
