@@ -158,6 +158,8 @@ HEADLINE = [
     "events_ewma",          # analytics: integer-exact EWMA (bounded frame)
     "sketch_hist_merge",    # scale: per-source histograms SUM-fold == global
     "join_temporal_scd2",   # warehouse: as-of tier enrich via union-fold
+    "events_seqpattern",    # analytics: regex-over-sequence funnel counting
+    "scan_csv_corrupt",     # connector: PERMISSIVE corrupt-record quarantine
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

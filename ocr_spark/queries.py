@@ -839,7 +839,13 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the global table, P50 at bucket -1, exact median at -2),
 # join_temporal_scd2 (as-of tier enrichment against the SCD2 dim as a
 # union-fold: one user-keyed window, no interval join, no explode —
-# oracle spells the interval join independently) —
+# oracle spells the interval join independently), events_seqpattern
+# (MATCH_RECOGNIZE-style funnel counting: per-user event history as one
+# deterministic string, pattern negations as regex, ONE groupBy instead
+# of k-way self-joins; regex scan parity verified cross-engine),
+# scan_csv_corrupt (PERMISSIVE quarantine: three malformed classes
+# reconstructed closed-form by the oracle — parse/null/raw-line split
+# under the hash) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -781,3 +781,79 @@ def q_join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- sequential pattern detection (MATCH_RECOGNIZE-style) -------------------
+
+# v/c/p/s/e are the (distinct) first letters of the five event types; the
+# pattern is a view -> click -> purchase chain with no intervening error
+# or purchase. Non-overlapping leftmost scanning is the shared regex
+# semantic (verified identical between engines).
+_PATTERN = "v[^ep]*c[^ep]*p"
+
+_SEQPAT_SQL = f"""
+WITH s AS (
+  SELECT user_id,
+         string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS seq,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, '{_PATTERN}')) AS BIGINT)
+         AS n_funnels,
+       CAST(len(regexp_extract_all(seq, '{_PATTERN}')) > 0 AS BIGINT)
+         AS converted
+FROM s
+ORDER BY user_id
+"""
+
+
+@register("events_seqpattern", _SEQPAT_SQL)
+def q_events_seqpattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection: count
+    view -> click -> purchase funnels with NO intervening error or
+    purchase, per user, as a REGEX over the user's event-type sequence.
+
+    The whole per-user history collapses to one string (first letters
+    are distinct across the five event types), so arbitrary
+    row-sequence patterns — negations, optional steps, bounded gaps —
+    become regex features instead of k-way self-joins: ONE groupBy
+    shuffle + a regexp_count, where events_funnel's fixed 3-step form
+    needs its windows. Order inside the aggregated string is forced by
+    array_sort over (ts, event_id, code) structs (Spark makes no
+    within-group ordering promise; DuckDB's ORDER BY inside string_agg
+    states it directly — the sort is the portable piece). Per-user
+    history fits memory at any corpus scale (it's one user's events);
+    non-overlapping leftmost regex scanning verified identical in both
+    engines."""
+    pat = _PATTERN.replace("\\", "\\\\")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.struct("ts", "event_id",
+                     F.expr("left(event_type, 1)").alias("code")).alias("r"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("r")), lambda x: x["code"]
+                ),
+                "",
+            ).alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(f"CAST(regexp_count(seq, '{pat}') AS BIGINT)").alias(
+                "n_funnels"
+            ),
+            F.expr(
+                f"CAST(regexp_count(seq, '{pat}') > 0 AS BIGINT)"
+            ).alias("converted"),
+        )
+        .orderBy("user_id")
+    )

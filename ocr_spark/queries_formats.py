@@ -184,3 +184,76 @@ def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.mn").alias("meta_n"),
         F.concat_ws("|", "toks").alias("toks3"),
     )
+
+
+# --- PERMISSIVE corrupt-record quarantine -----------------------------------
+
+# the three malformed-row classes, derived from doc_id so the oracle can
+# reconstruct every line closed-form: %7==3 short row (missing column),
+# %7==5 type-corrupt int field, %7==6 extra trailing token
+_CORRUPT_LINE_SPARK = """
+CASE
+  WHEN doc_id % 7 = 3 THEN concat(doc_id, ',', lang)
+  WHEN doc_id % 7 = 5 THEN concat(doc_id, ',', lang, ',xx', n_chars)
+  WHEN doc_id % 7 = 6 THEN concat(doc_id, ',', lang, ',', n_chars, ',extra')
+  ELSE concat(doc_id, ',', lang, ',', n_chars)
+END
+"""
+
+_CORRUPT_LINE_DUCK = """
+CASE
+  WHEN doc_id % 7 = 3 THEN doc_id || ',' || lang
+  WHEN doc_id % 7 = 5 THEN doc_id || ',' || lang || ',xx' || n_chars
+  WHEN doc_id % 7 = 6 THEN doc_id || ',' || lang || ',' || n_chars
+                           || ',extra'
+  ELSE doc_id || ',' || lang || ',' || n_chars
+END
+"""
+
+_CSV_CORRUPT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 7 IN (3, 5) THEN NULL
+            ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+       CASE WHEN doc_id % 7 IN (3, 5, 6)
+            THEN {_CORRUPT_LINE_DUCK} END AS raw_line,
+       CAST(doc_id % 7 IN (3, 5, 6) AS BIGINT) AS quarantined
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("scan_csv_corrupt", _CSV_CORRUPT_SQL)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record quarantine: the operational
+    ingestion contract at corpus scale, where a 100 TB read must NOT die
+    on (or silently drop) the handful of malformed lines every real
+    crawl export contains.
+
+    Three malformed classes are synthesized deterministically (short
+    row, type-corrupt int, extra token) and read back with an explicit
+    schema + columnNameOfCorruptRecord: good fields parse, failed
+    fields null out, and the RAW LINE lands in the quarantine column —
+    rows-in == rows-out, every byte of every bad line preserved for
+    replay. The oracle reconstructs each line and its expected parse
+    closed-form, so the exact null-vs-value split per malformed class
+    sits under the hash. (FAILFAST is the same reader one option away;
+    DROPMALFORMED is the mode you never use on provenance-bearing
+    corpora.)"""
+    base = t(spark, sf_dir, "documents").selectExpr(
+        f"{_CORRUPT_LINE_SPARK} AS value"
+    )
+    work = tempfile.mkdtemp(prefix="ocr-spark-csvcorrupt-")
+    path = os.path.join(work, "export")
+    base.write.text(path)
+    schema = ("doc_id LONG, lang STRING, n_chars LONG, raw_line STRING")
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "raw_line")
+        .csv(path)
+        .select(
+            "doc_id", "lang", "n_chars", "raw_line",
+            F.isnotnull("raw_line").cast("bigint").alias("quarantined"),
+        )
+        .orderBy("doc_id")
+    )
