@@ -160,6 +160,7 @@ HEADLINE = [
     "join_temporal_scd2",   # warehouse: as-of tier enrich via union-fold
     "events_seqpattern",    # analytics: regex-over-sequence funnel counting
     "scan_csv_corrupt",     # connector: PERMISSIVE corrupt-record quarantine
+    "udtf_table_arg",       # SQL surface: partitioned TABLE-arg UDTF digest
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

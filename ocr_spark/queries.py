@@ -845,7 +845,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of k-way self-joins; regex scan parity verified cross-engine),
 # scan_csv_corrupt (PERMISSIVE quarantine: three malformed classes
 # reconstructed closed-form by the oracle — parse/null/raw-line split
-# under the hash) —
+# under the hash), udtf_table_arg (Spark 4 TABLE-argument UDTF with
+# PARTITION BY/ORDER BY: stateful per-group Python, oracle's lag/groupBy
+# checks the partition-and-order contract; parenthesized multi-key ORDER
+# BY parser quirk recorded) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -525,3 +525,74 @@ def q_fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.getField("clang").alias("clang"),
         p.getField("cn").cast("bigint").alias("cn"),
     )
+
+
+# --- J61b. Python UDTF with TABLE argument (partitioned polymorphic) ---------
+
+@register(
+    "udtf_table_arg",
+    """
+WITH g AS (
+  SELECT source, n_chars,
+         n_chars - lag(n_chars) OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS gap
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap,
+       CAST(min(n_chars) AS BIGINT) AS min_len,
+       CAST(max(n_chars) AS BIGINT) AS max_len
+FROM g GROUP BY source
+ORDER BY source
+""",
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF over a TABLE argument with PARTITION BY / ORDER BY:
+    the engine feeds each source's rows to ONE UDTF instance in the
+    declared order (eval per row, terminate per partition) — arbitrary
+    stateful per-group Python where a window would need the whole frame
+    spelled as SQL. The digest here (largest gap between consecutive
+    sorted lengths) is deliberately window-expressible so the DuckDB
+    lag/groupBy oracle checks the partition-and-order contract itself:
+    a dropped ORDER BY or a split partition changes max_gap.
+
+    Scale: one hash shuffle on the partition key, per-partition
+    sequential state of O(1) — the UDTF sibling of applyInPandas, for
+    when state doesn't fit a window spec. (Multiple ORDER BY keys need
+    parentheses in the TVF argument — parser quirk worth recording.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="source string, n_docs bigint, max_gap bigint,"
+        " min_len bigint, max_len bigint"
+    )
+    class SourceDigest:
+        def __init__(self):
+            self._src = None
+            self._n = 0
+            self._prev = None
+            self._maxgap = 0
+            self._min = None
+            self._max = None
+
+        def eval(self, row):
+            self._src = row["source"]
+            v = row["n_chars"]
+            self._n += 1
+            if self._prev is not None:
+                self._maxgap = max(self._maxgap, v - self._prev)
+            self._prev = v
+            self._min = v if self._min is None else min(self._min, v)
+            self._max = v if self._max is None else max(self._max, v)
+
+        def terminate(self):
+            yield self._src, self._n, self._maxgap, self._min, self._max
+
+    spark.udtf.register("source_digest", SourceDigest)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_digest_in")
+    return spark.sql(
+        "SELECT * FROM source_digest(TABLE(udtf_digest_in)"
+        " PARTITION BY source ORDER BY (n_chars, doc_id))"
+        " ORDER BY source"
+    )
