@@ -161,6 +161,7 @@ HEADLINE = [
     "events_seqpattern",    # analytics: regex-over-sequence funnel counting
     "scan_csv_corrupt",     # connector: PERMISSIVE corrupt-record quarantine
     "udtf_table_arg",       # SQL surface: partitioned TABLE-arg UDTF digest
+    "scan_merge_schema",    # connector: mergeSchema evolution-on-read union
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -848,7 +848,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under the hash), udtf_table_arg (Spark 4 TABLE-argument UDTF with
 # PARTITION BY/ORDER BY: stateful per-group Python, oracle's lag/groupBy
 # checks the partition-and-order contract; parenthesized multi-key ORDER
-# BY parser quirk recorded) —
+# BY parser quirk recorded), scan_merge_schema (mergeSchema
+# evolution-on-read: v1/v2 parquet generations union to the superset
+# schema, v1 rows NULL the added columns — oracle reconstructs the null
+# pattern closed-form) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -257,3 +257,47 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- schema evolution on read (mergeSchema) ---------------------------------
+
+_MERGE_SCHEMA_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 0 THEN NULL
+            ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(NULL AS VARCHAR)
+            ELSE source END AS source,
+       CAST(doc_id % 2 = 1 AS BIGINT) AS from_v2
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("scan_merge_schema", _MERGE_SCHEMA_SQL)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation v1 wrote (doc_id, lang),
+    generation v2 added (n_chars, source). ``mergeSchema=true`` unions
+    the footers into one superset schema — v1 rows surface the added
+    columns as NULL, exactly the contract a years-long 100 TB corpus
+    depends on when new extraction fields land mid-crawl. (The default
+    read picks ONE footer and would silently DROP the new columns if it
+    sampled a v1 file — the option is the difference between a schema
+    surprise at read time and a correct union.) Even docs are v1, odd
+    v2; the oracle reconstructs the null pattern closed-form."""
+    d = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ocr-spark-mergeschema-")
+    path = os.path.join(work, "tbl")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        path
+    )
+    (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", F.col("n_chars").cast("long"), "source")
+        .write.mode("append")
+        .parquet(path)
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select(
+        "doc_id", "lang", "n_chars", "source",
+        F.isnotnull("source").cast("bigint").alias("from_v2"),
+    ).orderBy("doc_id")
