@@ -162,6 +162,8 @@ HEADLINE = [
     "scan_csv_corrupt",     # connector: PERMISSIVE corrupt-record quarantine
     "udtf_table_arg",       # SQL surface: partitioned TABLE-arg UDTF digest
     "scan_merge_schema",    # connector: mergeSchema evolution-on-read union
+    "fn_collation",         # SQL surface: UTF8_LCASE collated grouping
+    "fn_try_arith",         # SQL surface: ANSI-safe try_* error containment
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -851,7 +851,14 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BY parser quirk recorded), scan_merge_schema (mergeSchema
 # evolution-on-read: v1/v2 parquet generations union to the superset
 # schema, v1 rows NULL the added columns — oracle reconstructs the null
-# pattern closed-form) —
+# pattern closed-form), fn_collation (Spark 4 UTF8_LCASE collated
+# grouping — comparison-level case folding, case-preserving
+# representatives re-lowered on output; oracle is the lower() rewrite),
+# fn_try_arith (ANSI-mode try_divide/try_add/try_to_number error
+# containment; oracle spells each failure arm as CASE since DuckDB's own
+# ANSI addition would raise — and floor() on both sides of the divide
+# because bare double->BIGINT casts truncate in Spark but round in
+# DuckDB) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -197,3 +197,100 @@ def q_set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.col("n_chars").alias("extra"), "doc_id"
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# --- collated (case-insensitive) semantics ----------------------------------
+
+_COLLATION_SQL = """
+WITH noised AS (
+  SELECT CASE WHEN doc_id % 2 = 1 THEN upper(lang) ELSE lang END AS lang_n,
+         n_chars
+  FROM documents
+)
+SELECT lower(lang_n) AS lang_norm,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM noised
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("fn_collation", _COLLATION_SQL)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: GROUP BY a UTF8_LCASE-collated column merges
+    case variants at the COMPARISON level — no lower() rewrite of the
+    data, and the same collation drives joins, DISTINCT and ORDER BY
+    consistently once declared on the column. The input is
+    deterministically case-noised (odd doc_ids upper-cased) so the
+    collation has real work; the oracle is the classic lower() rewrite,
+    and the grouped key is re-lowered explicitly on output because a
+    collated group's representative string is whichever variant the
+    engine saw (case-PRESERVING equality, a real semantic to pin).
+    Scale: identical partial/final agg plan — collation changes the
+    hash/compare functions, not the shuffle shape."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("collation_in")
+    return spark.sql(
+        """
+WITH noised AS (
+  SELECT CASE WHEN doc_id % 2 = 1 THEN upper(lang) ELSE lang END
+           COLLATE UTF8_LCASE AS lang_n,
+         n_chars
+  FROM collation_in
+)
+SELECT lower(lang_n) AS lang_norm,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM noised
+GROUP BY lang_n
+ORDER BY lang_norm
+"""
+    )
+
+
+# --- ANSI-safe arithmetic (try_* family) ------------------------------------
+
+_TRY_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE CAST(floor(n_chars * 1000000.0 / (doc_id % 5)) AS BIGINT)
+       END AS per_slot_e6,
+       CASE WHEN doc_id % 2000 > 999 THEN NULL
+            ELSE doc_id % 2000 END AS guarded_sum,
+       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE CAST(doc_id AS BIGINT) END
+         AS parsed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("fn_try_arith", _TRY_SQL)
+def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* arithmetic family under ANSI mode (ON in Spark 4):
+    division by zero, BIGINT overflow and malformed numeric parses
+    return NULL through try_divide / try_add / try_to_number instead of
+    killing the job — the per-row error containment a 10^12-row pipeline
+    needs (one poisoned row must not fail a stage; the NULLs are then
+    countable as a DQ metric). Error sites are derived from doc_id so
+    the oracle can spell each outcome as a CASE — which it must, since
+    DuckDB's own ANSI addition would raise on the same overflow: the
+    try probe adds doc_id%2000 to within 1000 of BIGINT max, so residues
+    past 999 overflow to NULL and the oracle writes that arm as a pure
+    CASE, never evaluating the sum."""
+    d = t(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        # div-by-zero slot when doc_id % 5 == 0
+        # floor() both engines: a bare BIGINT cast truncates in Spark
+        # but rounds in DuckDB on the .67 fractions
+        "CAST(floor(try_divide(n_chars * 1000000, doc_id % 5)) AS BIGINT)"
+        " AS per_slot_e6",
+        # overflow probe: MAX-999 + m overflows exactly when m > 999;
+        # the survivor arm round-trips back to m via try_subtract
+        "try_subtract(try_add(doc_id % 2000, 9223372036854774808),"
+        " 9223372036854774808) AS guarded_sum",
+        # malformed parse when doc_id % 4 == 0 ('x' prefix)
+        "CAST(try_to_number(CASE WHEN doc_id % 4 = 0"
+        " THEN concat('x', doc_id) ELSE CAST(doc_id AS STRING) END,"
+        " '999999999') AS BIGINT) AS parsed",
+    ).orderBy("doc_id")
