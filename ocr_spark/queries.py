@@ -208,7 +208,15 @@ def q_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_tumbling_counts", None)  # streaming: rows-only driver check
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS win_end,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling_counts", _TUMBLING_SQL)
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 op 52 as a driver-visible query, via the scalable pattern:
     incremental rollup through ``foreachBatch``. Each micro-batch appends its
@@ -217,7 +225,10 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization), and one batch aggregation compacts the partials —
     equal to the batch ``window()`` agg no matter how the availableNow drain
     split micro-batches. Equality with the batch agg is asserted in
-    tests/test_streaming.py for the pages pipeline."""
+    tests/test_streaming.py for the pages pipeline; round-4 close
+    upgrades this from rows-only to a VALUE-HASH oracle (DuckDB
+    time_bucket — Spark's window() is epoch-aligned exactly like it),
+    the same promotion stream_dedup_minhash got earlier in the round."""
     import os
     import shutil
     import tempfile
