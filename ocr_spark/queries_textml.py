@@ -1414,6 +1414,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_pairs(d: DataFrame) -> DataFrame:
+    # The (doc_id, sh) relation feeds FOUR consumers (the inverted index
+    # twice through the candidate self-join, then both sides of the
+    # exact-score join). Its lineage — regex tokenize + shingle hash +
+    # array_distinct — is the most expensive map in this query, so it is
+    # materialized ONCE via localCheckpoint (executor-local blocks,
+    # lineage truncated, cleaned by the ContextCleaner when the frame is
+    # GC'd): measured 24.5s -> 2.3s at sf0.1 (BENCH/ADJUDICATION_r04.md).
+    # At corpus scale the artifact is the same class of thing a MinHash
+    # signature table is — doc-keyed, disk-spillable — while the
+    # alternative re-runs the priciest map 4x at ANY scale.
+    d = d.localCheckpoint(eager=True)
     inv = d.select("doc_id", F.explode("sh").alias("s"))
     keep = (
         inv.groupBy("s")

@@ -381,10 +381,9 @@ def test_kn_plan_two_corpus_passes_no_python(spark):
 def test_containment_plan_no_cartesian_no_python(spark):
     """dedup_containment (round 4 late): candidates come from equi-joins on
     the shingle key — never a cartesian/BNLJ — and the whole pass is
-    JVM-side. (The shingle explode recomputes per consumer: re-running a
-    linear map is the right trade against persisting a corpus-sized
-    inverted index, unlike text_ppl_kn where the reused table is
-    vocab-sized.)"""
+    JVM-side. The (doc_id, sh) relation is localCheckpoint'd — four
+    consumers, one materialization (measured 10x at sf0.1) — so the
+    checkpoint scan must appear in place of repeated shingle lineages."""
     from ocr_spark.queries import QUERIES
     import ocr_spark.queries_textml  # noqa: F401
 
@@ -392,6 +391,7 @@ def test_containment_plan_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_tpch_q1_partial_final_and_pushdown(spark):
