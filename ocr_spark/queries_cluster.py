@@ -168,12 +168,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(aggregate(transform(qc, x -> x * x), CAST(0 AS BIGINT),"
         " (s, v) -> s + v) AS BIGINT)"
     )
+    # m feeds three consumers (both self-join sides + the final left
+    # join); its lineage re-runs the kmeans argmin assignment each time,
+    # so materialize once — dedup_containment's localCheckpoint finding
+    # (BENCH/ADJUDICATION_r04.md) applied to the same disease here.
     m = (
         e.select(
             "vec_id", F.expr(Q_CENTER_SPARK.format(col="embedding")).alias("qc")
         )
         .withColumn("n2", F.expr(n2))
         .join(asg.select("vec_id", "cluster"), "vec_id")
+        .localCheckpoint(eager=True)
     )
     a = m.select(
         F.col("vec_id").alias("va"),
