@@ -745,3 +745,76 @@ def q_pipe_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN array_join(kept, char(10)) ELSE '' END"
         ).alias("clean_text"),
     )
+
+
+# --- A-ES weighted reservoir sampling ----------------------------------------------
+# Efraimidis & Spirakis 2006: weighted sampling WITHOUT replacement ranks
+# items by u_i^(1/w_i) (equivalently by the minimum of w_i Exp(1) clocks)
+# and keeps the top K. The float-free spelling used here: an item of
+# integer weight w enters w independent uniform draws and its priority is
+# the MAXIMUM draw — ranking by max-of-w-uniforms descending is exactly
+# ranking by min-of-w-exponentials ascending (P(max U < t) = t^w and
+# -ln U ~ Exp(1), both monotone), so the kept set IS the A-ES sample with
+# the weight granularity documented below, and every comparison is BIGINT
+# (the ln/pow spelling would hash-diverge across engines in the last ulp).
+# Weight = 1 + n_chars DIV 256 capped at 64 draws (length-proportional at
+# 256-char granularity; the cap bounds per-row cost). Draw j is the first
+# 13 md5 hex digits of "doc_id#j" — 52-bit integers, identical in both
+# engines.
+#
+# Scale shape: priorities are map-side column math; ORDER BY + LIMIT K
+# plans as TakeOrderedAndProject = per-partition top-K then a K*P-row
+# driver merge — the distributed-reservoir merge law itself (each task
+# keeps a K-bounded reservoir; merging reservoirs by priority equals the
+# global sample). No shuffle of the corpus, ever.
+
+_RES_K = 100  # reservoir size
+_RES_CAP = 64  # max draws per doc (weight granularity cap)
+
+_RES_W_SPARK = f"CAST(least(1 + n_chars DIV 256, {_RES_CAP}) AS BIGINT)"
+_RES_W_SQL = f"CAST(least(1 + n_chars // 256, {_RES_CAP}) AS BIGINT)"
+
+_RES_DRAW_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#',"
+    " CAST(j AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+)
+# 13-hex-digit md5 prefix as a BIGINT, digit-summed (DuckDB has no conv)
+_RES_DRAW_SQL = (
+    "list_aggregate(list_transform(generate_series(1, 13), k ->"
+    " CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)"
+    " || '#' || CAST(j AS VARCHAR)), k, 1)) - 1 AS BIGINT)"
+    " * (1 << (4 * (13 - k)))), 'sum')"
+)
+
+_RES_SQL = f"""
+SELECT doc_id, n_chars, w, priority
+FROM (
+  SELECT doc_id, n_chars, w,
+    list_aggregate(list_transform(generate_series(1, CAST(w AS INT)),
+      j -> {_RES_DRAW_SQL}), 'max') AS priority
+  FROM (SELECT doc_id, n_chars, {_RES_W_SQL} AS w FROM documents)
+)
+ORDER BY priority DESC, doc_id
+LIMIT {_RES_K}
+"""
+
+
+@register("pipe_sample_reservoir", _RES_SQL)
+def q_pipe_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (A-ES, integer-exact): top-K docs by
+    max-of-w-uniform-draws priority, w length-proportional. Plans as
+    TakeOrderedAndProject — per-partition K-bounded reservoirs merged at
+    the driver, the same merge law a 1000-executor reservoir uses."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_RES_W_SPARK).alias("w")
+    )
+    pri = d.select(
+        "doc_id",
+        "n_chars",
+        "w",
+        F.expr(
+            "array_max(transform(sequence(1, CAST(w AS INT)),"
+            f" j -> {_RES_DRAW_SPARK}))"
+        ).alias("priority"),
+    )
+    return pri.orderBy(F.desc("priority"), "doc_id").limit(_RES_K)

@@ -332,3 +332,77 @@ def test_systematic_sample_budget_and_invariance(spark):
         for r in QUERIES["pipe_sample_systematic"](spark, sf).collect()
     )
     assert sorted(r["doc_id"] for r in rows) == ids2
+
+
+def test_reservoir_sample_aes_reference_and_merge_law(spark):
+    """pipe_sample_reservoir: the kept set equals an independent pure-
+    Python A-ES reference (hashlib md5, max-of-w-draws priorities); it is
+    invariant to input partitioning (the per-partition-top-K + merge law
+    a distributed reservoir rests on); and it is weight-biased — the mean
+    draw-weight of kept docs exceeds the corpus mean."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from ocr_spark.queries import QUERIES, t
+    from ocr_spark.queries_pipeline import _RES_CAP, _RES_K
+    import ocr_spark.queries_pipeline  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["pipe_sample_reservoir"](spark, sf).collect()
+    assert len(rows) == _RES_K
+
+    # pure-Python A-ES reference over the same corpus
+    corpus = t(spark, sf, "documents").select("doc_id", "n_chars").collect()
+
+    def prio(doc_id: int, n_chars: int) -> int:
+        w = min(1 + n_chars // 256, _RES_CAP)
+        return max(
+            int(hashlib.md5(f"{doc_id}#{j}".encode()).hexdigest()[:13], 16)
+            for j in range(1, w + 1)
+        )
+
+    ref = sorted(
+        ((prio(r["doc_id"], r["n_chars"]), -r["doc_id"]) for r in corpus),
+        reverse=True,
+    )[:_RES_K]
+    ref_ids = sorted(-d for _, d in ref)
+    assert sorted(r["doc_id"] for r in rows) == ref_ids
+    for r in rows:
+        assert r["priority"] == prio(r["doc_id"], r["n_chars"])
+
+    # merge law: the kept set is partitioning-invariant
+    docs = t(spark, sf, "documents")
+    for parts in (1, 16):
+        d = docs.repartition(parts).select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "CAST(least(1 + n_chars DIV 256, "
+                f"{_RES_CAP}) AS BIGINT)"
+            ).alias("w"),
+        )
+        from ocr_spark.queries_pipeline import _RES_DRAW_SPARK
+
+        pri = d.select(
+            "doc_id",
+            F.expr(
+                "array_max(transform(sequence(1, CAST(w AS INT)),"
+                f" j -> {_RES_DRAW_SPARK}))"
+            ).alias("priority"),
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in pri.orderBy(
+                F.desc("priority"), "doc_id"
+            ).limit(_RES_K).collect()
+        )
+        assert got == ref_ids, parts
+
+    # weight bias: kept docs are longer-than-average in draw weight
+    def w_of(n: int) -> int:
+        return min(1 + n // 256, _RES_CAP)
+
+    corpus_mean = sum(w_of(r["n_chars"]) for r in corpus) / len(corpus)
+    kept_mean = sum(w_of(r["n_chars"]) for r in rows) / len(rows)
+    assert kept_mean > corpus_mean
