@@ -172,3 +172,83 @@ def editdist_keepers(
         "doc_id",
         F.least(F.col("doc_id"), F.coalesce("mn", "doc_id")).alias("rep"),
     )
+
+
+# --- multi-pass sorted-neighborhood blocking --------------------------------
+# Hernandez & Stolfo 1995: sort the corpus by a discriminating key and
+# compare each record only to its w-1 predecessors in sort order — the
+# classic record-linkage blocking scheme, complementary to the deletion
+# neighborhood above (SymSpell is recall-complete for ed<=1 but pays a
+# variant fan-out; sorted neighborhood costs ONE window pass at any edit
+# budget but is recall-heuristic: a pair straddling the window is missed).
+# The standard mitigation is multi-pass with independent keys — here the
+# normalized key forward and reversed, so an edit near the front of the
+# key (which scatters the forward sort order) still collides in the
+# reverse pass.
+#
+# Scale shape: the sort is never global — rows partition by the key's
+# 4-char block prefix, the neighborhood window runs inside each block
+# (one Exchange for both passes: pass id is part of the partition key),
+# and each row emits at most w-1 candidate pairs. The lost-at-block-
+# boundary pairs are part of the documented heuristic, NOT a shuffle
+# artifact: block(a) == block(b) whenever the keys share their first 4
+# chars, which an interior edit preserves in both passes.
+
+SN_WINDOW = 4  # compare to w-1 = 3 predecessors
+SN_BLOCK_LEN = 4  # sort-key prefix that bounds a window partition
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = SN_WINDOW,
+    block_len: int = SN_BLOCK_LEN,
+    key_len: int = KEY_LEN,
+    min_key_len: int = MIN_KEY_LEN,
+    max_dist: int = MAX_DIST,
+) -> DataFrame:
+    """Verified near-dup pairs by two-pass sorted-neighborhood blocking:
+    (doc_a, doc_b, dist) with dist = levenshtein of the normalized keys,
+    dist <= max_dist, doc_a < doc_b. Candidates are each row's w-1
+    sort-order predecessors in the forward and reversed key orders."""
+    from pyspark.sql import Window
+
+    keys = (
+        df.select(
+            "doc_id", normalized_key(key_len=key_len).alias("k")
+        ).filter(F.length("k") >= min_key_len)
+    )
+    passes = keys.select(
+        F.lit(0).alias("p"), "doc_id", "k", F.col("k").alias("sk")
+    ).unionByName(
+        keys.select(
+            F.lit(1).alias("p"), "doc_id", "k",
+            F.reverse(F.col("k")).alias("sk"),
+        )
+    )
+    w = Window.partitionBy(
+        "p", F.substring("sk", 1, block_len)
+    ).orderBy("sk", "doc_id")
+    lag_cols = []
+    for j in range(1, window):
+        lag_cols.append(F.lag("doc_id", j).over(w).alias(f"d{j}"))
+        lag_cols.append(F.lag("k", j).over(w).alias(f"k{j}"))
+    lagged = passes.select("p", "doc_id", "k", *lag_cols)
+    structs = ", ".join(
+        f"struct(d{j} AS pd, k{j} AS pk)" for j in range(1, window)
+    )
+    cand = lagged.select(
+        "doc_id",
+        "k",
+        F.explode(
+            F.expr(f"filter(array({structs}), s -> s.pd IS NOT NULL)")
+        ).alias("prev"),
+    )
+    return (
+        cand.select(
+            F.least("doc_id", "prev.pd").alias("doc_a"),
+            F.greatest("doc_id", "prev.pd").alias("doc_b"),
+            F.expr("CAST(levenshtein(k, prev.pk) AS INT)").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

@@ -85,3 +85,64 @@ def q_dedup_editdist_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The linear dedup decision over the verified ed<=1 edges: one star
     pass, rep = min(self, neighbors) per eligible doc."""
     return editdist_keepers(t(spark, sf_dir, "documents"))
+
+
+# --- sorted-neighborhood blocking (multi-pass) ------------------------------
+# The window-over-sort-order complement of the deletion-neighborhood
+# join: one Exchange keyed by (pass, 4-char block prefix), each row
+# compared to its 3 sort-order predecessors, forward AND reversed key
+# passes (functions/editdist.sorted_neighborhood_pairs). The oracle
+# replays both passes' lag windows verbatim — candidate generation,
+# not just the verified output, sits under the value hash.
+
+_SN_CTES = f"""
+WITH d AS (
+  SELECT doc_id,
+    substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, {KEY_LEN})
+      AS k
+  FROM documents
+), e AS (
+  SELECT doc_id, k FROM d WHERE len(k) >= {MIN_KEY_LEN}
+), p AS (
+  SELECT 0 AS p, doc_id, k, k AS sk FROM e
+  UNION ALL
+  SELECT 1 AS p, doc_id, k, reverse(k) AS sk FROM e
+), l AS (
+  SELECT p, doc_id, k,
+    lag(doc_id, 1) OVER w AS d1, lag(k, 1) OVER w AS k1,
+    lag(doc_id, 2) OVER w AS d2, lag(k, 2) OVER w AS k2,
+    lag(doc_id, 3) OVER w AS d3, lag(k, 3) OVER w AS k3
+  FROM p
+  WINDOW w AS (PARTITION BY p, substr(sk, 1, 4) ORDER BY sk, doc_id)
+), c AS (
+  SELECT doc_id, k,
+    unnest([
+      {{'pd': d1, 'pk': k1}},
+      {{'pd': d2, 'pk': k2}},
+      {{'pd': d3, 'pk': k3}}
+    ]) AS v
+  FROM l
+)"""
+
+_SN_ORACLE = (
+    _SN_CTES
+    + """
+SELECT DISTINCT least(doc_id, v.pd) AS doc_a,
+       greatest(doc_id, v.pd) AS doc_b,
+       CAST(levenshtein(k, v.pk) AS INT) AS dist
+FROM c
+WHERE v.pd IS NOT NULL AND levenshtein(k, v.pk) <= 1
+"""
+)
+
+
+@register("dedup_sorted_neighborhood", _SN_ORACLE)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sorted-neighborhood near-dup pairs: block by the sort
+    key's 4-char prefix, window over (key, doc_id) order, compare each
+    row to its 3 predecessors in the forward and reversed key orders,
+    exact levenshtein verify. The recall-heuristic, fan-out-free sibling
+    of dedup_editdist_pairs."""
+    from ocr_spark.functions.editdist import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(t(spark, sf_dir, "documents"))

@@ -205,3 +205,82 @@ def test_scale_plan_reuses_variant_exchange(spark):
         spark.conf.set(key, old)
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- sorted-neighborhood blocking -------------------------------------------
+
+
+def test_sorted_neighborhood_interior_edits_recall_complete(spark):
+    """Clusters of size <= the neighborhood window whose edits are
+    interior (past the block prefix, before the reversed block prefix)
+    sort adjacently in at least one pass — recall equals brute force on
+    such a corpus, and every emitted pair verifies ed <= 1 (precision is
+    exact by construction)."""
+    from ocr_spark.functions.editdist import sorted_neighborhood_pairs
+
+    bases = [
+        "the quick brown fox jump",
+        "pack my box with five do",
+        "how vexingly daft zebras",
+        "sphinx of black quartz j",
+        "waltz bad nymph for quic",
+    ]
+    docs: list[tuple[int, str]] = []
+    i = 0
+    for b in bases:
+        docs.append((i, b)); i += 1
+        # substitution at position 10: interior for both sort orders
+        docs.append((i, b[:10] + ("x" if b[10] != "x" else "y") + b[11:]))
+        i += 1
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(df).collect()
+    }
+    want = _brute_pairs([(d, _norm_key(t)) for d, t in docs])
+    assert got == want
+    assert len(want) == len(bases)  # one ed=1 pair per cluster
+
+
+def test_sorted_neighborhood_subset_of_brute_force(spark):
+    """On the oracle corpus the SN pairs are a SUBSET of all true ed<=1
+    pairs (the blocking is a documented recall heuristic, never a
+    precision one)."""
+    from ocr_spark.functions.editdist import (
+        normalized_key,
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(df).collect()
+    }
+    keys = [
+        (r["doc_id"], r["k"])
+        for r in df.select(
+            "doc_id", normalized_key().alias("k")
+        ).filter("length(k) >= 8").collect()
+    ]
+    want = _brute_pairs(keys)
+    assert got <= want
+    assert got  # non-empty at sf0.01 (prefix-tie clusters exist)
+
+
+def test_sorted_neighborhood_single_window_exchange(spark):
+    """Both passes ride ONE window Exchange: the pass id is part of the
+    partition key, so the union never doubles the shuffle count."""
+    from ocr_spark.functions.editdist import sorted_neighborhood_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        sorted_neighborhood_pairs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly 2 exchanges: the window partition + the final distinct
+    import re
+
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 2, plan
