@@ -353,3 +353,61 @@ def bfs_distances(
     for df in to_release:
         df.unpersist()
     return settled
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    → (node, community).
+
+    Connected components answers "is there ANY path" — one sparse bridge
+    fuses two dense clusters. LPA answers the community question instead:
+    each node adopts the label held by the MOST of its neighbors
+    (tie-break: smallest label), all nodes updating simultaneously from
+    the previous round's labels, so a dense cluster converges to its
+    minimum node id while a lone bridge edge is outvoted. Deterministic
+    by construction: the argmax is a row_number over (count DESC, label
+    ASC) — no randomized update order, and a fixed ``iters`` rather than
+    a convergence test, so a DuckDB oracle replays every round exactly.
+
+    Scale shape per round: one shuffle to join labels onto the
+    (both-directions) edge list, one partial-aggregated groupBy
+    (node, label) count, one node-keyed window for the argmax. Rounds
+    are eagerly localCheckpoint'd (the pagerank discipline) so the plan
+    stays O(1) deep. Isolated nodes never enter the edge list and are
+    their own singleton communities by definition — callers union them
+    back if they carry node sets wider than the edges.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    und = (
+        e.union(e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und.count()
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iters):
+        nb = und.join(labels, und["dst"] == labels["node"]).select(
+            und["src"].alias("n"), "lbl"
+        )
+        cnt = nb.groupBy("n", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -1506,3 +1506,94 @@ def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node")
     ).distinct()
     return bfs_distances(e, seeds, _BFS_HOPS).select("node", "dist")
+
+
+# --- label-propagation communities ---------------------------------------------------
+# The community layer between connected components (any path merges) and
+# clustering: LPA keeps dense groups intact across sparse bridges. The
+# graded graph plants 6 communities of 11 nodes from doc_id arithmetic —
+# two affine intra-community edge families (t-coefficients 9 and 8 mod
+# 11, both coprime, so the families sweep the full community) plus a
+# sparse bridge family (doc_id % 29 == 0) between adjacent communities.
+# CC would fuse every bridged pair into one blob; 3 LPA rounds keep the
+# planted structure (pinned in tests/test_graph.py).
+
+_LPA_ITERS = 3
+
+
+def _lpa_edges_duck() -> str:
+    return """
+SELECT DISTINCT least(x, y) AS src, greatest(x, y) AS dst FROM (
+  SELECT (doc_id % 6) * 11 + (doc_id * 7 + 1) % 11 AS x,
+         (doc_id % 6) * 11 + (doc_id * 5 + 3) % 11 AS y
+  FROM documents
+  UNION ALL
+  SELECT (doc_id % 6) * 11 + doc_id % 11 AS x,
+         ((doc_id + 1) % 6) * 11 + (doc_id * 3) % 11 AS y
+  FROM documents WHERE doc_id % 29 = 0
+) WHERE x != y
+"""
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, _LPA_ITERS + 1):
+        rounds.append(f"""
+c{k} AS (
+  SELECT u.src AS n, p.lbl, count(*) AS c
+  FROM und u JOIN {prev} p ON p.node = u.dst
+  GROUP BY 1, 2
+),
+l{k} AS (
+  SELECT n AS node, lbl FROM (
+    SELECT n, lbl,
+      row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{k}"
+    return f"""
+WITH e AS ({_lpa_edges_duck()}),
+und AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT dst AS src, src AS dst FROM e
+),
+n AS (SELECT DISTINCT src AS node FROM und),
+l0 AS (SELECT node, node AS lbl FROM n),
+{",".join(rounds)}
+SELECT CAST(node AS BIGINT) AS node_id,
+       CAST(lbl AS BIGINT) AS community
+FROM {prev}
+"""
+
+
+@register("graph_label_prop", _lpa_oracle())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA over the planted-community graph: per round, one
+    label join + one (node, label) count + one argmax window
+    (functions/graph.label_propagation). Deterministic tie-break by
+    smallest label; oracle replays all rounds as chained CTEs."""
+    from ocr_spark.functions.graph import label_propagation
+
+    d = t(spark, sf_dir, "documents")
+    intra = d.selectExpr(
+        "(doc_id % 6) * 11 + (doc_id * 7 + 1) % 11 AS x",
+        "(doc_id % 6) * 11 + (doc_id * 5 + 3) % 11 AS y",
+    )
+    bridge = d.filter("doc_id % 29 = 0").selectExpr(
+        "(doc_id % 6) * 11 + doc_id % 11 AS x",
+        "((doc_id + 1) % 6) * 11 + (doc_id * 3) % 11 AS y",
+    )
+    e = (
+        intra.union(bridge)
+        .selectExpr("least(x, y) AS src", "greatest(x, y) AS dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = label_propagation(e, iters=_LPA_ITERS)
+    return out.select(
+        F.col("node").cast("bigint").alias("node_id"),
+        F.col("community").cast("bigint").alias("community"),
+    )

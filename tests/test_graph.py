@@ -161,3 +161,76 @@ def test_bfs_distances_hand_graph(spark):
     # only the returned (documented-persisted) frame remains cached
     assert jsc.getPersistentRDDs().size() - before <= 1
     res.unpersist()
+
+
+def test_label_propagation_reference_and_community_structure(spark):
+    """LPA over the planted-community graph: equals a pure-Python
+    synchronous-LPA replay round for round; is strictly finer than
+    connected components (the bridge edges fuse everything into ONE
+    component, LPA keeps many communities); and is partitioning-
+    invariant."""
+    from collections import defaultdict
+
+    from ocr_spark.functions.graph import label_propagation
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_webgraph  # noqa: F401
+
+    rows = QUERIES["graph_label_prop"](spark, SF_ORACLE).collect()
+    got = {r["node_id"]: r["community"] for r in rows}
+
+    # rebuild the same edges in pure Python from the parquet doc_ids
+    ids = [
+        r["doc_id"]
+        for r in t(spark, SF_ORACLE, "documents").select("doc_id").collect()
+    ]
+    edges = set()
+    for i in ids:
+        x = (i % 6) * 11 + (i * 7 + 1) % 11
+        y = (i % 6) * 11 + (i * 5 + 3) % 11
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+        if i % 29 == 0:
+            x = (i % 6) * 11 + i % 11
+            y = ((i + 1) % 6) * 11 + (i * 3) % 11
+            if x != y:
+                edges.add((min(x, y), max(x, y)))
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n in adj:
+            cnt = defaultdict(int)
+            for m in adj[n]:
+                cnt[lbl[m]] += 1
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    assert got == lbl
+
+    # finer than CC: one component, many communities
+    parent = {n: n for n in adj}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    n_cc = len({find(n) for n in adj})
+    n_comm = len(set(got.values()))
+    assert n_cc == 1
+    assert n_comm > 5 * n_cc
+
+    # partitioning invariance
+    e_df = spark.createDataFrame(
+        sorted(edges), "src LONG, dst LONG"
+    ).repartition(13)
+    again = {
+        r["node"]: r["community"]
+        for r in label_propagation(e_df, iters=3).collect()
+    }
+    assert again == lbl
