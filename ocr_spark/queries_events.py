@@ -857,3 +857,155 @@ def q_events_seqpattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- A/B experiment readout --------------------------------------------------
+# The experimentation face of the event warehouse: users hash into
+# control/treatment arms (md5 of a salted user id — the deterministic
+# stand-in for an assignment service), a per-user binary conversion
+# metric rolls up from their event history, and each metric gets the
+# two-proportion pooled z-test at 95%. The test is spelled as an exact
+# cross-multiplication — z^2 > 1.96^2 becomes
+#   d^2 * N * 10000 > 38416 * n1 * n2 * c * (N - c),  d = c1*n2 - c2*n1
+# with every factor an exact BIGINT cast to DOUBLE in a pinned
+# evaluation order, so both engines compute bit-identical verdicts (the
+# BIGINT-only spelling overflows 2^63 past ~500 users per arm; doubles
+# hold every factor exactly here and IEEE ops are order-deterministic).
+# Three organic metrics (>= median-ish activity thresholds) ride beside
+# one PLANTED uplift (treatment users with user_id % 4 != 0 convert) so
+# both verdict polarities sit under the value hash.
+
+_AB_ARM_SPARK = (
+    "CAST(conv(substring(md5(concat('ab1#', CAST(user_id AS STRING))),"
+    " 1, 1), 16, 10) AS BIGINT) % 2"
+)
+_AB_ARM_SQL = (
+    "CAST(strpos('0123456789abcdef', substr(md5('ab1#' ||"
+    " CAST(user_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 2"
+)
+
+_AB_THRESH = 14  # per-user event-count conversion threshold
+
+_AB_SIG = """
+CASE WHEN
+  (CAST(c_treat * n_control - c_control * n_treat AS DOUBLE)
+   * CAST(c_treat * n_control - c_control * n_treat AS DOUBLE)
+   * CAST(n_control + n_treat AS DOUBLE)) * 10000.0
+  > 38416.0 * CAST(n_control AS DOUBLE) * CAST(n_treat AS DOUBLE)
+    * CAST(c_control + c_treat AS DOUBLE)
+    * CAST(n_control + n_treat - c_control - c_treat AS DOUBLE)
+THEN 1 ELSE 0 END
+"""
+
+_AB_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np,
+    count(CASE WHEN event_type = 'click' THEN 1 END) AS nc,
+    count(CASE WHEN event_type = 'error' THEN 1 END) AS ne,
+    count(CASE WHEN event_type = 'view' THEN 1 END) AS nv
+  FROM events GROUP BY 1
+), a AS (
+  SELECT user_id, {_AB_ARM_SQL} AS arm,
+    CASE WHEN np >= {_AB_THRESH} THEN 1 ELSE 0 END AS m_purchase,
+    CASE WHEN nc >= {_AB_THRESH} THEN 1 ELSE 0 END AS m_click,
+    CASE WHEN ne >= {_AB_THRESH} THEN 1 ELSE 0 END AS m_error
+  FROM u WHERE nv >= 1
+), b AS (
+  SELECT user_id, arm, m_purchase, m_click, m_error,
+    CASE WHEN arm = 1 AND user_id % 4 != 0 THEN 1
+         ELSE m_purchase END AS m_planted
+  FROM a
+), l AS (
+  SELECT arm, 'purchase' AS metric, m_purchase AS converted FROM b
+  UNION ALL SELECT arm, 'click', m_click FROM b
+  UNION ALL SELECT arm, 'error', m_error FROM b
+  UNION ALL SELECT arm, 'planted', m_planted FROM b
+), s AS (
+  SELECT metric,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+      AS c_control,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+      AS c_treat
+  FROM l GROUP BY 1
+)
+SELECT metric, n_control, c_control, n_treat, c_treat,
+  CAST({_AB_SIG} AS BIGINT) AS significant
+FROM s
+"""
+
+
+@register("events_ab_test", _AB_SQL)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per metric over hash-assigned arms: one
+    user-keyed rollup shuffle, a 4-way stack to (metric, converted)
+    grain, one tiny metric aggregation — the corpus is shuffled once.
+    Cross-multiplied verdict, both polarities graded (see block
+    comment)."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            "count(CASE WHEN event_type = 'purchase' THEN 1 END)"
+        ).alias("np"),
+        F.expr(
+            "count(CASE WHEN event_type = 'click' THEN 1 END)"
+        ).alias("nc"),
+        F.expr(
+            "count(CASE WHEN event_type = 'error' THEN 1 END)"
+        ).alias("ne"),
+        F.expr(
+            "count(CASE WHEN event_type = 'view' THEN 1 END)"
+        ).alias("nv"),
+    )
+    th = _AB_THRESH
+    b = (
+        u.filter(F.col("nv") >= 1)
+        .select(
+            "user_id",
+            F.expr(_AB_ARM_SPARK).alias("arm"),
+            F.expr(f"CASE WHEN np >= {th} THEN 1 ELSE 0 END").alias(
+                "m_purchase"
+            ),
+            F.expr(f"CASE WHEN nc >= {th} THEN 1 ELSE 0 END").alias(
+                "m_click"
+            ),
+            F.expr(f"CASE WHEN ne >= {th} THEN 1 ELSE 0 END").alias(
+                "m_error"
+            ),
+        )
+        .withColumn(
+            "m_planted",
+            F.expr(
+                "CASE WHEN arm = 1 AND user_id % 4 != 0 THEN 1"
+                " ELSE m_purchase END"
+            ),
+        )
+    )
+    long = b.selectExpr(
+        "arm",
+        "stack(4, 'purchase', m_purchase, 'click', m_click,"
+        " 'error', m_error, 'planted', m_planted) AS (metric, converted)",
+    )
+    s = long.groupBy("metric").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_control"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c_control"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_treat"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c_treat"),
+    )
+    return s.select(
+        "metric", "n_control", "c_control", "n_treat", "c_treat",
+        F.expr(f"CAST({_AB_SIG} AS BIGINT)").alias("significant"),
+    )

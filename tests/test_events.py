@@ -149,3 +149,31 @@ def test_resample_gap_fill(spark):
     }
     assert gotmap == expect
     assert any(v == (0, 0) for v in gotmap.values())  # real gaps exist
+
+
+def test_ab_test_python_z_reference_and_polarities(spark):
+    """events_ab_test: verdicts equal a float z-squared reference
+    computed from the emitted counts; the planted-uplift metric is
+    significant, and at least one organic metric is not (both verdict
+    polarities carry signal at the oracle SF)."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_events  # noqa: F401
+
+    rows = QUERIES["events_ab_test"](spark, "/root/testdata/sf0.01").collect()
+    assert {r["metric"] for r in rows} == {
+        "purchase", "click", "error", "planted"
+    }
+    by_metric = {}
+    for r in rows:
+        n1, c1 = r["n_control"], r["c_control"]
+        n2, c2 = r["n_treat"], r["c_treat"]
+        n, c = n1 + n2, c1 + c2
+        p1, p2, p = c1 / n1, c2 / n2, c / n
+        if 0 < p < 1:
+            z2 = (p1 - p2) ** 2 / (p * (1 - p) * (1 / n1 + 1 / n2))
+        else:
+            z2 = 0.0
+        assert r["significant"] == (1 if z2 > 1.96**2 else 0), r
+        by_metric[r["metric"]] = r["significant"]
+    assert by_metric["planted"] == 1
+    assert 0 in {by_metric[m] for m in ("purchase", "click", "error")}
