@@ -197,3 +197,108 @@ def q_pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_leak"),
         )
     )
+
+
+# --- contrastive triplets (anchor / positive / hash-picked negatives) -------------
+# The training-pair construction step for embedding/retrieval models:
+# each document anchors a triplet family — positive = its same-source
+# successor in doc_id order (the "related document" proxy; NULL for the
+# last doc of a source, kept so the anchor set stays complete), and 3
+# negatives drawn by hashing (anchor, slot) into the doc-id space and
+# keeping only partners from a DIFFERENT source (filtered negative
+# sampling: a draw landing on the anchor's own source is discarded, so
+# the realized count per anchor is <= 3 with an expected (1 - 1/S)
+# fraction kept — documented, not resampled, which keeps the pipeline
+# one deterministic pass).
+#
+# Scale shape: positives are one source-keyed window Exchange; negative
+# draws are map-side column math fanned x3, resolved by ONE equi-join on
+# the drawn id (shuffle bounded by 3|corpus|), and the max-id normalizer
+# is a 1-row broadcast. Never a cross join, never rejection loops.
+
+_TRIP_SLOTS = 3
+
+_TRIP_DRAW_SQL = (
+    "list_aggregate(list_transform(generate_series(1, 13), k ->"
+    " CAST(strpos('0123456789abcdef', substr(md5(CAST(anchor_id AS"
+    " VARCHAR) || '#' || CAST(slot AS VARCHAR)), k, 1)) - 1 AS BIGINT)"
+    " * (1 << (4 * (13 - k)))), 'sum')"
+)
+
+_TRIP_SQL = f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+mx AS (SELECT max(doc_id) AS mx FROM d),
+pos AS (
+  SELECT doc_id, source,
+    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id
+  FROM d
+),
+draws AS (
+  SELECT p.doc_id AS anchor_id, p.source AS anchor_source, s.slot,
+    {_TRIP_DRAW_SQL.replace("anchor_id", "p.doc_id")} % (mx.mx + 1)
+      AS partner
+  FROM d p, mx,
+    (SELECT unnest([{", ".join(str(i) for i in range(1, _TRIP_SLOTS + 1))}])
+       AS slot) s
+)
+SELECT n.anchor_id, n.anchor_source, pos.pos_id,
+       CAST(n.slot AS BIGINT) AS slot,
+       nd.doc_id AS neg_id, nd.source AS neg_source
+FROM draws n
+JOIN d nd ON nd.doc_id = n.partner AND nd.source != n.anchor_source
+JOIN pos ON pos.doc_id = n.anchor_id
+"""
+
+
+@register("pipe_triplets", _TRIP_SQL)
+def q_pipe_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet construction: same-source-successor positives
+    (one source window), md5-slot-drawn cross-source negatives resolved
+    by one id equi-join against a broadcast max-id normalizer. See the
+    block comment for the filtered-sampling yield contract."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pos = d.select(
+        "doc_id", "source", F.lead("doc_id").over(w).alias("pos_id")
+    )
+    slots = ", ".join(str(i) for i in range(1, _TRIP_SLOTS + 1))
+    draws = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("anchor_source"),
+            F.expr(f"explode(array({slots}))").alias("slot"),
+            "mx",
+        )
+        .select(
+            "anchor_id",
+            "anchor_source",
+            "slot",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(anchor_id AS"
+                " STRING), '#', CAST(slot AS STRING))), 1, 13), 16, 10)"
+                " AS BIGINT) % (mx + 1)"
+            ).alias("partner"),
+        )
+    )
+    nd = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    out = (
+        draws.join(nd, draws["partner"] == nd["neg_id"])
+        .filter(F.col("neg_source") != F.col("anchor_source"))
+        .join(
+            pos.select(
+                F.col("doc_id").alias("anchor_id"), "pos_id"
+            ),
+            "anchor_id",
+        )
+    )
+    return out.select(
+        "anchor_id", "anchor_source", "pos_id",
+        F.col("slot").cast("bigint").alias("slot"),
+        "neg_id", "neg_source",
+    )

@@ -197,3 +197,48 @@ def test_leakage_plan_no_single_partition(spark):
     # test_plans) — just require the plan stays a hash-join shape
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_triplets_reference_and_yield_law(spark):
+    """pipe_triplets: negatives equal a pure-Python replay of the
+    md5-slot draw + cross-source filter; every anchor keeps <= 3 slots;
+    every kept negative is cross-source; positives are the same-source
+    successor (NULL only for each source's max doc_id)."""
+    import hashlib
+    from collections import defaultdict
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_trainprep  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["pipe_triplets"](spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in t(spark, sf, "documents").select("doc_id", "source").collect()
+    }
+    mx = max(docs)
+
+    want = set()
+    for a, src in docs.items():
+        for s in (1, 2, 3):
+            p = int(hashlib.md5(f"{a}#{s}".encode()).hexdigest()[:13], 16) % (
+                mx + 1
+            )
+            if p in docs and docs[p] != src:
+                want.add((a, s, p))
+    assert {(r["anchor_id"], r["slot"], r["neg_id"]) for r in rows} == want
+
+    per_anchor = defaultdict(int)
+    by_source = defaultdict(list)
+    for d, src in docs.items():
+        by_source[src].append(d)
+    succ = {}
+    for src, ids in by_source.items():
+        ids.sort()
+        for i, d in enumerate(ids):
+            succ[d] = ids[i + 1] if i + 1 < len(ids) else None
+    for r in rows:
+        per_anchor[r["anchor_id"]] += 1
+        assert r["neg_source"] != r["anchor_source"]
+        assert r["pos_id"] == succ[r["anchor_id"]], r["anchor_id"]
+    assert max(per_anchor.values()) <= 3
