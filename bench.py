@@ -164,6 +164,12 @@ HEADLINE = [
     "scan_merge_schema",    # connector: mergeSchema evolution-on-read union
     "fn_collation",         # SQL surface: UTF8_LCASE collated grouping
     "fn_try_arith",         # SQL surface: ANSI-safe try_* error containment
+    # session-5 round-4 additions
+    "pipe_sample_reservoir",  # corpus prep: A-ES weighted reservoir (top-K merge)
+    "dedup_sorted_neighborhood",  # training-data: SN blocking (window, no fan-out)
+    "graph_label_prop",     # webtext: LPA communities (3 checkpointed rounds)
+    "events_ab_test",       # analytics: two-proportion z-test readout
+    "pipe_triplets",        # training prep: contrastive triplet construction
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -870,6 +870,14 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANSI addition would raise — and floor() on both sides of the divide
 # because bare double->BIGINT casts truncate in Spark but round in
 # DuckDB) —
+# pipe_sample_reservoir (A-ES weighted reservoir, integer-exact
+# max-of-w-draws priorities, TakeOrderedAndProject merge law),
+# dedup_sorted_neighborhood (two-pass SN blocking: one window Exchange,
+# lag candidates, exact levenshtein verify), graph_label_prop
+# (synchronous LPA communities over a planted-6-community graph, finer
+# than CC across sparse bridges), events_ab_test (two-proportion z-test
+# readout, cross-multiplied verdict, planted-uplift polarity),
+# pipe_triplets (contrastive anchor/positive/negative construction) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

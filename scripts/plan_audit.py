@@ -798,6 +798,59 @@ def main() -> None:
         tree_of(q["tpch_q18"](spark, sf), max_lines=22),
     ))
 
+    sections.append((
+        "pipe_sample_reservoir (round 4 close — A-ES weighted reservoir)",
+        "Priorities are map-side column math (max of w md5 draws, all "
+        "BIGINT); ORDER BY + LIMIT K plans as TakeOrderedAndProject — "
+        "each task keeps a K-bounded reservoir and the driver merges "
+        "K·P rows. The corpus itself is never shuffled: this IS the "
+        "distributed-reservoir merge law as a plan shape.",
+        tree_of(q["pipe_sample_reservoir"](spark, sf)),
+    ))
+
+    sections.append((
+        "dedup_sorted_neighborhood (round 4 close — SN blocking)",
+        "Both passes (forward + reversed key) ride ONE window Exchange "
+        "keyed by (pass, 4-char block prefix); each row emits at most "
+        "w-1 lag candidates, verified map-side by levenshtein; the only "
+        "other Exchange is the final distinct. No variant fan-out, no "
+        "self-join — the window-over-sort-order alternative to "
+        "dedup_editdist_pairs, recall-heuristic by documented design.",
+        tree_of(q["dedup_sorted_neighborhood"](spark, sf)),
+    ))
+
+    sections.append((
+        "graph_label_prop (round 4 close — LPA communities)",
+        "Per round: one shuffle joining labels onto the both-directions "
+        "edge list, one partial-aggregated (node, label) count, one "
+        "node-keyed argmax window; rounds are localCheckpoint'd so the "
+        "printed plan stays O(1) deep (the pagerank discipline). The "
+        "graded output below shows only the final round's three "
+        "exchanges over the checkpointed predecessor.",
+        tree_of(q["graph_label_prop"](spark, sf), max_lines=20),
+    ))
+
+    sections.append((
+        "events_ab_test (round 4 close — experiment readout)",
+        "The event corpus shuffles ONCE (user-keyed rollup with map-side "
+        "partial aggregation); the 4-way metric stack and the final "
+        "metric aggregation run over the 1-row-per-user relation, and "
+        "the z-test verdict is a scalar projection. At 10^12 events the "
+        "only data-sized exchange is the per-user rollup.",
+        tree_of(q["events_ab_test"](spark, sf)),
+    ))
+
+    sections.append((
+        "pipe_triplets (round 4 close — contrastive triplets)",
+        "Positives: one source-keyed window Exchange. Negatives: "
+        "map-side md5 draws fanned ×3, resolved by ONE id equi-join "
+        "(shuffle bounded by 3·|corpus|); the max-id normalizer is a "
+        "1-row broadcast (BroadcastNestedLoopJoin over a single row, "
+        "i.e. a scalar attach, not a data cross join). Never a corpus "
+        "cross join, never a rejection loop.",
+        tree_of(q["pipe_triplets"](spark, sf), max_lines=24),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are
