@@ -987,3 +987,32 @@ def q_pipe_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+# --- unigram-LM tokenizer (round 4 close) ---------------------------------------------
+# The SentencePiece unigram model beside BPE — the two tokenizer-training
+# algorithms real LLM pipelines choose between. Rows-only by design like
+# the BPE pair (iterative EM is not one SQL query); semantics pinned
+# against an independent pure-Python reference in tests/test_unigram.py.
+
+
+@register("tokenizer_unigram_vocab", None)
+def q_tokenizer_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained unigram vocabulary over the documents table:
+    (piece, count), deterministic Viterbi-EM (functions/unigram.py)."""
+    from ocr_spark.functions.unigram import unigram_train
+
+    vocab = unigram_train(t(spark, sf_dir, "documents"))
+    return spark.createDataFrame(vocab, "piece string, count long")
+
+
+@register("tokenizer_unigram_encode", None)
+def q_tokenizer_unigram_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every doc Viterbi-encoded under the trained unigram vocab:
+    (doc_id, n_words, n_tokens), Arrow-batched."""
+    from ocr_spark.functions.unigram import unigram_encode, unigram_train
+
+    d = t(spark, sf_dir, "documents")
+    return unigram_encode(d, unigram_train(d))
