@@ -805,9 +805,17 @@ def q_pipe_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-of-w-uniform-draws priority, w length-proportional. Plans as
     TakeOrderedAndProject — per-partition K-bounded reservoirs merged at
     the driver, the same merge law a 1000-executor reservoir uses."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.expr(_RES_W_SPARK).alias("w")
-    )
+    return reservoir_candidates(t(spark, sf_dir, "documents"), _RES_K)
+
+
+def reservoir_candidates(df: DataFrame, k: int = _RES_K) -> DataFrame:
+    """(doc_id, n_chars, w, priority) top-k candidate reservoir of ``df``
+    under the A-ES priority above — the per-slice reduction both the
+    batch entry and the streaming committer share. Priorities are pure
+    functions of (doc_id, n_chars), so reservoirs from ANY slicing of
+    the corpus merge (top-k of the union of per-slice top-k's) to the
+    global sample."""
+    d = df.select("doc_id", "n_chars", F.expr(_RES_W_SPARK).alias("w"))
     pri = d.select(
         "doc_id",
         "n_chars",
@@ -817,4 +825,35 @@ def q_pipe_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" j -> {_RES_DRAW_SPARK}))"
         ).alias("priority"),
     )
-    return pri.orderBy(F.desc("priority"), "doc_id").limit(_RES_K)
+    return pri.orderBy(F.desc("priority"), "doc_id").limit(k)
+
+
+_STREAM_RES_SQL = _RES_SQL  # batching cannot move the kept set
+
+
+@register("stream_reservoir", _STREAM_RES_SQL)
+def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reservoir merge law under the streaming committer: the corpus
+    arrives as 3 file micro-batches, each commits its ≤K-row candidate
+    reservoir exactly-once, and the folded top-K equals the BATCH sample
+    — graded by the SAME oracle as pipe_sample_reservoir, which is
+    precisely the A-ES merge property (any slicing folds to the one
+    true reservoir)."""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.incremental import (
+        incremental_reservoir,
+        reservoir_totals,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    work = tempfile.mkdtemp(prefix="ocr-spark-stream-res-")
+    src = os.path.join(work, "src")
+    d.repartition(3).write.parquet(src)
+    out = os.path.join(work, "res")
+    ckpt = os.path.join(work, "ckpt")
+    writer, _ = incremental_reservoir(spark, src, d.schema, out, ckpt)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return reservoir_totals(spark, out)

@@ -1069,3 +1069,78 @@ def user_spend_tws(purchases: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+class _ReservoirCommitter(_BatchCommitter):
+    """foreachBatch function: reduce the micro-batch to its ≤k-row A-ES
+    candidate reservoir (queries_pipeline.reservoir_candidates) and
+    commit it under the standard exactly-once protocol.
+
+    The committed state grows with BATCH COUNT × k, never with rows —
+    the streaming analogue of a per-task reservoir. Folding is the A-ES
+    merge law: priorities are pure functions of the row, so top-k over
+    the union of per-batch top-k's equals top-k over everything ingested
+    (reservoir_totals), and a replayed batch would commit byte-identical
+    candidates (idempotent like the HLL registers; the replay guard
+    still keeps the layout canonical)."""
+
+    def __init__(self, out_dir: str, run_id: str, k: int) -> None:
+        super().__init__(out_dir, run_id)
+        self.k = k
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ocr_spark.queries_pipeline import reservoir_candidates
+
+        super().__call__(
+            reservoir_candidates(batch_df, self.k), batch_id
+        )
+
+
+def incremental_reservoir(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int | None = None,
+    run_id: str = "stream",
+) -> tuple[DataStreamWriter, _ReservoirCommitter]:
+    """Streaming weighted-reservoir maintenance: new parquet files under
+    ``src_dir`` become micro-batches, each committing its bounded
+    candidate reservoir; the current sample is reservoir_totals."""
+    from ocr_spark.queries_pipeline import _RES_K
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    committer = _ReservoirCommitter(out_dir, run_id, k or _RES_K)
+    writer = (
+        src.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return writer, committer
+
+
+def reservoir_totals(
+    spark: SparkSession, out_dir: str, k: int | None = None
+) -> DataFrame:
+    """Fold committed per-batch reservoirs to the current global sample:
+    doc_id-dedup (recrawled rows carry identical priorities) then global
+    top-k — one aggregation + TakeOrdered over ≤ batches × k rows."""
+    from ocr_spark.queries_pipeline import _RES_K
+
+    cands = spark.read.parquet(f"{out_dir}/data")
+    return (
+        cands.groupBy("doc_id")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.max("w").alias("w"),
+            F.max("priority").alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(k or _RES_K)
+        .select("doc_id", "n_chars", "w", "priority")
+    )

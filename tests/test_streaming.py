@@ -922,3 +922,80 @@ def test_transform_with_state_user_spend(spark, tmp_path):
     }
     assert got == exp
     assert spark.read.parquet(out).select("batch_id").distinct().count() >= 2
+
+
+# --- streaming weighted reservoir ---------------------------------------------
+
+
+def test_stream_reservoir_two_waves_fold_to_batch_sample(spark, tmp_path):
+    """Wave 1 (2 files) then wave 2 (1 more) through the exactly-once
+    committer: after each wave the folded top-K equals the BATCH A-ES
+    sample over everything ingested so far (the reservoir merge law,
+    live); an idle re-run commits nothing; per-batch state is K-bounded."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.queries_pipeline import reservoir_candidates
+    from ocr_spark.streaming.incremental import (
+        incremental_reservoir,
+        reservoir_totals,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 137) % 4000) for i in range(600)],
+        "doc_id long, n_chars long",
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "res")
+    ckpt = str(tmp_path / "ckpt")
+    docs.where(F.col("doc_id") < 400).repartition(2).write.parquet(src)
+
+    def run():
+        writer, committer = incremental_reservoir(
+            spark, src, docs.schema, out, ckpt, k=50
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return committer
+
+    def batch_sample(pred):
+        return [
+            (r["doc_id"], r["priority"])
+            for r in reservoir_candidates(
+                docs.where(pred), 50
+            ).collect()
+        ]
+
+    c1 = run()
+    got1 = [
+        (r["doc_id"], r["priority"])
+        for r in reservoir_totals(spark, out, 50).collect()
+    ]
+    assert got1 == batch_sample(F.col("doc_id") < 400)
+    assert len(c1.committed()) == 2
+
+    # per-batch committed state is K-bounded
+    per_batch = (
+        spark.read.parquet(f"{out}/data")
+        .groupBy("batch_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 50 for r in per_batch)
+
+    docs.where(F.col("doc_id") >= 400).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    c2 = run()
+    got2 = [
+        (r["doc_id"], r["priority"])
+        for r in reservoir_totals(spark, out, 50).collect()
+    ]
+    assert got2 == batch_sample(F.lit(True))
+    assert len(c2.committed()) == 3
+
+    c3 = run()  # idle
+    assert len(c3.committed()) == 3
+    assert [
+        (r["doc_id"], r["priority"])
+        for r in reservoir_totals(spark, out, 50).collect()
+    ] == got2
