@@ -172,3 +172,128 @@ def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- join-strategy advisor (round 4 close) -------------------------------------------
+# The diagnostic that DECIDES the three strategies this repo's join
+# surface implements (join_broadcast / join_shuffle / join_salted):
+# profile a join's two sides — fact size, dim size, key cardinality, the
+# heaviest key — and emit the advisory verdict a pipeline author (or an
+# auto-tuner) acts on before burning a 100 TB shuffle. Rules, applied in
+# order, thresholds scaled to driver SFs (on a cluster they come from
+# executor memory and task targets — documented knobs, same structure):
+#
+#   broadcast  dim_rows <= 500          (replicate the dim, no shuffle;
+#                                        skew is irrelevant map-side)
+#   salt       max_key_cnt * 20 > fact_rows   (one key holds > 5% of the
+#                                        fact: a shuffle would hang its
+#                                        straggler task — pre-salt)
+#   shuffle    otherwise
+#
+# Three joins are profiled so every verdict arm fires at sf0.01:
+# lineitem⋈supplier (100-row dim → broadcast), lineitem⋈orders (15k-row
+# dim, ~4-per-key fact → shuffle), and the same fact under a planted
+# half-corpus hot key (l_orderkey % 2 = 0 → key 0) against the orders
+# dim → salt. Each profile is one map-side-combined groupBy over the
+# fact keys plus two scalar counts — the advisor costs one aggregation
+# pass, never a trial join.
+
+_ADV_BROADCAST_MAX = 500
+_ADV_SKEW_MULT = 20
+
+
+def _adv_sql_one(name: str, fact: str, key: str, dim: str) -> str:
+    return f"""
+SELECT '{name}' AS join_name,
+  (SELECT count(*) FROM {fact}) AS fact_rows,
+  (SELECT count(*) FROM {dim}) AS dim_rows,
+  count(*) AS n_keys,
+  max(c) AS max_key_cnt
+FROM (SELECT {key} AS k, count(*) AS c FROM {fact} GROUP BY 1)
+"""
+
+
+_ADV_VERDICT = f"""
+CASE WHEN dim_rows <= {_ADV_BROADCAST_MAX} THEN 'broadcast'
+     WHEN max_key_cnt * {_ADV_SKEW_MULT} > fact_rows THEN 'salt'
+     ELSE 'shuffle' END
+"""
+
+_ADV_SQL = f"""
+WITH skewfact AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+              ELSE l_orderkey END AS hot_key
+  FROM lineitem
+),
+profiles AS (
+  {_adv_sql_one("li_supplier", "lineitem", "l_suppkey", "supplier")}
+  UNION ALL
+  {_adv_sql_one("li_orders", "lineitem", "l_orderkey", "orders")}
+  UNION ALL
+  {_adv_sql_one("li_orders_hot", "skewfact", "hot_key", "orders")}
+)
+SELECT join_name,
+  CAST(fact_rows AS BIGINT) AS fact_rows,
+  CAST(dim_rows AS BIGINT) AS dim_rows,
+  CAST(n_keys AS BIGINT) AS n_keys,
+  CAST(max_key_cnt AS BIGINT) AS max_key_cnt,
+  {_ADV_VERDICT} AS verdict
+FROM profiles
+"""
+
+
+def _adv_profile(fact: DataFrame, key, name: str, dim: DataFrame) -> DataFrame:
+    keyed = fact.select(key.alias("k"))
+    prof = keyed.groupBy("k").count().agg(
+        F.count("*").alias("n_keys"),
+        F.max("count").alias("max_key_cnt"),
+    )
+    counts = keyed.agg(F.count("*").alias("fact_rows")).crossJoin(
+        dim.agg(F.count("*").alias("dim_rows"))
+    )
+    return (
+        prof.crossJoin(F.broadcast(counts))
+        .select(
+            F.lit(name).alias("join_name"),
+            F.col("fact_rows").cast("bigint"),
+            F.col("dim_rows").cast("bigint"),
+            F.col("n_keys").cast("bigint"),
+            F.col("max_key_cnt").cast("bigint"),
+        )
+    )
+
+
+@register("profile_join_advisor", _ADV_SQL)
+def q_profile_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisory profile per candidate join: one
+    map-side-combined key aggregation + two scalar counts each, verdict
+    from the ordered broadcast/salt/shuffle rules (block comment). All
+    three arms fire at sf0.01."""
+    li = t(spark, sf_dir, "lineitem")
+    profiles = (
+        _adv_profile(
+            li, F.col("l_suppkey"), "li_supplier",
+            t(spark, sf_dir, "supplier"),
+        )
+        .unionByName(
+            _adv_profile(
+                li, F.col("l_orderkey"), "li_orders",
+                t(spark, sf_dir, "orders"),
+            )
+        )
+        .unionByName(
+            _adv_profile(
+                li,
+                F.expr(
+                    "CASE WHEN l_orderkey % 2 = 0 THEN 0"
+                    " ELSE l_orderkey END"
+                ),
+                "li_orders_hot",
+                t(spark, sf_dir, "orders"),
+            )
+        )
+    )
+    return profiles.select(
+        "join_name", "fact_rows", "dim_rows", "n_keys", "max_key_cnt",
+        F.expr(_ADV_VERDICT).alias("verdict"),
+    )
