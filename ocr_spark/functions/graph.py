@@ -317,23 +317,31 @@ def bfs_distances(
     node is labeled the FIRST round it appears — which is exactly min-dist,
     no min-aggregation needed. Rounds are eager (persist + count) like
     pagerank's, keeping recompute depth at 1; frontier size is |reached
-    this round|, never |V|. Like pagerank, the RETURNED frame stays
-    persisted (every intermediate is released here) — callers running
-    repeatedly in one session should .unpersist() it. At corpus scale the
-    settled set is the memory bound — for deeper traversals swap the
-    anti-join target to a bucketed table checkpoint."""
+    this round|, never |V|; the settled set is a lazy union over the
+    per-round persisted frames (it needs no action of its own). The
+    RETURNED frame is an eager localCheckpoint — self-contained, every
+    intermediate released before returning. At corpus scale the settled
+    set is the memory bound — for deeper traversals swap the anti-join
+    target to a bucketed table checkpoint (and reliable checkpointing
+    for fault tolerance, per the CC notes above)."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    settled = (
+    seed0 = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    settled.count()
-    frontier = settled.select("node")
-    to_release = [e]
+    seed0.count()
+    # settled = lazy union over the per-round PERSISTED frames: each
+    # round's anti-join recomputes only the cheap union wrapper, so the
+    # set needs no persist/count of its own (round 4 close: dropping the
+    # per-round settled materialization saved one full action per hop —
+    # the rounds' cost is the frontier join, not this bookkeeping)
+    settled = seed0
+    frontier = seed0.select("node")
+    to_release = [e, seed0]
     for k in range(1, max_hops + 1):
         nxt = (
             e.join(frontier, e["src"] == frontier["node"])
@@ -346,13 +354,15 @@ def bfs_distances(
         to_release.append(nxt)
         if nxt.count() == 0:
             break
-        to_release.append(settled)
-        settled = settled.union(nxt).persist(StorageLevel.MEMORY_AND_DISK)
-        settled.count()
+        settled = settled.union(nxt)
         frontier = nxt.select("node")
+    # one eager materialization makes the result self-contained, so every
+    # per-round frame (the union's children included) can be released
+    # here instead of leaking to the caller
+    out = settled.localCheckpoint(eager=True)
     for df in to_release:
         df.unpersist()
-    return settled
+    return out
 
 
 def label_propagation(
