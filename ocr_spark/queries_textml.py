@@ -1466,3 +1466,121 @@ def _containment_pairs(d: DataFrame) -> DataFrame:
             .alias("cont_b_ppm"),
         )
     )
+
+
+# --- late-interaction retrieval (ColBERT MaxSim, round 4 close) -----------------------
+# Modern neural retrieval scores a query against MULTI-VECTOR documents:
+# score(q, d) = sum over query tokens of the max cosine against any doc
+# token (Khattab & Zaharia 2020). The driver tables carry one vector per
+# doc, so token sets are synthesized deterministically as 4 circular
+# rotations of the base embedding (a pure permutation: norm-preserving,
+# identical arithmetic in both engines) — the INTERACTION algebra
+# (explode -> per-query-token max -> sum), not the encoder, is what this
+# entry grades. Cosines quantize to e6 BIGINTs BEFORE any aggregation so
+# max/sum order can never move a bit (the fn_vector float-fold is
+# per-row sequential; cross-row aggregation must be integer).
+#
+# Scale shape: doc tokens are a x4 map-side explode, the query's 4
+# tokens broadcast, the 16-cosines-per-doc compute is narrow, and ONE
+# vec_id-keyed aggregation chain (max then sum share the exchange)
+# feeds TakeOrderedAndProject. At ColBERT widths (32 tokens x 128 dims)
+# the same plan holds with the explode factor as the knob.
+
+_MAXSIM_TOKENS = 4
+_MAXSIM_SHIFT = 16  # rotation stride per synthesized token
+
+
+def _rot_spark(col: str, t: str) -> str:
+    s = f"({t} * {_MAXSIM_SHIFT})"
+    return (
+        f"concat(slice({col}, {s} + 1, {_DIM} - {s}),"
+        f" slice({col}, 1, {s}))"
+    )
+
+
+def _rot_sql(col: str, t: str) -> str:
+    s = f"({t} * {_MAXSIM_SHIFT})"
+    return f"list_concat({col}[{s} + 1:{_DIM}], {col}[1:{s}])"
+
+
+_MAXSIM_COS_SQL = (
+    "CAST(round(list_aggregate(list_transform(generate_series(1,"
+    f" {_DIM}), i -> CAST(dvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)),"
+    " 'sum') / (sqrt(list_aggregate(list_transform(dvec, x ->"
+    " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(qvec, x ->"
+    " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+_MAXSIM_COS_SPARK = (
+    "CAST(round(aggregate(zip_with(dvec, qvec, (x, y) ->"
+    " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+    " (s, v) -> s + v) / (sqrt(aggregate(transform(dvec, x ->"
+    " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+    " (s, v) -> s + v)) * sqrt(aggregate(transform(qvec, x ->"
+    " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+    " (s, v) -> s + v)))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+_MAXSIM_SQL = f"""
+WITH q AS (
+  SELECT t AS qt, {_rot_sql("embedding", "t")} AS qvec
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       generate_series(0, {_MAXSIM_TOKENS - 1}) AS g(t)
+),
+d AS (
+  SELECT vec_id, label, t AS dt, {_rot_sql("embedding", "t")} AS dvec
+  FROM embeddings, generate_series(0, {_MAXSIM_TOKENS - 1}) AS g(t)
+  WHERE vec_id != 0
+),
+c AS (
+  SELECT d.vec_id, d.label, q.qt, {_MAXSIM_COS_SQL} AS c_e6
+  FROM d, q
+),
+m AS (
+  SELECT vec_id, label, qt, max(c_e6) AS mx
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT vec_id, label, CAST(sum(mx) AS BIGINT) AS score_e6
+FROM m GROUP BY 1, 2
+ORDER BY score_e6 DESC, vec_id
+LIMIT 20
+"""
+
+
+@register("sim_maxsim", _MAXSIM_SQL)
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim top-20: x4 token explode both sides, e6
+    integer cosines, per-(doc, query-token) max then per-doc sum on one
+    exchange, TakeOrderedAndProject. See block comment."""
+    e = t(spark, sf_dir, "embeddings")
+    tok = (
+        f"explode(transform(sequence(0, {_MAXSIM_TOKENS - 1}),"
+        f" t -> struct(t AS tt, {_rot_spark('embedding', 't')} AS tv)))"
+    )
+    d = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.expr(tok).alias("_d"))
+        .select(
+            "vec_id", "label",
+            F.col("_d.tt").alias("dt"), F.col("_d.tv").alias("dvec"),
+        )
+    )
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.expr(tok).alias("_q"))
+        .select(F.col("_q.tt").alias("qt"), F.col("_q.tv").alias("qvec"))
+    )
+    c = d.crossJoin(F.broadcast(q)).select(
+        "vec_id", "label", "qt",
+        F.expr(_MAXSIM_COS_SPARK).alias("c_e6"),
+    )
+    m = c.groupBy("vec_id", "label", "qt").agg(F.max("c_e6").alias("mx"))
+    return (
+        m.groupBy("vec_id", "label")
+        .agg(F.sum("mx").cast("bigint").alias("score_e6"))
+        .orderBy(F.desc("score_e6"), "vec_id")
+        .limit(20)
+    )

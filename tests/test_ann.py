@@ -228,3 +228,43 @@ def test_pq_clustered_rerank_is_exact(spark, clustered):
         truth, 10,
     )
     assert r >= 0.95
+
+
+def test_maxsim_numpy_reference(spark):
+    """sim_maxsim equals a numpy MaxSim reference: 4 circular-rotation
+    tokens per side, per-query-token max cosine, e6-integer sum, top-20
+    with vec_id tie-break."""
+    import numpy as np
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_textml  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["sim_maxsim"](spark, sf).collect()
+    assert len(rows) == 20
+
+    embs = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in t(spark, sf, "embeddings").collect()
+    }
+
+    def toks(v):
+        return [np.roll(v, -16 * t) for t in range(4)]
+
+    qt = toks(embs[0][0])
+    scores = {}
+    for vid, (v, lbl) in embs.items():
+        if vid == 0:
+            continue
+        dt = toks(v)
+        s = 0
+        for q in qt:
+            best = max(
+                float(q @ d) / (np.linalg.norm(q) * np.linalg.norm(d))
+                for d in dt
+            )
+            s += int(round(best * 1_000_000))
+        scores[vid] = (s, lbl)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    got = [(r["vec_id"], (r["score_e6"], r["label"])) for r in rows]
+    assert got == want
