@@ -1009,3 +1009,79 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric", "n_control", "c_control", "n_treat", "c_treat",
         F.expr(f"CAST({_AB_SIG} AS BIGINT)").alias("significant"),
     )
+
+
+# --- seasonal-naive forecast backtest ----------------------------------------
+# The baseline every real forecaster must beat: predict each 6-hour
+# bucket's total by the value one season (24h = 4 buckets) earlier, and
+# backtest it per event type. All integer: bucket totals are cent sums,
+# the forecast is a lag-4 window over (type, bucket), the error is
+# |actual - forecast| summed as BIGINT with MAE as one floor division —
+# no float ever crosses an aggregation. One shuffle builds the bucket
+# series (map-side-combined), one type-keyed window reads it; the
+# backtest relation is |types| x |buckets|, independent of event volume
+# — the shape that survives 10^12 events.
+
+_FC_SEASON = 4  # 4 x 6h buckets = 24 h
+_FC_BUCKET_US = 21_600_000_000  # 6 h in microseconds
+
+
+_FC_SQL = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {_FC_BUCKET_US} AS bucket,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS val_c
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, bucket, val_c,
+    lag(val_c, {_FC_SEASON}) OVER (
+      PARTITION BY event_type ORDER BY bucket
+    ) AS fc_c
+  FROM b
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_evals,
+  CAST(sum(abs(val_c - fc_c)) AS BIGINT) AS sae_c,
+  CAST(sum(abs(val_c - fc_c)) // count(*) AS BIGINT) AS mae_c
+FROM f WHERE fc_c IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("events_forecast_naive", _FC_SQL)
+def q_events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (t-24h) forecast backtest per event type:
+    integer-cent bucket totals, lag-4 forecast, BIGINT MAE (block
+    comment)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    b = (
+        e.groupBy(
+            "event_type",
+            F.expr(
+                f"unix_micros(cast(ts AS TIMESTAMP)) DIV {_FC_BUCKET_US}"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("val_c")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    f = b.withColumn("fc_c", F.lag("val_c", _FC_SEASON).over(w))
+    return (
+        f.filter(F.col("fc_c").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_evals"),
+            F.sum(F.abs(F.col("val_c") - F.col("fc_c")))
+            .cast("bigint")
+            .alias("sae_c"),
+            F.expr(
+                "CAST(sum(abs(val_c - fc_c)) DIV count(*) AS BIGINT)"
+            ).alias("mae_c"),
+        )
+    )

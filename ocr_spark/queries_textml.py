@@ -1584,3 +1584,73 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), "vec_id")
         .limit(20)
     )
+
+
+# --- readability scoring (round 4 close) ----------------------------------------------
+# Flesch reading-ease as an INTEGER-EXACT pipeline signal: the classic
+# 206.835 - 1.015*(W/S) - 84.6*(Y/W) with every ratio spelled as a
+# cross-multiplied floor division over e3-scaled constants, so both
+# engines compute identical BIGINTs (float spellings of the two ratios
+# would drift in the last ulp across engines). Syllables use the
+# standard vowel-run proxy (maximal [aeiouy]+ runs, floor 1 per word);
+# sentences are terminal-punctuation counts, floor 1. One narrow map —
+# readability joins quality/gopher/C4 as a per-doc filter signal that
+# costs nothing extra at 100 TB.
+
+_READ_W = "size(filter(split(text, ' '), x -> x != ''))"
+_READ_W_SQL = "len(list_filter(string_split(text, ' '), x -> x != ''))"
+_READ_S = "greatest(CAST(regexp_count(text, '[.!?]') AS BIGINT), 1L)"
+_READ_S_SQL = "greatest(CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT), 1)"
+_READ_Y = (
+    "aggregate(filter(split(lower(text), ' '), x -> x != ''),"
+    " CAST(0 AS BIGINT), (s, w) -> s + greatest(CAST("
+    "regexp_count(w, '[aeiouy]+') AS BIGINT), 1L))"
+)
+_READ_Y_SQL = (
+    "list_aggregate(list_transform(list_filter(string_split(lower(text),"
+    " ' '), x -> x != ''), w -> greatest(CAST(len(regexp_extract_all(w,"
+    " '[aeiouy]+')) AS BIGINT), 1)), 'sum')"
+)
+
+_READ_SCORE = (
+    "206835 - (1015 * nw * 1000) DIV (ns * 1000)"
+    " - (84600 * ny) DIV nw"
+)
+_READ_SCORE_SQL = (
+    "206835 - (1015 * nw * 1000) // (ns * 1000)"
+    " - (84600 * ny) // nw"
+)
+_READ_BAND = (
+    "CASE WHEN score_e3 >= 70000 THEN 'easy'"
+    " WHEN score_e3 >= 50000 THEN 'medium' ELSE 'hard' END"
+)
+
+_READ_SQL = f"""
+SELECT doc_id, nw, ns, ny,
+  CAST({_READ_SCORE_SQL} AS BIGINT) AS score_e3,
+  {_READ_BAND} AS band
+FROM (
+  SELECT doc_id, {_READ_W_SQL} AS nw, {_READ_S_SQL} AS ns,
+         {_READ_Y_SQL} AS ny
+  FROM documents
+) WHERE nw > 0
+"""
+
+
+@register("text_readability", _READ_SQL)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc, integer-exact e3 score + band
+    (block comment): one narrow map over the scan, no shuffle."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"CAST({_READ_W} AS BIGINT)").alias("nw"),
+        F.expr(_READ_S).alias("ns"),
+        F.expr(_READ_Y).alias("ny"),
+    )
+    return (
+        d.filter(F.col("nw") > 0)
+        .withColumn(
+            "score_e3", F.expr(f"CAST({_READ_SCORE} AS BIGINT)")
+        )
+        .withColumn("band", F.expr(_READ_BAND))
+    )

@@ -789,3 +789,40 @@ def test_fuzz_differential_unicode_corpus(spark, tmp_path):
         for r in QUERIES["dedup_substr_spans"](spark, sf).collect()
     }
     assert got_s == _ref_substr_spans(texts, cm.SUBSTR_K)
+
+
+def test_readability_python_reference(spark):
+    """text_readability equals an independent Python replay of the
+    integer Flesch spelling (vowel-run syllables, floored ratios)."""
+    import re
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_textml  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_readability"](spark, sf).collect()
+    }
+    for r in t(spark, sf, "documents").select("doc_id", "text").collect():
+        words = [w for w in r["text"].split(" ") if w]
+        nw = len(words)
+        if nw == 0:
+            assert r["doc_id"] not in rows
+            continue
+        ns = max(len(re.findall(r"[.!?]", r["text"])), 1)
+        ny = sum(
+            max(len(re.findall(r"[aeiouy]+", w.lower())), 1)
+            for w in words
+        )
+        score = 206835 - (1015 * nw * 1000) // (ns * 1000) - (
+            84600 * ny
+        ) // nw
+        band = (
+            "easy" if score >= 70000
+            else "medium" if score >= 50000 else "hard"
+        )
+        got = rows[r["doc_id"]]
+        assert (
+            got["nw"], got["ns"], got["ny"], got["score_e3"], got["band"]
+        ) == (nw, ns, ny, score, band), r["doc_id"]

@@ -177,3 +177,44 @@ def test_ab_test_python_z_reference_and_polarities(spark):
         by_metric[r["metric"]] = r["significant"]
     assert by_metric["planted"] == 1
     assert 0 in {by_metric[m] for m in ("purchase", "click", "error")}
+
+
+def test_forecast_naive_python_reference(spark):
+    """events_forecast_naive equals a pure-Python seasonal-naive replay
+    (6h cent buckets, lag-4 forecast, floored MAE)."""
+    from collections import defaultdict
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["event_type"]: (r["n_evals"], r["sae_c"], r["mae_c"])
+        for r in QUERIES["events_forecast_naive"](spark, sf).collect()
+    }
+    buckets = defaultdict(int)
+    for r in t(spark, sf, "events").select(
+        "event_type", "ts", "value"
+    ).collect():
+        from datetime import timezone
+
+        us = int(
+            r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+        buckets[(r["event_type"], us // 21_600_000_000)] += int(
+            round(r["value"] * 100)
+        )
+    series = defaultdict(dict)
+    for (et, b), v in buckets.items():
+        series[et][b] = v
+    want = {}
+    for et, s in series.items():
+        ordered = sorted(s)
+        errs = [
+            abs(s[b] - s[ordered[i - 4]])
+            for i, b in enumerate(ordered)
+            if i >= 4
+        ]
+        if errs:
+            want[et] = (len(errs), sum(errs), sum(errs) // len(errs))
+    assert got == want
