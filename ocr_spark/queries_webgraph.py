@@ -1597,3 +1597,83 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node_id"),
         F.col("community").cast("bigint").alias("community"),
     )
+
+
+# --- personalized PageRank -----------------------------------------------------------
+# The related-pages primitive: restart the walk at a SEED set so mass
+# concentrates in the seeds' neighborhood (global pagerank's stationary
+# mass spreads graph-wide). Same e6 integer state machine, seed-scoped
+# teleport + dangling redistribution; the oracle unrolls every round.
+
+_PPR_ITERS = 4
+
+
+def _ppr_oracle() -> str:
+    tele, dn, dd = 150_000, 85, 100
+    rounds = []
+    prev = "r0"
+    for k in range(1, _PPR_ITERS + 1):
+        rounds.append(f"""
+dm{k} AS (
+  SELECT coalesce(sum(p.r), 0) AS dm
+  FROM {prev} p JOIN dang d ON d.node = p.node
+),
+c{k} AS (
+  SELECT e.dst AS node, sum(p.r // e.ow) AS s
+  FROM ew e JOIN {prev} p ON p.node = e.src GROUP BY 1
+),
+r{k} AS (
+  SELECT n.node, CAST(
+    CASE WHEN s2.node IS NOT NULL THEN {tele} ELSE 0 END
+    + ({dn} * (coalesce(c.s, 0)
+       + CASE WHEN s2.node IS NOT NULL
+              THEN (SELECT dm FROM dm{k})
+                   // (SELECT count(*) FROM sds)
+              ELSE 0 END)) // {dd}
+    AS BIGINT) AS r
+  FROM n LEFT JOIN c{k} c ON c.node = n.node
+  LEFT JOIN sds s2 ON s2.node = n.node
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS src,
+    l_suppkey + {_PR_SUPP_OFFSET} AS dst
+  FROM lineitem
+),
+ow AS (SELECT src, count(*) AS ow FROM e GROUP BY 1),
+ew AS (SELECT e.src, e.dst, ow.ow FROM e JOIN ow USING (src)),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sds AS (SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0),
+dang AS (SELECT node FROM n WHERE node NOT IN (SELECT src FROM e)),
+r0 AS (
+  SELECT n.node,
+    CAST(CASE WHEN s2.node IS NOT NULL THEN 1000000 ELSE 0 END
+         AS BIGINT) AS r
+  FROM n LEFT JOIN sds s2 ON s2.node = n.node
+),
+{",".join(rounds)}
+SELECT n.node AS node_id, r.r AS rank_e6
+FROM n JOIN {prev} r ON r.node = n.node
+"""
+
+
+@register("graph_ppr", _ppr_oracle())
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegates to functions/graph.personalized_pagerank over the
+    part→supplier bipartite edges with the BFS entry's seed rule
+    (src % 97 == 0). Integer-exact; oracle replays all rounds."""
+    from ocr_spark.functions.graph import personalized_pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey") + _PR_SUPP_OFFSET).cast("bigint").alias("dst"),
+    ).distinct()
+    seeds = e.filter(F.col("src") % 97 == 0).select(
+        F.col("src").alias("node")
+    )
+    out = personalized_pagerank(e, seeds, iters=_PPR_ITERS)
+    return out.select(
+        F.col("node").cast("bigint").alias("node_id"), "rank_e6"
+    )

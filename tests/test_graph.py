@@ -234,3 +234,61 @@ def test_label_propagation_reference_and_community_structure(spark):
         for r in label_propagation(e_df, iters=3).collect()
     }
     assert again == lbl
+
+
+def test_personalized_pagerank_locality_and_reference(spark):
+    """PPR on a two-cluster hand graph: equals a pure-Python replay of
+    the integer state machine; mass concentrates in the seed cluster
+    (every seed-cluster node outranks every far-cluster node); empty
+    seed set raises."""
+    import pytest as _pytest
+
+    from ocr_spark.functions.graph import personalized_pagerank
+
+    # two 4-cycles joined by one bridge; seeds in cluster A
+    ca = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    cb = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    edges = ca + cb + [(3, 10)]
+    e_df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(0,), (1,)], "node LONG")
+    got = {
+        r["node"]: r["rank_e6"]
+        for r in personalized_pagerank(e_df, seeds, iters=4).collect()
+    }
+
+    # python replay
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    nodes = sorted({x for e in edges for x in e})
+    sd = {0, 1}
+    r = {n: (1_000_000 if n in sd else 0) for n in nodes}
+    for _ in range(4):
+        dm = sum(r[n] for n in nodes if n not in out)
+        s = defaultdict(int)
+        for u, vs in out.items():
+            for v in vs:
+                s[v] += r[u] // len(vs)
+        r = {
+            n: (150_000 if n in sd else 0)
+            + (85 * (s[n] + (dm // len(sd) if n in sd else 0))) // 100
+            for n in nodes
+        }
+    assert got == r
+
+    # locality: the seeds hold the top ranks and the seed cluster holds
+    # the bulk of the mass (the walk restarts there every step); nodes
+    # 4+ hops downstream of the bridge have received nothing by iter 4
+    top2 = sorted(got, key=lambda n: -got[n])[:2]
+    assert set(top2) == {0, 1}
+    assert sum(got[n] for n in (0, 1, 2, 3)) > 2 * sum(
+        got[n] for n in (10, 11, 12, 13)
+    )
+    assert got[12] == 0 and got[13] == 0
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            e_df, spark.createDataFrame([(99,)], "node LONG"), iters=1
+        )
