@@ -1085,3 +1085,86 @@ def q_events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mae_c"),
         )
     )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+# Retention's revenue twin: per cohort (first-active day), the running
+# cumulative purchase revenue per cohort member by day offset — the LTV
+# curve growth/finance teams read. Integer cents end-to-end; the one
+# pass over raw events is the (user, day) revenue rollup, everything
+# after runs on user- or cohort-grained relations.
+
+_LTV_SQL = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+    sum(CAST(round(value * 100, 0) AS BIGINT)) AS rev_c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+),
+sz AS (SELECT cohort_day, count(*) AS n_users FROM f GROUP BY 1),
+cr AS (
+  SELECT f.cohort_day, CAST(r.d - f.cohort_day AS BIGINT) AS day_offset,
+    sum(r.rev_c) AS rev_c
+  FROM r JOIN f USING (user_id) GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, day_offset,
+    sum(rev_c) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                     ROWS UNBOUNDED PRECEDING) AS cum_rev_c
+  FROM cr
+)
+SELECT c.cohort_day, c.day_offset,
+  CAST(s.n_users AS BIGINT) AS n_users,
+  CAST(c.cum_rev_c AS BIGINT) AS cum_rev_c,
+  CAST(c.cum_rev_c // s.n_users AS BIGINT) AS ltv_c
+FROM cum c JOIN sz s USING (cohort_day)
+"""
+
+
+@register("events_cohort_ltv", _LTV_SQL)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV: (cohort_day, day_offset, n_users, cum_rev_c, ltv_c)
+    with a per-cohort running cent sum and a floored per-member average
+    (block comment)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    r = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "sum(CAST(round(value * 100, 0) AS BIGINT))"
+            ).alias("rev_c")
+        )
+    )
+    f = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    sz = f.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    cr = (
+        r.join(f, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("bigint").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cr.withColumn("cum_rev_c", F.sum("rev_c").over(w))
+    return cum.join(sz, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        F.col("n_users").cast("bigint"),
+        F.col("cum_rev_c").cast("bigint"),
+        F.expr("CAST(cum_rev_c DIV n_users AS BIGINT)").alias("ltv_c"),
+    )

@@ -322,3 +322,64 @@ def q_table_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_len").cast("bigint").alias("sum_len"),
         )
     )
+
+
+# --- bucketed co-located join as a driver row (round 4 close) ------------------------
+# write_bucketed/read_bucketed had plan + equality pins in
+# tests/test_tables.py since round 3; this row puts the CO-LOCATED JOIN
+# RESULT under the driver's value hash: both sides materialize bucketed
+# on the join key (shuffle paid once at write), the join runs on an
+# isolated newSession with broadcast disabled (the 100 TB fact-fact
+# shape; conf non-leak like join_runtime_bloom), and the oracle
+# recomputes the join + aggregation from the RAW parquet — any
+# bucket-routing error (a row hashed into the wrong bucket joins
+# against nothing) breaks the revenue totals.
+
+_BUCKETED_SQL = """
+SELECT o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+       AS BIGINT) AS rev_c
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+@register("join_bucketed", _BUCKETED_SQL)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join over bucketed materializations: zero
+    Exchange at join time (pinned in tests/test_tables.py), graded here
+    end-to-end against a raw-parquet recomputation."""
+    import tempfile
+
+    from ocr_spark.tables import read_bucketed, write_bucketed
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    work = tempfile.mkdtemp(prefix="ocr-spark-bucketed-")
+    li = t(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = t(s2, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(
+        li, "reg_bt_lineitem", f"{work}/li", ("l_orderkey",), 8,
+        sort_cols=("l_orderkey",),
+    )
+    write_bucketed(
+        od, "reg_bt_orders", f"{work}/od", ("o_orderkey",), 8,
+        sort_cols=("o_orderkey",),
+    )
+    a = read_bucketed(s2, "reg_bt_lineitem")
+    b = read_bucketed(s2, "reg_bt_orders")
+    return (
+        a.join(b, a["l_orderkey"] == b["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100, 0)"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("rev_c"),
+        )
+    )

@@ -218,3 +218,43 @@ def test_forecast_naive_python_reference(spark):
         if errs:
             want[et] = (len(errs), sum(errs), sum(errs) // len(errs))
     assert got == want
+
+
+def test_cohort_ltv_python_reference(spark):
+    """events_cohort_ltv equals a pure-Python replay: cohort by first
+    active day over ALL events, revenue from purchases only, running
+    cent sums, floored per-member LTV."""
+    from collections import defaultdict
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["cohort_day"], r["day_offset"]): (
+            r["n_users"], r["cum_rev_c"], r["ltv_c"]
+        )
+        for r in QUERIES["events_cohort_ltv"](spark, sf).collect()
+    }
+    first, rev = {}, defaultdict(int)
+    for r in t(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect():
+        d = r["ts"].date()
+        u = r["user_id"]
+        first[u] = min(first.get(u, d), d)
+        if r["event_type"] == "purchase":
+            rev[(u, d)] += int(round(r["value"] * 100))
+    sz = defaultdict(int)
+    for u, cd in first.items():
+        sz[cd] += 1
+    cr = defaultdict(int)
+    for (u, d), c in rev.items():
+        cr[(first[u], (d - first[u]).days)] += c
+    want = {}
+    for cd in {k[0] for k in cr}:
+        cum = 0
+        for off in sorted(k[1] for k in cr if k[0] == cd):
+            cum += cr[(cd, off)]
+            want[(cd, off)] = (sz[cd], cum, cum // sz[cd])
+    assert got == want

@@ -113,3 +113,20 @@ def test_iceberg_roundtrip_when_runtime_present(spark, tmp_path):
     assert read_table(spark, loc).count() == 50
     write_table(df, loc, mode="overwrite_partitions")
     assert read_table(spark, loc).count() == 50  # idempotent re-commit
+
+
+def test_join_bucketed_registry_row_is_exchange_free(spark):
+    """The join_bucketed driver row: its executed join carries no
+    Exchange (bucket co-location serves the partitioning) and a
+    Bucketed: true scan on both sides."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_tables  # noqa: F401
+
+    df = QUERIES["join_bucketed"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("HashAggregate")[-1]  # below the agg: the join
+    assert "Exchange" not in join_part, plan
+    assert "Bucketed: true" in plan, plan
+    for tb in ("reg_bt_lineitem", "reg_bt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
