@@ -170,6 +170,15 @@ HEADLINE = [
     "graph_label_prop",     # webtext: LPA communities (3 checkpointed rounds)
     "events_ab_test",       # analytics: two-proportion z-test readout
     "pipe_triplets",        # training prep: contrastive triplet construction
+    "sim_maxsim",           # retrieval: ColBERT MaxSim late interaction
+    "graph_ppr",            # webtext: personalized PageRank (seed restart)
+    "profile_join_advisor",  # scale: broadcast/salt/shuffle advisory profile
+    "text_readability",     # training-data: integer Flesch scoring (narrow map)
+    "events_forecast_naive",  # analytics: seasonal-naive backtest (lag-4)
+    "events_cohort_ltv",    # analytics: cohort LTV running cent sums
+    "join_bucketed",        # scale: co-located bucketed join (write + join)
+    "stream_reservoir",     # streaming: exactly-once K-bounded reservoir fold
+    "tokenizer_unigram_vocab",  # training-data: unigram-LM Viterbi-EM trainer
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

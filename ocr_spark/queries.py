@@ -877,7 +877,18 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (synchronous LPA communities over a planted-6-community graph, finer
 # than CC across sparse bridges), events_ab_test (two-proportion z-test
 # readout, cross-multiplied verdict, planted-uplift polarity),
-# pipe_triplets (contrastive anchor/positive/negative construction) —
+# pipe_triplets (contrastive anchor/positive/negative construction),
+# stream_reservoir (the reservoir merge law under the exactly-once
+# streaming committer, batch-oracle-graded), tokenizer_unigram_vocab +
+# tokenizer_unigram_encode (SentencePiece unigram Viterbi-EM — rows-only
+# like the BPE pair, pytest-gated vs an independent reference),
+# profile_join_advisor (broadcast/salt/shuffle advisory profile, all
+# arms fire), sim_maxsim (ColBERT MaxSim late interaction, e6-integer
+# cosines before any aggregation), text_readability (integer Flesch),
+# events_forecast_naive (seasonal-naive backtest), events_ab_test,
+# events_cohort_ltv (cohort LTV curve), graph_ppr (personalized
+# PageRank, seed-scoped teleport), join_bucketed (the co-located
+# bucketed join under the value hash end-to-end) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
