@@ -1168,3 +1168,60 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_rev_c").cast("bigint"),
         F.expr("CAST(cum_rev_c DIV n_users AS BIGINT)").alias("ltv_c"),
     )
+
+
+# --- user-journey path analysis ----------------------------------------------
+# The Markov transition matrix behind "where do users go next": each
+# user's history in (ts, event_id) order yields (prev_type -> type)
+# steps; transition probability is an e6 integer share of the source
+# type's outgoing steps. One user-keyed window (the only pass over raw
+# events) + one tiny (from, to) aggregation.
+
+_PATH_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1)
+SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+  CAST(tr.n * 1000000 // t.tot AS BIGINT) AS p_e6
+FROM tr JOIN tot t USING (from_type)
+"""
+
+
+@register("events_path_analysis", _PATH_SQL)
+def q_events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over user event paths:
+    (from_type, to_type, n, p_e6) with integer e6 shares (block
+    comment)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(cast(ts AS TIMESTAMP))"), "event_id"
+    )
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return tr.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint"),
+        F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_e6"),
+    )

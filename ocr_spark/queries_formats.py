@@ -301,3 +301,83 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "source",
         F.isnotnull("source").cast("bigint").alias("from_v2"),
     ).orderBy("doc_id")
+
+
+# --- JSON corrupt-record quarantine (round 4 close) --------------------------
+# The JSON sibling of scan_csv_corrupt — same operational contract,
+# DIFFERENT failure semantics, which is exactly what this entry pins:
+# a structurally-broken record (truncated object) quarantines the WHOLE
+# row (all fields null + raw line), but a type-corrupt FIELD in valid
+# JSON partially parses — the other fields survive and the raw line is
+# STILL quarantined (CSV nulls nothing else on an extra token; JSON
+# ignores unknown fields entirely, so the extra-field class parses
+# clean here where CSV's extra-token class fails). Verified empirically
+# against Spark 4 and spelled closed-form in the oracle.
+
+_JSON_CORRUPT_LINE_SPARK = """
+CASE
+  WHEN doc_id % 7 = 3 THEN
+    concat('{"doc_id": ', doc_id, ', "lang": "', lang, '"')
+  WHEN doc_id % 7 = 5 THEN
+    concat('{"doc_id": ', doc_id, ', "lang": "', lang,
+           '", "n_chars": "xx', n_chars, '"}')
+  WHEN doc_id % 7 = 6 THEN
+    concat('{"doc_id": ', doc_id, ', "lang": "', lang,
+           '", "n_chars": ', n_chars, ', "extra": 1}')
+  ELSE
+    concat('{"doc_id": ', doc_id, ', "lang": "', lang,
+           '", "n_chars": ', n_chars, '}')
+END
+"""
+
+_JSON_CORRUPT_SQL = """
+SELECT
+  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE doc_id END AS doc_id,
+  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
+  CASE WHEN doc_id % 7 IN (3, 5) THEN NULL ELSE n_chars END AS n_chars,
+  CASE
+    WHEN doc_id % 7 = 3 THEN
+      '{"doc_id": ' || doc_id || ', "lang": "' || lang || '"'
+    WHEN doc_id % 7 = 5 THEN
+      '{"doc_id": ' || doc_id || ', "lang": "' || lang
+      || '", "n_chars": "xx' || n_chars || '"}'
+    ELSE NULL
+  END AS raw_line,
+  CAST(CASE WHEN doc_id % 7 IN (3, 5) THEN 1 ELSE 0 END AS BIGINT)
+    AS quarantined
+FROM documents
+"""
+
+
+@register("scan_json_corrupt", _JSON_CORRUPT_SQL)
+def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON quarantine: four deterministically synthesized
+    line classes (good / truncated object / type-corrupt field /
+    ignored extra field) read back with an explicit schema +
+    columnNameOfCorruptRecord. Rows-in == rows-out; the class-specific
+    whole-row-vs-field-level null pattern sits under the value hash
+    (block comment)."""
+    base = t(spark, sf_dir, "documents").selectExpr(
+        f"{_JSON_CORRUPT_LINE_SPARK} AS value"
+    )
+    work = tempfile.mkdtemp(prefix="ocr-spark-jsoncorrupt-")
+    path = os.path.join(work, "export")
+    base.write.text(path)
+    return (
+        spark.read.schema(
+            "doc_id LONG, lang STRING, n_chars LONG, raw_line STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "raw_line")
+        .json(path)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "raw_line",
+            F.expr(
+                "CAST(CASE WHEN raw_line IS NOT NULL THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("quarantined"),
+        )
+    )

@@ -302,3 +302,106 @@ def q_pipe_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slot").cast("bigint").alias("slot"),
         "neg_id", "neg_source",
     )
+
+
+# --- T5-style span corruption (round 4 close) -----------------------------------------
+# The denoising-objective example builder (Raffel et al. 2020): mask
+# contiguous word spans, replace each with a sentinel token, and emit
+# (input_text, target_text) where the target lists each sentinel
+# followed by the words it hides. Deterministic variant: the word
+# sequence partitions into fixed 20-word windows; window k of a doc
+# masks the 3-word span starting at md5("sc#doc#k") % (len-2) (window
+# shorter than 3 words masks nothing), so spans never overlap and both
+# engines rebuild byte-identical examples. All JVM array HOFs over one
+# scan — corruption is a narrow map at any corpus size.
+
+_SC_WIN = 20
+_SC_LEN = 3
+
+_SC_H = (
+    "CAST(conv(substring(md5(concat('sc#', CAST(doc_id AS STRING), '#',"
+    " CAST(k AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+)
+_SC_H_SQL = (
+    "list_aggregate(list_transform(generate_series(1, 13), q ->"
+    " CAST(strpos('0123456789abcdef', substr(md5('sc#' ||"
+    " CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)), q, 1)) - 1"
+    " AS BIGINT) * (1 << (4 * (13 - q)))), 'sum')"
+)
+
+_SC_WORDS = "filter(split(text, ' '), x -> x != '')"
+_SC_WORDS_SQL = "list_filter(string_split(text, ' '), x -> x != '')"
+
+# per window k: ww = its word slice, o = span offset (0-based), sentinel
+_SC_INPUT = f"""
+array_join(flatten(transform(sequence(0,
+    CAST((size(w) + {_SC_WIN} - 1) div {_SC_WIN} AS INT) - 1), k ->
+  CASE WHEN size(slice(w, k * {_SC_WIN} + 1, {_SC_WIN})) >= {_SC_LEN}
+  THEN concat(
+    slice(slice(w, k * {_SC_WIN} + 1, {_SC_WIN}), 1,
+      CAST({_SC_H} % (size(slice(w, k * {_SC_WIN} + 1, {_SC_WIN}))
+           - {_SC_LEN - 1}) AS INT)),
+    array(concat('<extra_id_', CAST(k AS STRING), '>')),
+    slice(slice(w, k * {_SC_WIN} + 1, {_SC_WIN}),
+      CAST({_SC_H} % (size(slice(w, k * {_SC_WIN} + 1, {_SC_WIN}))
+           - {_SC_LEN - 1}) AS INT) + {_SC_LEN + 1},
+      size(slice(w, k * {_SC_WIN} + 1, {_SC_WIN}))))
+  ELSE slice(w, k * {_SC_WIN} + 1, {_SC_WIN}) END)), ' ')
+"""
+
+_SC_TARGET = f"""
+array_join(flatten(transform(sequence(0,
+    CAST((size(w) + {_SC_WIN} - 1) div {_SC_WIN} AS INT) - 1), k ->
+  CASE WHEN size(slice(w, k * {_SC_WIN} + 1, {_SC_WIN})) >= {_SC_LEN}
+  THEN concat(
+    array(concat('<extra_id_', CAST(k AS STRING), '>')),
+    slice(slice(w, k * {_SC_WIN} + 1, {_SC_WIN}),
+      CAST({_SC_H} % (size(slice(w, k * {_SC_WIN} + 1, {_SC_WIN}))
+           - {_SC_LEN - 1}) AS INT) + 1, {_SC_LEN}))
+  ELSE array() END)), ' ')
+"""
+
+
+def _sc_sql() -> str:
+    ww = f"list_slice(w, k * {_SC_WIN} + 1, k * {_SC_WIN} + {_SC_WIN})"
+    o = f"({_SC_H_SQL} % (len({ww}) - {_SC_LEN - 1}))"
+    inp = f"""
+array_to_string(flatten(list_transform(generate_series(0,
+    CAST((len(w) + {_SC_WIN} - 1) // {_SC_WIN} AS INT) - 1), k ->
+  CASE WHEN len({ww}) >= {_SC_LEN}
+  THEN list_concat(list_concat(
+    list_slice({ww}, 1, {o}),
+    ['<extra_id_' || CAST(k AS VARCHAR) || '>']),
+    list_slice({ww}, {o} + {_SC_LEN + 1}, len({ww})))
+  ELSE {ww} END)), ' ')
+"""
+    tgt = f"""
+array_to_string(flatten(list_transform(generate_series(0,
+    CAST((len(w) + {_SC_WIN} - 1) // {_SC_WIN} AS INT) - 1), k ->
+  CASE WHEN len({ww}) >= {_SC_LEN}
+  THEN list_concat(['<extra_id_' || CAST(k AS VARCHAR) || '>'],
+    list_slice({ww}, {o} + 1, {o} + {_SC_LEN}))
+  ELSE [] END)), ' ')
+"""
+    return f"""
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+  {inp} AS input_text, {tgt} AS target_text
+FROM (SELECT doc_id, {_SC_WORDS_SQL} AS w FROM documents)
+WHERE len(w) > 0
+"""
+
+
+@register("pipe_span_corruption", _sc_sql())
+def q_pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising examples: 3-word spans masked per 20-word window at
+    md5-derived offsets, sentinel tokens in the input, sentinel+words in
+    the target. Narrow map; oracle rebuilds both texts byte-for-byte."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SC_WORDS).alias("w")
+    )
+    return d.filter(F.expr("size(w) > 0")).select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_words"),
+        F.expr(_SC_INPUT).alias("input_text"),
+        F.expr(_SC_TARGET).alias("target_text"),
+    )

@@ -258,3 +258,35 @@ def test_cohort_ltv_python_reference(spark):
             cum += cr[(cd, off)]
             want[(cd, off)] = (sz[cd], cum, cum // sz[cd])
     assert got == want
+
+
+def test_path_analysis_python_reference(spark):
+    """events_path_analysis equals a pure-Python transition-matrix
+    replay over (ts, event_id)-ordered user histories."""
+    from collections import defaultdict
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_e6"])
+        for r in QUERIES["events_path_analysis"](spark, sf).collect()
+    }
+    hist = defaultdict(list)
+    for r in t(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        hist[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    tr = defaultdict(int)
+    for evs in hist.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            tr[(a, b)] += 1
+    tot = defaultdict(int)
+    for (a, _b), n in tr.items():
+        tot[a] += n
+    want = {
+        k: (n, n * 1_000_000 // tot[k[0]]) for k, n in tr.items()
+    }
+    assert got == want

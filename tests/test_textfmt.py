@@ -109,3 +109,31 @@ def test_registry_entries_match_oracle(spark):
         g = sorted(map(tuple, got.collect()))
         w = sorted(map(tuple, want.fetchall()))
         assert g == w, f"{key}: spark={g[:2]} oracle={w[:2]}"
+
+
+def test_json_corrupt_quarantine_arms(spark):
+    """scan_json_corrupt: the three JSON failure semantics hold —
+    truncated objects quarantine the WHOLE row (all fields null),
+    type-corrupt fields partially parse (other fields survive, line
+    still quarantined), and extra fields parse clean."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_formats  # noqa: F401
+
+    rows = QUERIES["scan_json_corrupt"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 500
+    trunc = [r for r in rows if r["raw_line"] and r["doc_id"] is None]
+    partial = [r for r in rows if r["raw_line"] and r["doc_id"] is not None]
+    clean = [r for r in rows if not r["raw_line"]]
+    assert trunc and partial and clean
+    for r in trunc:
+        assert r["lang"] is None and r["n_chars"] is None
+        assert r["quarantined"] == 1
+    for r in partial:
+        assert r["lang"] is not None and r["n_chars"] is None
+        assert r["doc_id"] % 7 == 5
+        assert r["quarantined"] == 1
+    for r in clean:
+        assert r["doc_id"] % 7 not in (3, 5)
+        assert r["n_chars"] is not None and r["quarantined"] == 0

@@ -242,3 +242,70 @@ def test_triplets_reference_and_yield_law(spark):
         assert r["neg_source"] != r["anchor_source"]
         assert r["pos_id"] == succ[r["anchor_id"]], r["anchor_id"]
     assert max(per_anchor.values()) <= 3
+
+
+def test_span_corruption_roundtrip_and_reference(spark):
+    """pipe_span_corruption: substituting each sentinel in input_text by
+    its target span reproduces the original word sequence EXACTLY for
+    every doc (the denoising round-trip invariant), and a pure-Python
+    builder reproduces both texts."""
+    import hashlib
+    import re
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_trainprep  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["pipe_span_corruption"](spark, sf).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in t(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    for did, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        if not words:
+            assert did not in rows
+            continue
+        r = rows[did]
+        assert r["n_words"] == len(words)
+
+        # parse target into sentinel -> span words
+        tgt = r["target_text"].split(" ") if r["target_text"] else []
+        spans, cur = {}, None
+        for tok in tgt:
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                cur = m.group(1)
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        # round-trip: expand input sentinels
+        out = []
+        for tok in r["input_text"].split(" "):
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                out.extend(spans[m.group(1)])
+            else:
+                out.append(tok)
+        assert out == words, did
+        assert all(len(s) == 3 for s in spans.values())
+
+        # python reference of the deterministic mask positions
+        inp_ref, tgt_ref = [], []
+        for k in range(0, (len(words) + 19) // 20):
+            ww = words[k * 20 : k * 20 + 20]
+            if len(ww) >= 3:
+                h = int(
+                    hashlib.md5(f"sc#{did}#{k}".encode()).hexdigest()[:13],
+                    16,
+                )
+                o = h % (len(ww) - 2)
+                inp_ref += ww[:o] + [f"<extra_id_{k}>"] + ww[o + 3 :]
+                tgt_ref += [f"<extra_id_{k}>"] + ww[o : o + 3]
+            else:
+                inp_ref += ww
+        assert r["input_text"] == " ".join(inp_ref), did
+        assert r["target_text"] == " ".join(tgt_ref), did
