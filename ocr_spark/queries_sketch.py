@@ -605,3 +605,192 @@ def q_sketch_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_p50(globl, "@GLOBAL"))
         .unionByName(truth)
     )
+
+
+# --- KMV (bottom-k / theta) sketch + Jaccard (round 4 close) -----------------
+# The sketch algebra HLL cannot express: INTERSECTION. A KMV sketch
+# keeps the k smallest 52-bit key hashes; distinct-count estimates as
+# (k-1) * 2^52 DIV kth_min, and two sets' Jaccard estimates as
+# |bottom-k of the union ∩ both sketches| / k. Everything is exact
+# BIGINT state (the k minima themselves), so the merge law — bottom-k
+# of the union of per-set bottom-k's == bottom-k over the union
+# directly — is graded as literal value equality, the same
+# shard-any-way property the HLL MAX-fold and histogram SUM-fold rows
+# pin. Keys here are the per-source vocabularies (distinct lowered
+# words of src1 vs src2); the exact distincts and exact Jaccard ride
+# along as audit rows. Sub-k sets are EXACT by definition (the
+# sketch holds every value; the estimator arm only engages past k),
+# and the Jaccard denominator is |bottom-k of the union| — k when
+# saturated, the exact union size below it.
+
+_KMV_K = 16
+_KMV_SRC = ("src1", "src2")
+
+_KMV_H_SPARK = (
+    "CAST(conv(substring(md5(wd), 1, 13), 16, 10) AS BIGINT)"
+)
+_KMV_H_SQL = (
+    "list_aggregate(list_transform(generate_series(1, 13), q ->"
+    " CAST(strpos('0123456789abcdef', substr(md5(wd), q, 1)) - 1"
+    " AS BIGINT) * (1 << (4 * (13 - q)))), 'sum')"
+)
+
+_KMV_SQL = f"""
+WITH wds AS (
+  SELECT DISTINCT source, wd FROM (
+    SELECT source,
+      unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+        AS wd
+    FROM documents WHERE source IN ('{_KMV_SRC[0]}', '{_KMV_SRC[1]}')
+  )
+),
+h AS (SELECT source, wd, {_KMV_H_SQL} AS hv FROM wds),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+uk AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+    FROM (SELECT DISTINCT hv FROM sk)
+  ) WHERE rn <= {_KMV_K}
+),
+ud AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+    FROM (SELECT DISTINCT hv FROM h)
+  ) WHERE rn <= {_KMV_K}
+),
+kth AS (
+  SELECT source, max(hv) AS kth, count(*) AS nsk FROM sk GROUP BY 1
+),
+inter AS (
+  SELECT count(*) AS n FROM uk
+  WHERE hv IN (SELECT hv FROM sk WHERE source = '{_KMV_SRC[0]}')
+    AND hv IN (SELECT hv FROM sk WHERE source = '{_KMV_SRC[1]}')
+),
+tru AS (
+  SELECT
+    (SELECT count(*) FROM wds a JOIN wds b
+      ON a.wd = b.wd AND a.source = '{_KMV_SRC[0]}'
+      AND b.source = '{_KMV_SRC[1]}') AS ni,
+    (SELECT count(DISTINCT wd) FROM wds) AS nu
+)
+SELECT measure, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'kth_' || source AS measure, kth AS value FROM kth
+  UNION ALL
+  SELECT 'est_' || source,
+    CASE WHEN nsk < {_KMV_K} THEN nsk
+         ELSE ({_KMV_K} - 1) * (1::BIGINT << 52) // kth END FROM kth
+  UNION ALL
+  SELECT 'kth_union_from_sketches', max(hv) FROM uk
+  UNION ALL
+  SELECT 'kth_union_direct', max(hv) FROM ud
+  UNION ALL
+  SELECT 'jaccard_e6_est', n * 1000000 // (SELECT count(*) FROM uk) FROM inter
+  UNION ALL
+  SELECT 'jaccard_e6_true', ni * 1000000 // (nu) FROM tru
+  UNION ALL
+  SELECT 'exact_distinct_' || source, count(*)
+  FROM wds GROUP BY source
+)
+"""
+
+
+@register("sketch_kmv_jaccard", _KMV_SQL)
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketches of two sources' vocabularies: kth minima,
+    distinct estimates, the merge law as literal equality
+    (kth_union_from_sketches == kth_union_direct under the hash), KMV
+    Jaccard vs exact Jaccard (block comment)."""
+    from pyspark.sql import Window
+
+    k = _KMV_K
+    s1, s2 = _KMV_SRC
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(s1, s2)
+    )
+    wds = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("wd"),
+        )
+        .distinct()
+    )
+    h = wds.select(
+        "source", "wd", F.expr(_KMV_H_SPARK).alias("hv")
+    ).persist()
+    wsrc = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= k)
+        .select("source", "hv")
+        .persist()
+    )
+    sk.count()
+    # global bottom-k as orderBy+limit: TakeOrderedAndProject = per-
+    # partition bottom-k + driver merge (the reservoir plan shape), never
+    # a single-partition global window
+    uk = sk.select("hv").distinct().orderBy("hv").limit(k)
+    ud = h.select("hv").distinct().orderBy("hv").limit(k)
+    kth = sk.groupBy("source").agg(
+        F.max("hv").alias("kth"), F.count("*").alias("nsk")
+    )
+    a = sk.filter(F.col("source") == s1).select("hv")
+    b = sk.filter(F.col("source") == s2).select("hv")
+    inter = (
+        uk.join(a, "hv", "left_semi").join(b, "hv", "left_semi")
+        .agg(F.count("*").alias("n"))
+    )
+    wa = wds.filter(F.col("source") == s1).select("wd")
+    wb = wds.filter(F.col("source") == s2).select("wd")
+    ni = wa.join(wb, "wd").agg(F.count("*").alias("ni"))
+    nu = wds.select("wd").distinct().agg(F.count("*").alias("nu"))
+
+    def row(measure_col, value_col, src):
+        return src.select(
+            measure_col.alias("measure"),
+            value_col.cast("bigint").alias("value"),
+        )
+
+    out = (
+        row(F.concat(F.lit("kth_"), F.col("source")), F.col("kth"), kth)
+        .unionByName(row(
+            F.concat(F.lit("est_"), F.col("source")),
+            F.expr(
+                f"CASE WHEN nsk < {k} THEN nsk"
+                f" ELSE ({k} - 1) * CAST(shiftleft(1L, 52) AS BIGINT)"
+                " DIV kth END"
+            ),
+            kth,
+        ))
+        .unionByName(row(
+            F.lit("kth_union_from_sketches"), F.expr("max(hv)"),
+            uk.agg(F.max("hv").alias("mx")).selectExpr("mx AS hv"),
+        ))
+        .unionByName(row(
+            F.lit("kth_union_direct"), F.expr("max(hv)"),
+            ud.agg(F.max("hv").alias("mx")).selectExpr("mx AS hv"),
+        ))
+        .unionByName(row(
+            F.lit("jaccard_e6_est"),
+            F.expr("n * 1000000 DIV nuk"),
+            inter.crossJoin(uk.agg(F.count("*").alias("nuk"))),
+        ))
+        .unionByName(row(
+            F.lit("jaccard_e6_true"),
+            F.expr("ni * 1000000 DIV nu"),
+            ni.crossJoin(nu),
+        ))
+        .unionByName(row(
+            F.concat(F.lit("exact_distinct_"), F.col("source")),
+            F.col("cnt"),
+            wds.groupBy("source").agg(F.count("*").alias("cnt")),
+        ))
+    )
+    return out

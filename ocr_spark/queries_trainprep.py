@@ -405,3 +405,86 @@ def q_pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SC_INPUT).alias("input_text"),
         F.expr(_SC_TARGET).alias("target_text"),
     )
+
+
+# --- fill-in-the-middle (FIM) transform ----------------------------------------------
+# The infilling objective for code/completion models (Bavarian et al.
+# 2022): split each document at two hash-derived word positions into
+# (prefix, middle, suffix) and emit the PSM reordering
+# <fim_prefix> P <fim_suffix> S <fim_middle> M — the model learns to
+# generate the middle given both sides. Cut points c1 <= c2 come from
+# md5("fim{1,2}#doc") % (n_words + 1), so both engines rebuild the
+# exact same example; empty segments are legal (the objective's own
+# edge cases) and the round-trip P+M+S == original is pytest-pinned.
+# One narrow map, like span corruption. (DuckDB gotcha under the
+# hash: array_to_string of an EMPTY list is NULL there, '' in Spark
+# — every oracle-side join is coalesce'd.)
+
+_FIM_H = (
+    "CAST(conv(substring(md5(concat('fim{n}#', CAST(doc_id AS STRING))),"
+    " 1, 13), 16, 10) AS BIGINT)"
+)
+_FIM_H_SQL = (
+    "list_aggregate(list_transform(generate_series(1, 13), q ->"
+    " CAST(strpos('0123456789abcdef', substr(md5('fim{n}#' ||"
+    " CAST(doc_id AS VARCHAR)), q, 1)) - 1 AS BIGINT)"
+    " * (1 << (4 * (13 - q)))), 'sum')"
+)
+
+
+def _fim_sql() -> str:
+    h1 = _FIM_H_SQL.format(n=1)
+    h2 = _FIM_H_SQL.format(n=2)
+    return f"""
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+  '<fim_prefix> ' || coalesce(array_to_string(list_slice(w, 1, c1), ' '), '')
+  || ' <fim_suffix> ' || coalesce(array_to_string(
+       list_slice(w, c2 + 1, len(w)), ' '), '')
+  || ' <fim_middle> ' || coalesce(array_to_string(
+       list_slice(w, c1 + 1, c2), ' '), '') AS psm_text
+FROM (
+  SELECT doc_id, w,
+    least({h1} % (len(w) + 1), {h2} % (len(w) + 1)) AS c1,
+    greatest({h1} % (len(w) + 1), {h2} % (len(w) + 1)) AS c2
+  FROM (SELECT doc_id, {_SC_WORDS_SQL} AS w FROM documents)
+  WHERE len(w) > 0
+)
+"""
+
+
+@register("pipe_fim_transform", _fim_sql())
+def q_pipe_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM/PSM infilling examples with md5-derived cut points (block
+    comment): (doc_id, n_words, c1, c2, psm_text), narrow map."""
+    h1 = _FIM_H.format(n=1)
+    h2 = _FIM_H.format(n=2)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SC_WORDS).alias("w")
+    ).filter(F.expr("size(w) > 0"))
+    cut = d.select(
+        "doc_id",
+        "w",
+        F.expr(
+            f"least({h1} % (size(w) + 1), {h2} % (size(w) + 1))"
+        ).alias("c1"),
+        F.expr(
+            f"greatest({h1} % (size(w) + 1), {h2} % (size(w) + 1))"
+        ).alias("c2"),
+    )
+    return cut.select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_words"),
+        F.col("c1").cast("bigint"),
+        F.col("c2").cast("bigint"),
+        F.expr(
+            "concat('<fim_prefix> ',"
+            " array_join(slice(w, 1, CAST(c1 AS INT)), ' '),"
+            " ' <fim_suffix> ',"
+            " array_join(slice(w, CAST(c2 AS INT) + 1,"
+            "   size(w) - CAST(c2 AS INT)), ' '),"
+            " ' <fim_middle> ',"
+            " array_join(slice(w, CAST(c1 AS INT) + 1,"
+            "   CAST(c2 AS INT) - CAST(c1 AS INT)), ' '))"
+        ).alias("psm_text"),
+    )

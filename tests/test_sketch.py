@@ -346,3 +346,68 @@ def test_hist_clamps_out_of_domain(spark):
     )
     hist = {r.bucket: r.cnt for r in sk.hist_build(df, "x").collect()}
     assert hist == {0: 2, sk.HIST_B - 1: 2}
+
+
+# --- KMV bottom-k sketch -------------------------------------------------------
+
+
+def test_kmv_reference_merge_law_and_error_bound(spark):
+    """sketch_kmv_jaccard: all 10 measures equal a pure-Python hashlib
+    replay; the merge law holds (union-from-sketches kth == direct
+    kth); the KMV distinct estimate lands within 3 standard errors
+    (~1/sqrt(k-2)) of the exact distinct for both sources."""
+    import hashlib
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_sketch  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["measure"]: r["value"]
+        for r in QUERIES["sketch_kmv_jaccard"](spark, sf).collect()
+    }
+
+    vocab = {"src1": set(), "src2": set()}
+    for r in t(spark, sf, "documents").select("source", "text").collect():
+        if r["source"] in vocab:
+            for w in r["text"].lower().split(" "):
+                if w:
+                    vocab[r["source"]].add(w)
+
+    def hv(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:13], 16)
+
+    k = 16
+
+    def est(sk_vals, n_exact):
+        if len(sk_vals) < k:
+            return len(sk_vals)
+        return (k - 1) * (1 << 52) // sk_vals[-1]
+
+    sk = {s: sorted(hv(w) for w in ws)[:k] for s, ws in vocab.items()}
+    uk = sorted(set(sk["src1"]) | set(sk["src2"]))[:k]
+    ud = sorted({hv(w) for ws in vocab.values() for w in ws})[:k]
+    inter = sum(
+        1 for h in uk if h in set(sk["src1"]) and h in set(sk["src2"])
+    )
+    ni = len(vocab["src1"] & vocab["src2"])
+    nu = len(vocab["src1"] | vocab["src2"])
+    want = {
+        "kth_src1": sk["src1"][-1],
+        "kth_src2": sk["src2"][-1],
+        "est_src1": est(sk["src1"], len(vocab["src1"])),
+        "est_src2": est(sk["src2"], len(vocab["src2"])),
+        "kth_union_from_sketches": uk[-1],
+        "kth_union_direct": ud[-1],
+        "jaccard_e6_est": inter * 1_000_000 // len(uk),
+        "jaccard_e6_true": ni * 1_000_000 // nu,
+        "exact_distinct_src1": len(vocab["src1"]),
+        "exact_distinct_src2": len(vocab["src2"]),
+    }
+    assert got == want
+    assert got["kth_union_from_sketches"] == got["kth_union_direct"]
+    for s in ("src1", "src2"):
+        exact = got[f"exact_distinct_{s}"]
+        assert exact > k  # the estimator arm (not the exact arm) fires
+        err = 3 * exact / (k - 2) ** 0.5
+        assert abs(got[f"est_{s}"] - exact) <= err, (s, got[f"est_{s}"], exact)
