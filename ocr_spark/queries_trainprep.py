@@ -488,3 +488,108 @@ def q_pipe_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   CAST(c2 AS INT) - CAST(c1 AS INT)), ' '))"
         ).alias("psm_text"),
     )
+
+
+# --- preference pairs (DPO/RLHF data construction) -----------------------------------
+# Preference-tuning datasets pair a better response with a worse one.
+# Over a corpus the deterministic analogue ranks docs WITHIN EACH SOURCE
+# by an integer quality score and pairs the i-th best with the i-th
+# worst (i <= 5), keeping only pairs with a strictly positive margin.
+# Quality here is the integer e4 stopword-density + length proxy (the
+# text_quality family's arithmetic without its float weights):
+#   q_e4 = hits * 10000 DIV n_words + least(n_chars, 2000)
+# One source-keyed window Exchange; pair construction is a self-join of
+# the two rank columns on (source, i) — rank-bounded, never doc x doc.
+
+_DPO_PAIRS = 5
+
+_DPO_Q_SPARK = (
+    f"CAST(size(filter(split(lower(text), ' '), t -> array_contains("
+    f"{{stops}}, t))) * 10000 AS BIGINT)"
+    " DIV greatest(size(filter(split(text, ' '), x -> x != '')), 1)"
+    " + least(n_chars, 2000L)"
+)
+_DPO_Q_SQL = (
+    "CAST(len(list_filter(string_split(lower(text), ' '),"
+    " t -> list_contains({stops}, t))) * 10000 AS BIGINT)"
+    " // greatest(len(list_filter(string_split(text, ' '),"
+    " x -> x != '')), 1)"
+    " + least(n_chars, 2000)"
+)
+
+
+def _dpo_sql() -> str:
+    from ocr_spark.queries import EN_STOP_SQL
+
+    q = _DPO_Q_SQL.format(stops=EN_STOP_SQL)
+    return f"""
+WITH q AS (
+  SELECT source, doc_id, {q} AS q_e4 FROM documents
+),
+r AS (
+  SELECT source, doc_id, q_e4,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY q_e4 DESC, doc_id) AS rb,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY q_e4 ASC, doc_id DESC) AS rw
+  FROM q
+)
+SELECT b.source, CAST(b.rb AS BIGINT) AS pair_idx,
+  b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+  CAST(b.q_e4 - w.q_e4 AS BIGINT) AS margin_e4
+FROM r b JOIN r w ON w.source = b.source AND w.rw = b.rb
+WHERE b.rb <= {_DPO_PAIRS} AND b.q_e4 > w.q_e4
+"""
+
+
+@register("pipe_dpo_pairs", _dpo_sql())
+def q_pipe_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference pairs per source: i-th best vs i-th worst by the
+    integer quality proxy, strict-margin filter (block comment)."""
+    from pyspark.sql import Window
+
+    from ocr_spark.queries import EN_STOP_SPARK
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr(_DPO_Q_SPARK.format(stops=EN_STOP_SPARK)).alias("q_e4"),
+    )
+    wb = Window.partitionBy("source").orderBy(
+        F.desc("q_e4"), F.asc("doc_id")
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.asc("q_e4"), F.desc("doc_id")
+    )
+    r = d.select(
+        "source", "doc_id", "q_e4",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    b = r.filter(F.col("rb") <= _DPO_PAIRS).select(
+        "source",
+        F.col("rb").alias("pair_idx"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q_e4").alias("qb"),
+    )
+    w = r.select(
+        F.col("source").alias("wsource"),
+        F.col("rw").alias("wrank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q_e4").alias("qw"),
+    )
+    return (
+        b.join(
+            w,
+            (F.col("wsource") == F.col("source"))
+            & (F.col("wrank") == F.col("pair_idx")),
+        )
+        .filter(F.col("qb") > F.col("qw"))
+        .select(
+            "source",
+            F.col("pair_idx").cast("bigint"),
+            "chosen_id",
+            "rejected_id",
+            F.expr("CAST(qb - qw AS BIGINT)").alias("margin_e4"),
+        )
+    )

@@ -218,3 +218,41 @@ def test_resolve_plan_is_map_side(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redirect_resolution_python_replay_and_loop_flags(spark):
+    """web_redirects equals a pure-Python chain walk (with cycle
+    detection); chain nodes land on terminals, planted 7-cycle members
+    flag is_terminal=0 and stay inside the cycle."""
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_weburl  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["node_id"]: (r["final_id"], r["is_terminal"])
+        for r in QUERIES["web_redirects"](spark, sf).collect()
+    }
+    ids = [
+        r["doc_id"]
+        for r in t(spark, sf, "documents").select("doc_id").collect()
+    ]
+    edges = {}
+    for i in ids:
+        edges[i % 80] = i % 80 + 40
+        if i % 31 == 0:
+            edges[200 + i % 7] = 200 + (i % 7 + 1) % 7
+    nodes = set(edges) | set(edges.values())
+    want = {}
+    for n in nodes:
+        cur = n
+        for _ in range(8):  # the 3 doubling rounds cover 8 hops
+            cur = edges.get(cur, cur)
+        want[n] = (cur, 0 if cur in edges else 1)
+    assert got == want
+    loop_nodes = [n for n in nodes if n >= 200]
+    assert loop_nodes
+    for n in loop_nodes:
+        assert got[n][1] == 0 and got[n][0] >= 200
+    for n in nodes:
+        if n < 200:
+            assert got[n][1] == 1 and 80 <= got[n][0] < 120
