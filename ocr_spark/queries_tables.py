@@ -383,3 +383,57 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_c"),
         )
     )
+
+
+# --- branches & tags: write-audit-publish (round 4 close) ---------------------------
+# The WAP workflow end-to-end through the REAL ref machinery: create the
+# table, branch "audit", append staged rows ON THE BRANCH, prove CURRENT
+# isolation (a read before publish sees only the base — emitted as the
+# @PREPUB_N marker row), pin a TAG at the pre-publish version (@TAG_N
+# re-reads through the tag AFTER publish and must still see the base
+# count — tag immutability under the hash), then publish (atomic
+# fast-forward) and emit the final rows. The oracle rebuilds everything
+# from doc_id arithmetic: any isolation leak, ref misresolution or
+# publish error changes a marker or a row.
+
+_WAP_SQL = """
+SELECT doc_id, lang,
+  CASE WHEN doc_id % 3 = 0 THEN 'base' ELSE 'branch' END AS phase
+FROM documents WHERE doc_id % 3 <= 1
+UNION ALL
+SELECT CAST(count(*) AS BIGINT), NULL, '@PREPUB_N'
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(count(*) AS BIGINT), NULL, '@TAG_N'
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@register("table_snap_wap", _WAP_SQL)
+def q_table_snap_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over snapshot branches/tags (block comment)."""
+    from ocr_spark import tables_snapshot as ts
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = d.filter(F.col("doc_id") % 3 == 0)
+    staged = d.filter(F.col("doc_id") % 3 == 1)
+    root = tempfile.mkdtemp(prefix="ocr-spark-wap-") + "/tbl"
+    v1 = ts.create(base, root)
+    ts.create_branch(root, "audit")
+    ts.create_tag(root, "prepub", at=v1)
+    ts.append_branch(staged, root, "audit")
+    prepub_n = ts.read(spark, root).count()  # CURRENT: base only
+    ts.publish_branch(root, "audit")
+    tag_n = ts.read(spark, root, version=ts.tag_version(root, "prepub")).count()
+    final = ts.read(spark, root).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN 'base' ELSE 'branch' END"
+        ).alias("phase"),
+    )
+    markers = spark.createDataFrame(
+        [(prepub_n, None, "@PREPUB_N"), (tag_n, None, "@TAG_N")],
+        "doc_id long, lang string, phase string",
+    )
+    return final.unionByName(markers)

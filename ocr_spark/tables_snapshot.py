@@ -183,7 +183,13 @@ def _commit(
             f"concurrent commit detected at {root}: expected CURRENT"
             f" v{parent}, found v{live}"
         )
-    version = (parent or 0) + 1 if parent is not None else 1
+    # version numbers come from the GLOBAL sequence, not parent+1: branch
+    # commits (append_branch) allocate from the same namespace, and a
+    # mainline commit numbering off its own parent would silently
+    # overwrite a branch-allocated snapshot file (found by the WAP
+    # divergence test). On a linear history the two rules coincide.
+    vs = versions(root)
+    version = (vs[-1] + 1) if vs else 1
     os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
     snap = {
         "version": version,
@@ -651,6 +657,13 @@ def expire(root: str, keep_last: int = 2) -> tuple[int, int]:
     cur = current_version(root)
     if cur is not None:
         keep.add(cur)
+    # ref-pointed snapshots (branch heads, tags) are pinned: expiring a
+    # tag's snapshot would break its reproducibility contract
+    for kind in ("branches", "tags"):
+        d = os.path.join(root, "refs", kind)
+        if os.path.isdir(d):
+            for n in os.listdir(d):
+                keep.add(_read_ref(root, kind, n))
     reachable: set[str] = set()
     for v in keep:
         reachable.update(_read_snapshot(root, v)["files"])
@@ -747,4 +760,126 @@ def history(root: str) -> list[dict]:
                 "ts": s["ts"],
             }
         )
+    return out
+
+
+# --- branches & tags (write-audit-publish) -----------------------------------
+# Named refs over the same snapshot DAG: a TAG is an immutable pointer
+# (reproducibility: "the corpus the model trained on"), a BRANCH is a
+# mutable pointer advanced by branch-scoped commits WITHOUT moving
+# CURRENT — the write-audit-publish pattern: stage data on a branch, run
+# audits against it, then PUBLISH by fast-forwarding CURRENT to the
+# branch head (a single atomic pointer swap; publish refuses when
+# CURRENT diverged past the branch point, the same optimistic-
+# concurrency stance as _commit). Branch commits allocate version
+# numbers from the global sequence (max + 1) so the snapshot namespace
+# never collides across refs; parentage lives in each snapshot's
+# ``parent`` field, so ancestry walks are pointer-file-free.
+
+
+def _ref_path(root: str, kind: str, name: str) -> str:
+    return os.path.join(root, "refs", kind, name)
+
+
+def _write_ref(root: str, kind: str, name: str, version: int) -> None:
+    p = _ref_path(root, kind, name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    _atomic_write(p, f"v{version:08d}\n")
+
+
+def _read_ref(root: str, kind: str, name: str) -> int:
+    try:
+        with open(_ref_path(root, kind, name)) as f:
+            return int(f.read().strip().lstrip("v"))
+    except FileNotFoundError:
+        raise ValueError(f"no {kind[:-1]} named {name!r} at {root}")
+
+
+def create_branch(root: str, name: str, at: int | None = None) -> int:
+    v = at if at is not None else current_version(root)
+    if v is None or v not in versions(root):
+        raise ValueError(f"cannot branch at v{v}: no such snapshot")
+    if os.path.exists(_ref_path(root, "branches", name)):
+        raise ValueError(f"branch {name!r} already exists")
+    _write_ref(root, "branches", name, v)
+    return v
+
+
+def create_tag(root: str, name: str, at: int | None = None) -> int:
+    v = at if at is not None else current_version(root)
+    if v is None or v not in versions(root):
+        raise ValueError(f"cannot tag v{v}: no such snapshot")
+    if os.path.exists(_ref_path(root, "tags", name)):
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+    _write_ref(root, "tags", name, v)
+    return v
+
+
+def branch_head(root: str, name: str) -> int:
+    return _read_ref(root, "branches", name)
+
+
+def tag_version(root: str, name: str) -> int:
+    return _read_ref(root, "tags", name)
+
+
+def _ancestors(root: str, version: int) -> set[int]:
+    out = set()
+    v: int | None = version
+    while v is not None:
+        out.add(v)
+        v = _read_snapshot(root, v).get("parent")
+    return out
+
+
+def append_branch(df: DataFrame, root: str, name: str) -> int:
+    """Append-commit onto a branch: advances refs/branches/<name> only —
+    CURRENT (and every other ref) never sees the rows until publish."""
+    parent = branch_head(root, name)
+    psnap = _read_snapshot(root, parent)
+    version = max(versions(root)) + 1
+    files, stats = _stage_and_move(df, root, version)
+    # OCC on the BRANCH pointer (the _commit discipline, ref-scoped)
+    if branch_head(root, name) != parent:
+        raise ConflictError(
+            f"concurrent branch commit on {name!r} at {root}"
+        )
+    snap = {
+        "version": version,
+        "parent": parent,
+        "op": f"append-branch:{name}",
+        "files": psnap["files"] + files,
+        "schema": psnap["schema"],
+        "stats": {**psnap.get("stats", {}),
+                  **{f: stats.get(f, {}) for f in files}},
+        "defaults": psnap.get("defaults", {}),
+        "ts": datetime.now(timezone.utc).isoformat(),
+    }
+    _atomic_write(_snap_path(root, version), json.dumps(snap, indent=1))
+    _write_ref(root, "branches", name, version)
+    return version
+
+
+def publish_branch(root: str, name: str) -> int:
+    """Fast-forward CURRENT to the branch head. Refuses when CURRENT is
+    not an ancestor of the head (a mainline commit landed after the
+    branch point — rebase/retry, the ConflictError contract)."""
+    head = branch_head(root, name)
+    cur = current_version(root)
+    if cur not in _ancestors(root, head):
+        raise ConflictError(
+            f"publish {name!r}: CURRENT v{cur} diverged from the branch"
+            f" (not an ancestor of head v{head})"
+        )
+    _atomic_write(os.path.join(root, _CURRENT), f"v{head:08d}\n")
+    return head
+
+
+def refs(root: str) -> dict[str, dict[str, int]]:
+    out: dict[str, dict[str, int]] = {"branches": {}, "tags": {}}
+    for kind in out:
+        d = os.path.join(root, "refs", kind)
+        if os.path.isdir(d):
+            for n in sorted(os.listdir(d)):
+                out[kind][n] = _read_ref(root, kind, n)
     return out

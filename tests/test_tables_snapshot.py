@@ -593,3 +593,81 @@ def test_changes_across_schema_evolution_uses_target_schema(spark, root):
     # and diffing from v0-equivalent (v1) to v2 (the metadata-only
     # evolution) is empty: no files changed
     assert snap.changes(spark, root, 1, to_version=2).count() == 0
+
+
+# --- branches & tags (write-audit-publish) -----------------------------------
+
+
+def test_wap_branch_isolation_publish_and_tag(spark, tmp_path):
+    """Branch commits are invisible to CURRENT until publish; publish
+    fast-forwards atomically; tags are immutable pointers that keep
+    reading their version after publish."""
+    import pytest as _pytest
+
+    from ocr_spark import tables_snapshot as ts
+
+    root = str(tmp_path / "t")
+    base = spark.range(0, 10).selectExpr("id AS doc_id")
+    v1 = ts.create(base, root)
+    ts.create_tag(root, "rel", at=v1)
+    ts.create_branch(root, "audit")
+    ts.append_branch(
+        spark.range(100, 105).selectExpr("id AS doc_id"), root, "audit"
+    )
+    # isolation: CURRENT still v1
+    assert ts.read(spark, root).count() == 10
+    assert ts.branch_head(root, "audit") != v1
+    # second branch commit stacks
+    ts.append_branch(
+        spark.range(200, 202).selectExpr("id AS doc_id"), root, "audit"
+    )
+    ts.publish_branch(root, "audit")
+    assert ts.read(spark, root).count() == 17
+    # tag still reads v1 after publish
+    assert ts.read(
+        spark, root, version=ts.tag_version(root, "rel")
+    ).count() == 10
+    # tags are immutable
+    with _pytest.raises(ValueError):
+        ts.create_tag(root, "rel")
+
+
+def test_wap_publish_conflict_on_divergence(spark, tmp_path):
+    """A mainline commit after the branch point makes publish refuse
+    (CURRENT no longer an ancestor of the branch head)."""
+    import pytest as _pytest
+
+    from ocr_spark import tables_snapshot as ts
+
+    root = str(tmp_path / "t")
+    ts.create(spark.range(0, 5).selectExpr("id AS doc_id"), root)
+    ts.create_branch(root, "b")
+    ts.append_branch(
+        spark.range(10, 12).selectExpr("id AS doc_id"), root, "b"
+    )
+    ts.append(spark.range(20, 23).selectExpr("id AS doc_id"), root)
+    with _pytest.raises(ts.ConflictError):
+        ts.publish_branch(root, "b")
+    # mainline is intact and readable
+    assert ts.read(spark, root).count() == 8
+
+
+def test_expire_keeps_ref_pinned_snapshots(spark, tmp_path):
+    """expire never drops a snapshot a tag or branch head points to —
+    the reproducibility contract of refs."""
+    from ocr_spark import tables_snapshot as ts
+
+    root = str(tmp_path / "t")
+    v1 = ts.create(spark.range(0, 4).selectExpr("id AS doc_id"), root)
+    ts.create_tag(root, "first", at=v1)
+    for k in range(4):
+        ts.append(
+            spark.range(10 * k, 10 * k + 2).selectExpr("id AS doc_id"),
+            root,
+        )
+    dropped, _deleted = ts.expire(root, keep_last=1)
+    assert dropped > 0
+    # the tagged snapshot survived and still reads
+    assert ts.read(
+        spark, root, version=ts.tag_version(root, "first")
+    ).count() == 4
