@@ -1540,3 +1540,57 @@ def mp4_features(
             )
 
     return df.mapInPandas(fn, _MP4_FEAT_SCHEMA)
+
+
+TILE_GRID = 3  # ViT-style patch grid for bmp_tiles
+
+
+def bmp_tiles(
+    df: DataFrame,
+    grid: int = TILE_GRID,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """binary BMP payload -> one row per grid tile (the ViT-style
+    patching step of an image-training pipeline): tile (i, j) covers
+    pixel rows [i*h//g, (i+1)*h//g) x cols [j*w//g, (j+1)*w//g) —
+    exact integer boundaries, every pixel in exactly one tile — with
+    per-tile dimensions and exact channel sums. Arrow-batched over the
+    real decoder like the other media operators; malformed payloads
+    yield a single ok=false row (tile_r = tile_c = -1)."""
+    g = grid
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_bmp(p)
+                if px is None:
+                    rows.append(
+                        (i, False, -1, -1, None, None, None, None, None)
+                    )
+                    continue
+                h, w, _ = px.shape
+                for ti in range(g):
+                    r0, r1 = ti * h // g, (ti + 1) * h // g
+                    for tj in range(g):
+                        c0, c1 = tj * w // g, (tj + 1) * w // g
+                        tile = px[r0:r1, c0:c1].astype(np.int64)
+                        s = tile.reshape(-1, 3).sum(axis=0)
+                        rows.append((
+                            i, True, ti, tj, r1 - r0, c1 - c0,
+                            int(s[0]), int(s[1]), int(s[2]),
+                        ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "tile_r", "tile_c", "th", "tw",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.mapInPandas(
+        fn,
+        f"{id_col} bigint, ok boolean, tile_r int, tile_c int,"
+        " th int, tw int, sum_r bigint, sum_g bigint, sum_b bigint",
+    )

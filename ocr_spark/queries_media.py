@@ -962,3 +962,42 @@ def q_mm_sniff_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import image_sniff_features
 
     return image_sniff_features(_payloads(spark, sf_dir, synth_image_all))
+
+
+# --- ViT-style tile/patch extraction (round 4 close) ---------------------------------
+# The patching step between image decode and an encoder: each image
+# splits into a 3x3 grid of tiles at exact integer boundaries (every
+# pixel in exactly one tile), one row per tile with exact channel sums.
+# Runs through the REAL BMP decoder; the oracle recomputes every tile
+# sum from the gradient synth formulas over the tile's row/col ranges —
+# a boundary error in the patching shifts a sum and breaks the hash.
+
+_TILES_ORACLE = f"""
+WITH {_BMP_P_SQL},
+g AS (
+  SELECT p.*, ti, tj,
+    (ti * h) // 3 AS r0, ((ti + 1) * h) // 3 AS r1,
+    (tj * w) // 3 AS c0, ((tj + 1) * w) // 3 AS c1
+  FROM p, generate_series(0, 2) AS a(ti), generate_series(0, 2) AS b(tj)
+)
+SELECT doc_id, true AS ok,
+  CAST(ti AS INT) AS tile_r, CAST(tj AS INT) AS tile_c,
+  CAST(r1 - r0 AS INT) AS th, CAST(c1 - c0 AS INT) AS tw,
+  (c1 - c0) * list_sum(list_transform(range(r0, r1), r ->
+    (br + r) % 256)) AS sum_r,
+  (r1 - r0) * list_sum(list_transform(range(c0, c1), c ->
+    (bg + c) % 256)) AS sum_g,
+  list_sum(list_transform(range(r0, r1), r ->
+    list_sum(list_transform(range(c0, c1), c ->
+      (bb + r + c) % 256)))) AS sum_b
+FROM g
+"""
+
+
+@register("mm_image_tiles", _TILES_ORACLE)
+def q_mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 tile grid per image through the real BMP decoder: exact
+    integer boundaries, per-tile channel sums (block comment)."""
+    from ocr_spark.operators.media import bmp_tiles
+
+    return bmp_tiles(_payloads(spark, sf_dir, synth_bmp))

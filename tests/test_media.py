@@ -359,3 +359,40 @@ def test_phash_malformed_and_duplicate_payloads():
     assert pdf.iloc[0]["phash_lo"] == pdf.iloc[1]["phash_lo"]
     assert pdf.iloc[0]["phash_hi"] == pdf.iloc[1]["phash_hi"]
     assert pdf.iloc[0]["phash_lo"] != 0 or pdf.iloc[0]["phash_hi"] != 0
+
+
+def test_bmp_tiles_partition_the_image(spark):
+    """bmp_tiles: tiles partition every image exactly — per-channel tile
+    sums add up to bmp_features' whole-image sums, tile dims tile the
+    (h, w) rectangle — and a malformed payload yields one ok=false row."""
+    from collections import defaultdict
+
+    from ocr_spark.operators.media import bmp_features, bmp_tiles
+    from ocr_spark.queries_media import _payloads, synth_bmp
+
+    sf = "/root/testdata/sf0.001"
+    pay = _payloads(spark, sf, synth_bmp)
+    whole = {
+        r["doc_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in bmp_features(pay).collect()
+    }
+    sums = defaultdict(lambda: [0, 0, 0])
+    dims = defaultdict(lambda: [0, 0])
+    for r in bmp_tiles(pay).collect():
+        assert r["ok"]
+        s = sums[r["doc_id"]]
+        s[0] += r["sum_r"]; s[1] += r["sum_g"]; s[2] += r["sum_b"]
+        if r["tile_c"] == 0:
+            dims[r["doc_id"]][0] += r["th"]
+        if r["tile_r"] == 0:
+            dims[r["doc_id"]][1] += r["tw"]
+    for did, (w, h, sr, sg, sb) in whole.items():
+        assert sums[did] == [sr, sg, sb], did
+        assert dims[did] == [h, w], did
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"nope"))], "doc_id long, payload binary"
+    )
+    rows = bmp_tiles(bad).collect()
+    assert len(rows) == 1 and not rows[0]["ok"]
+    assert rows[0]["tile_r"] == -1
