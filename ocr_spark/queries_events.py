@@ -1225,3 +1225,90 @@ def q_events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint"),
         F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_e6"),
     )
+
+
+# --- multi-touch attribution -------------------------------------------------
+# Marketing's join: every purchase attributed to the view/click touches
+# by the same user in the trailing 24h. The join is user-equi-keyed with
+# the time window as a residual (the join_range discipline — never a
+# pure non-equi BNLJ); per purchase, touches get the linear share
+# 1e6 DIV n (floored, deterministic) and the (ts, event_id)-latest
+# touch flags last_touch — the two attribution models read from one
+# relation. Microsecond BIGINT time math throughout.
+
+_ATTR_WINDOW_US = 86_400_000_000  # 24 h
+
+_ATTR_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+),
+tc AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+    epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.purchase_id, tc.touch_id, tc.touch_type, tc.tus
+  FROM p JOIN tc ON tc.user_id = p.user_id
+    AND tc.tus <= p.pus AND tc.tus > p.pus - {_ATTR_WINDOW_US}
+),
+r AS (
+  SELECT purchase_id, touch_id, touch_type,
+    count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+    row_number() OVER (PARTITION BY purchase_id
+                       ORDER BY tus DESC, touch_id DESC) AS rn
+  FROM j
+)
+SELECT purchase_id, touch_id, touch_type,
+  CAST(n_touches AS BIGINT) AS n_touches,
+  CAST(1000000 // n_touches AS BIGINT) AS share_e6,
+  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS last_touch
+FROM r
+"""
+
+
+@register("events_attribution", _ATTR_SQL)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear + last-touch attribution in one relation (block comment):
+    user-equi join with a 24h residual, one purchase-keyed window."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts AS TIMESTAMP))"
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puser"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr(us).alias("pus"),
+    )
+    tc = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.expr(us).alias("tus"),
+    )
+    j = p.join(
+        tc,
+        (F.col("user_id") == F.col("puser"))
+        & (F.col("tus") <= F.col("pus"))
+        & (F.col("tus") > F.col("pus") - _ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("purchase_id")
+    wr = w.orderBy(F.desc("tus"), F.desc("touch_id"))
+    r = j.select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        F.count("*").over(w).alias("n_touches"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return r.select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        F.col("n_touches").cast("bigint"),
+        F.expr("CAST(1000000 DIV n_touches AS BIGINT)").alias("share_e6"),
+        F.expr(
+            "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("last_touch"),
+    )

@@ -290,3 +290,52 @@ def test_path_analysis_python_reference(spark):
         k: (n, n * 1_000_000 // tot[k[0]]) for k, n in tr.items()
     }
     assert got == want
+
+
+def test_attribution_python_reference(spark):
+    """events_attribution equals a pure-Python replay: 24h trailing
+    touch windows per purchase, floored linear shares, latest-touch
+    flag with (ts, event_id) tie-break."""
+    from collections import defaultdict
+    from datetime import timezone
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["purchase_id"], r["touch_id"]): (
+            r["touch_type"], r["n_touches"], r["share_e6"], r["last_touch"]
+        )
+        for r in QUERIES["events_attribution"](spark, sf).collect()
+    }
+    by_user = defaultdict(lambda: {"p": [], "t": []})
+    for r in t(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect():
+        us = int(
+            r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+        if r["event_type"] == "purchase":
+            by_user[r["user_id"]]["p"].append((r["event_id"], us))
+        elif r["event_type"] in ("view", "click"):
+            by_user[r["user_id"]]["t"].append(
+                (r["event_id"], us, r["event_type"])
+            )
+    want = {}
+    for u, d in by_user.items():
+        for pid, pus in d["p"]:
+            touches = [
+                (tid, tus, ty)
+                for tid, tus, ty in d["t"]
+                if tus <= pus and tus > pus - 86_400_000_000
+            ]
+            if not touches:
+                continue
+            n = len(touches)
+            last = max(touches, key=lambda x: (x[1], x[0]))[0]
+            for tid, _tus, ty in touches:
+                want[(pid, tid)] = (
+                    ty, n, 1_000_000 // n, 1 if tid == last else 0
+                )
+    assert got == want
