@@ -179,6 +179,17 @@ HEADLINE = [
     "join_bucketed",        # scale: co-located bucketed join (write + join)
     "stream_reservoir",     # streaming: exactly-once K-bounded reservoir fold
     "tokenizer_unigram_vocab",  # training-data: unigram-LM Viterbi-EM trainer
+    # session-5 round-4 additions, batch 2
+    "scan_json_corrupt",    # connector: PERMISSIVE JSON quarantine semantics
+    "events_path_analysis",  # analytics: Markov transition matrix
+    "pipe_span_corruption",  # training prep: T5 denoising examples (narrow map)
+    "pipe_fim_transform",   # training prep: FIM/PSM infilling examples
+    "sketch_kmv_jaccard",   # scale: bottom-k sketch + Jaccard (TakeOrdered)
+    "pipe_dpo_pairs",       # training prep: preference pairs by quality rank
+    "web_redirects",        # webtext: redirect chains by pointer doubling
+    "table_snap_wap",       # warehouse: branch/tag write-audit-publish
+    "mm_image_tiles",       # multimodal: ViT-style 3x3 patching (real decode)
+    "events_attribution",   # analytics: linear + last-touch attribution
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

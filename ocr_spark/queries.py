@@ -888,7 +888,18 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_forecast_naive (seasonal-naive backtest), events_ab_test,
 # events_cohort_ltv (cohort LTV curve), graph_ppr (personalized
 # PageRank, seed-scoped teleport), join_bucketed (the co-located
-# bucketed join under the value hash end-to-end) —
+# bucketed join under the value hash end-to-end), scan_json_corrupt
+# (PERMISSIVE JSON quarantine: class-specific whole-row vs field-level
+# null semantics), events_path_analysis (Markov transition matrix),
+# pipe_span_corruption + pipe_fim_transform (T5 denoising + FIM/PSM
+# infilling example builders, round-trip pinned), sketch_kmv_jaccard
+# (bottom-k/theta sketch: merge law as literal kth equality, KMV
+# Jaccard), pipe_dpo_pairs (preference pairs by quality rank),
+# web_redirects (pointer-doubling redirect resolution + cycle flags),
+# table_snap_wap (branch/tag write-audit-publish on the snapshot
+# layer), mm_image_tiles (ViT-style patching through the real BMP
+# decode), events_attribution (linear + last-touch in one relation),
+# events_cohort_ltv and events_forecast_naive siblings as listed above —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

@@ -851,6 +851,35 @@ def main() -> None:
         tree_of(q["pipe_triplets"](spark, sf), max_lines=24),
     ))
 
+    sections.append((
+        "sketch_kmv_jaccard (round 4 close — bottom-k sketch)",
+        "Both global bottom-k computations (union-from-sketches and "
+        "direct) are orderBy+limit = TakeOrderedAndProject — "
+        "per-partition bottom-k + driver merge, never a single-partition "
+        "global window; the per-source sketches are bounded windows over "
+        "source partitions. The merge law is graded as literal kth-value "
+        "equality in the output rows.",
+        tree_of(q["sketch_kmv_jaccard"](spark, sf), max_lines=26),
+    ))
+
+    sections.append((
+        "web_redirects (round 4 close — pointer doubling)",
+        "Redirect chains resolve in 3 self-joins of the (node, cur) "
+        "relation — 2^3 hops in log steps (the span_offsets trick), so "
+        "an 8-hop chain costs 3 shuffles instead of 8 and cycle members "
+        "are flagged instead of iterated forever.",
+        tree_of(q["web_redirects"](spark, sf), max_lines=24),
+    ))
+
+    sections.append((
+        "events_attribution (round 4 close — touch windows)",
+        "Purchases join touches USER-equi-keyed with the 24h window as a "
+        "join residual (the join_range discipline — a pure time-window "
+        "join would plan BNLJ); one purchase-keyed window then serves "
+        "both attribution models.",
+        tree_of(q["events_attribution"](spark, sf), max_lines=22),
+    ))
+
     out = ["""# PLANS — audited physical plans (SURVEY.md §4)
 
 Generated by `python scripts/plan_audit.py` on local[8]; the claims below are
