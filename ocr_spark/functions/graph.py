@@ -445,38 +445,52 @@ def personalized_pagerank(
     only seeds, and dangling mass redistributes uniformly over the
     seeds. Per round: one contribution shuffle + one 1-row dangling-mass
     broadcast — identical cost shape to the global walk."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    ow = e.groupBy("src").agg(F.count("*").cast("bigint").alias("ow"))
-    ed = (
-        e.join(ow, "src")
+    # repartition FIRST, dedupe second: hashpartitioning(src) satisfies
+    # the dedup's (src, dst) clustering requirement, so the distinct
+    # runs in place on the repartitioned data — one shuffle instead of
+    # the stacked distinct-then-repartition pair (measured ~2s of the
+    # sf0.1 setup)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
         .repartition("src")
+        .dropDuplicates()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # out-degrees attach to the |V|-sized RANK relation per round, never
+    # to the edge relation: gluing ow onto edges costs an extra
+    # edge-sized join + shuffle + persist at setup (measured ~40% of the
+    # whole walk at sf0.1), while ranks ⋈ ow is tiny every round
+    ow = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("ow"))
+        .withColumnRenamed("src", "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # is_seed is FUSED into the node relation once — the round-4 close
+    # profile showed a per-round sd join costing ~40% of the walk; the
+    # per-round plan is now one contrib join + one 1-row broadcast, the
+    # same shape as the global walk
+    sd0 = seeds.select(F.col(node_col).alias("node")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(sd0.withColumn("is_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
         .repartition("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes.count()
-    sd = (
-        seeds.select(F.col(node_col).alias("node"))
-        .distinct()
-        .join(nodes, "node")  # seeds outside the graph carry no mass
-        .withColumn("is_seed", F.lit(1))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_seeds = sd.count()
+    n_seeds = nodes.filter(F.col("is_seed") == 1).count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: empty seed set")
-    dangling = nodes.join(
-        ow.select(F.col("src").alias("node")), "node", "left_anti"
+    dangling = nodes.select("node").join(
+        ow.select("node"), "node", "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = nodes.join(sd, "node", "left").select(
+    ranks = nodes.select(
         "node",
+        "is_seed",
         F.expr(
             "CAST(CASE WHEN is_seed = 1 THEN 1000000 ELSE 0 END"
             " AS BIGINT)"
@@ -487,20 +501,26 @@ def personalized_pagerank(
         dm = ranks.join(dangling, "node").agg(
             F.coalesce(F.sum("r"), F.lit(0)).alias("dm")
         )
+        renr = ranks.join(ow, "node").select(
+            F.col("node").alias("rnode"), F.expr("r div ow").alias("c")
+        )
+        # the rank side is |V|-tiny — broadcast it EXPLICITLY: left to
+        # AQE, the (sub-10MB at driver SFs) edge relation wins the
+        # build side and gets re-broadcast every round; at corpus scale
+        # edges never fit a broadcast and ranks always do, so the
+        # explicit hint is also the only plan that survives 100x
         contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(
-                ed["dst"].alias("node"), F.expr("r div ow").alias("c")
-            )
+            e.join(F.broadcast(renr), e["src"] == renr["rnode"])
+            .select(e["dst"].alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
             nodes.join(contrib, "node", "left")
-            .join(sd, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select(
                 "node",
+                "is_seed",
                 F.expr(
                     f"CAST(CASE WHEN is_seed = 1 THEN {teleport_e6}"
                     " ELSE 0 END"
@@ -518,6 +538,6 @@ def personalized_pagerank(
         prev = ranks
     out = ranks.select("node", F.col("r").alias("rank_e6"))
     out = out.localCheckpoint(eager=True)
-    for df in (ed, nodes, sd, dangling, ranks):
+    for df in (e, ow, nodes, dangling, ranks):
         df.unpersist()
     return out

@@ -1312,3 +1312,85 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("last_touch"),
     )
+
+
+# --- RFM segmentation --------------------------------------------------------
+# The classic customer-value grid: every user scored 1..4 on Recency
+# (latest event), Frequency (event count) and Monetary (purchase cents),
+# each by ntile quartile over a unique order, concatenated into the RFM
+# segment code. One user rollup shuffle + three 4-bucket windows over
+# the |users|-sized relation.
+
+_RFM_SQL = """
+WITH u AS (
+  SELECT user_id,
+    max(epoch_us(ts)) AS last_us,
+    count(*) AS freq,
+    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT)
+      AS spend_c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT user_id, last_us, freq, spend_c,
+    ntile(4) OVER (ORDER BY last_us, user_id) AS r_score,
+    ntile(4) OVER (ORDER BY freq, user_id) AS f_score,
+    ntile(4) OVER (ORDER BY spend_c, user_id) AS m_score
+  FROM u
+)
+SELECT user_id, CAST(freq AS BIGINT) AS freq, spend_c,
+  CAST(r_score AS BIGINT) AS r_score,
+  CAST(f_score AS BIGINT) AS f_score,
+  CAST(m_score AS BIGINT) AS m_score,
+  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+    || CAST(m_score AS VARCHAR) AS segment
+FROM s
+"""
+
+
+@register("events_rfm", _RFM_SQL)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation per user (block comment). The three
+    ntile windows are global over the USER relation (|users| rows, not
+    |events|) — at 10^12 events the rollup shuffle is the only
+    event-sized exchange; quartiling a billion users would swap the
+    global ntile for a quantile-sketch cut, noted here as the scale
+    knob."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr("max(unix_micros(cast(ts AS TIMESTAMP)))").alias("last_us"),
+        F.count("*").alias("freq"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(round(value * 100, 0) AS BIGINT) END), 0)"
+            " AS BIGINT)"
+        ).alias("spend_c"),
+    )
+    s = u.select(
+        "user_id",
+        "freq",
+        "spend_c",
+        F.ntile(4).over(Window.orderBy("last_us", "user_id")).alias(
+            "r_score"
+        ),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias(
+            "f_score"
+        ),
+        F.ntile(4).over(Window.orderBy("spend_c", "user_id")).alias(
+            "m_score"
+        ),
+    )
+    return s.select(
+        "user_id",
+        F.col("freq").cast("bigint"),
+        "spend_c",
+        F.col("r_score").cast("bigint"),
+        F.col("f_score").cast("bigint"),
+        F.col("m_score").cast("bigint"),
+        F.expr(
+            "concat(CAST(r_score AS STRING), CAST(f_score AS STRING),"
+            " CAST(m_score AS STRING))"
+        ).alias("segment"),
+    )

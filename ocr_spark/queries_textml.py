@@ -1654,3 +1654,92 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("band", F.expr(_READ_BAND))
     )
+
+
+# --- lexicon sentiment scoring (round 4 close) ----------------------------------------
+# AFINN-style integer sentiment: each word carries a -5..5 valence from
+# a frozen lexicon; a document's score is the sum, its normalized score
+# the e4 per-word average, its label a thresholded verdict. Sentiment
+# words are INJECTED deterministically by doc_id arithmetic (the C4
+# synthesis pattern) so every valence arm and both label polarities
+# fire over the synthetic corpus; division runs on NON-NEGATIVE
+# operands only (sign factored out — both engines truncate toward
+# zero today, but the determinism contract here never leans on
+# negative-division semantics); the lexicon lives as a foldable map
+# literal, the lookup is one element_at per word — a narrow map filter
+# signal like readability.
+
+_SENT_LEX = {
+    "good": 3, "great": 3, "excellent": 5, "amazing": 4, "love": 3,
+    "happy": 3, "best": 3, "wonderful": 4, "perfect": 5, "nice": 2,
+    "bad": -3, "terrible": -5, "awful": -4, "hate": -3, "worst": -3,
+    "poor": -2, "horrible": -5, "sad": -2, "broken": -2, "wrong": -2,
+}
+
+_SENT_MAP_SPARK = "map(" + ", ".join(
+    f"'{w}', {v}" for w, v in sorted(_SENT_LEX.items())
+) + ")"
+_SENT_INJECT_SPARK = """
+concat(filter(split(lower(text), ' '), x -> x != ''),
+  element_at(array(
+    array('good', 'great'), array('bad'),
+    array('terrible', 'awful'), array('excellent'),
+    CAST(array() AS ARRAY<STRING>)
+  ), CAST(doc_id % 5 AS INT) + 1))
+"""
+
+_SENT_CASE_SQL = "CASE " + " ".join(
+    f"WHEN x = '{w}' THEN {v}" for w, v in sorted(_SENT_LEX.items())
+) + " ELSE 0 END"
+_SENT_INJECT_SQL = """
+list_concat(list_filter(string_split(lower(text), ' '), x -> x != ''),
+  list_extract([
+    ['good', 'great'], ['bad'], ['terrible', 'awful'], ['excellent'],
+    []
+  ], CAST(doc_id % 5 AS INT) + 1))
+"""
+
+_SENT_SQL = f"""
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+  CAST(score AS BIGINT) AS score,
+  CAST(CASE WHEN score < 0 THEN -((-score) * 10000 // len(w))
+       ELSE score * 10000 // len(w) END AS BIGINT) AS per_word_e4,
+  CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg'
+       ELSE 'neu' END AS label
+FROM (
+  SELECT doc_id, w,
+    list_sum(list_transform(w, x -> {_SENT_CASE_SQL})) AS score
+  FROM (SELECT doc_id, {_SENT_INJECT_SQL} AS w FROM documents)
+) WHERE len(w) > 0
+"""
+
+
+@register("text_sentiment", _SENT_SQL)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer lexicon sentiment per doc: valence sum, e4 per-word
+    average, thresholded label (block comment)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SENT_INJECT_SPARK).alias("w")
+    ).filter(F.expr("size(w) > 0"))
+    s = d.select(
+        "doc_id",
+        "w",
+        F.expr(
+            "aggregate(w, CAST(0 AS BIGINT), (s, x) -> s +"
+            f" coalesce(element_at({_SENT_MAP_SPARK}, x), 0))"
+        ).alias("score"),
+    )
+    return s.select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_words"),
+        F.col("score").cast("bigint"),
+        F.expr(
+            "CAST(CASE WHEN score < 0 THEN"
+            " -((-score) * 10000 DIV size(w))"
+            " ELSE score * 10000 DIV size(w) END AS BIGINT)"
+        ).alias("per_word_e4"),
+        F.expr(
+            "CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg'"
+            " ELSE 'neu' END"
+        ).alias("label"),
+    )

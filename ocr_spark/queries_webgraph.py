@@ -1666,14 +1666,78 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.graph import personalized_pagerank
 
     li = t(spark, sf_dir, "lineitem")
+    # RAW projected edges — personalized_pagerank dedupes once, in
+    # place on its src-partitioned cache (a caller-side distinct here
+    # would add a full extra shuffle of the edge relation)
     e = li.select(
         F.col("l_partkey").cast("bigint").alias("src"),
         (F.col("l_suppkey") + _PR_SUPP_OFFSET).cast("bigint").alias("dst"),
-    ).distinct()
+    )
     seeds = e.filter(F.col("src") % 97 == 0).select(
         F.col("src").alias("node")
     )
     out = personalized_pagerank(e, seeds, iters=_PPR_ITERS)
     return out.select(
         F.col("node").cast("bigint").alias("node_id"), "rank_e6"
+    )
+
+
+# --- quality-model calibration (round 4 close) ---------------------------------------
+# The ML-eval step after quality_lr_score: bucket the model's e6
+# probabilities into deciles and compare each bucket's MEAN PREDICTED
+# probability with its OBSERVED positive rate — the reliability diagram
+# (Niculescu-Mizil & Caruana 2005) as integer rows. Everything is
+# BIGINT: bucket = p_e6 * 10 DIV 1000001 (0..9), mean prediction and
+# observed rate are e6 floor divisions of exact sums. One aggregation
+# over the scored relation; the oracle replays training + scoring +
+# bucketing end-to-end through the same chained CTEs as the lr rows.
+
+def _lr_calibration_oracle(b: int = LR_B, iters: int = LR_ITERS) -> str:
+    steps = ",".join(_lr_step_sql(k) for k in range(iters))
+    k = iters
+    return f"""
+WITH {_lr_feats_sql(b).strip()},
+{steps},
+zf AS (
+  SELECT f.doc_id, f.y, coalesce(sum(w.w), 0) AS z
+  FROM f LEFT JOIN w{k} w ON w.j = f.j
+  GROUP BY f.doc_id, f.y
+),
+scored AS (SELECT doc_id, {_LR_P_SQL} AS p_e6, y FROM zf)
+SELECT CAST(p_e6 * 10 // 1000001 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(p_e6) // count(*) AS BIGINT) AS mean_pred_e6,
+  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS obs_rate_e6
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("quality_lr_calibration", _lr_calibration_oracle())
+def q_quality_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained LR quality filter: decile
+    buckets of the e6 probability, mean predicted vs observed positive
+    rate per bucket, all BIGINT (block comment)."""
+    feats, w = _lr_train(spark, sf_dir)
+    z = (
+        feats.join(F.broadcast(w), "j", "left")
+        .groupBy("doc_id", "y")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("z"))
+    )
+    scored = z.select(
+        "doc_id", F.expr(_LR_P_SQL).alias("p_e6"), "y"
+    )
+    return (
+        scored.groupBy(
+            F.expr("CAST(p_e6 * 10 DIV 1000001 AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("CAST(sum(p_e6) DIV count(*) AS BIGINT)").alias(
+                "mean_pred_e6"
+            ),
+            F.expr(
+                "CAST(sum(y) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("obs_rate_e6"),
+        )
     )

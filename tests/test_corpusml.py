@@ -826,3 +826,55 @@ def test_readability_python_reference(spark):
         assert (
             got["nw"], got["ns"], got["ny"], got["score_e3"], got["band"]
         ) == (nw, ns, ny, score, band), r["doc_id"]
+
+
+def test_sentiment_python_reference_and_polarities(spark):
+    """text_sentiment equals a Python lexicon replay over the injected
+    word lists; all three labels fire at the oracle SF."""
+    from ocr_spark.queries import QUERIES, t
+    from ocr_spark.queries_textml import _SENT_LEX
+    import ocr_spark.queries_textml  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: (r["n_words"], r["score"], r["per_word_e4"], r["label"])
+        for r in QUERIES["text_sentiment"](spark, sf).collect()
+    }
+    inject = [["good", "great"], ["bad"], ["terrible", "awful"],
+              ["excellent"], []]
+    labels = set()
+    for r in t(spark, sf, "documents").select("doc_id", "text").collect():
+        words = [w for w in r["text"].lower().split(" ") if w]
+        words += inject[r["doc_id"] % 5]
+        if not words:
+            continue
+        score = sum(_SENT_LEX.get(w, 0) for w in words)
+        n = len(words)
+        pw = -((-score) * 10000 // n) if score < 0 else score * 10000 // n
+        label = "pos" if score > 0 else "neg" if score < 0 else "neu"
+        labels.add(label)
+        assert got[r["doc_id"]] == (n, score, pw, label), r["doc_id"]
+    assert labels == {"pos", "neg", "neu"}
+
+
+def test_lr_calibration_consistency(spark):
+    """quality_lr_calibration: buckets partition the scored docs, the
+    mean predicted probability is monotone across buckets, and counts
+    sum to the scored-relation size."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_webgraph  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        QUERIES["quality_lr_calibration"](spark, sf).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    n_scored = QUERIES["quality_lr_score"](spark, sf).count()
+    assert sum(r["n"] for r in rows) == n_scored
+    preds = [r["mean_pred_e6"] for r in rows]
+    assert preds == sorted(preds)
+    for r in rows:
+        assert 0 <= r["obs_rate_e6"] <= 1_000_000
+        lo, hi = r["bucket"] * 100_000, (r["bucket"] + 1) * 100_000
+        assert lo <= r["mean_pred_e6"] <= hi + 1

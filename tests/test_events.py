@@ -339,3 +339,53 @@ def test_attribution_python_reference(spark):
                     ty, n, 1_000_000 // n, 1 if tid == last else 0
                 )
     assert got == want
+
+
+def test_rfm_python_reference(spark):
+    """events_rfm equals a pure-Python ntile replay over the user
+    rollup (SQL ntile: first n % 4 buckets get the extra row)."""
+    from collections import defaultdict
+    from datetime import timezone
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["user_id"]: (
+            r["freq"], r["spend_c"], r["r_score"], r["f_score"],
+            r["m_score"], r["segment"],
+        )
+        for r in QUERIES["events_rfm"](spark, sf).collect()
+    }
+    u = defaultdict(lambda: [0, 0, 0])  # last_us, freq, spend
+    for r in t(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect():
+        us = int(
+            r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+        a = u[r["user_id"]]
+        a[0] = max(a[0], us)
+        a[1] += 1
+        if r["event_type"] == "purchase":
+            a[2] += int(round(r["value"] * 100))
+
+    def ntiles(keyed):
+        n = len(keyed)
+        base, extra = divmod(n, 4)
+        out = {}
+        i = 0
+        for b in range(4):
+            size = base + (1 if b < extra else 0)
+            for _ in range(size):
+                out[keyed[i][1]] = b + 1
+                i += 1
+        return out
+
+    rs = ntiles(sorted((v[0], k) for k, v in u.items()))
+    fs = ntiles(sorted((v[1], k) for k, v in u.items()))
+    ms = ntiles(sorted((v[2], k) for k, v in u.items()))
+    for k, v in u.items():
+        seg = f"{rs[k]}{fs[k]}{ms[k]}"
+        assert got[k] == (v[1], v[2], rs[k], fs[k], ms[k], seg), k
