@@ -190,6 +190,9 @@ HEADLINE = [
     "table_snap_wap",       # warehouse: branch/tag write-audit-publish
     "mm_image_tiles",       # multimodal: ViT-style 3x3 patching (real decode)
     "events_attribution",   # analytics: linear + last-touch attribution
+    "events_rfm",           # analytics: RFM quartile segmentation
+    "text_sentiment",       # training-data: integer lexicon sentiment
+    "quality_lr_calibration",  # ML eval: reliability diagram for the LR filter
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -899,7 +899,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table_snap_wap (branch/tag write-audit-publish on the snapshot
 # layer), mm_image_tiles (ViT-style patching through the real BMP
 # decode), events_attribution (linear + last-touch in one relation),
-# events_cohort_ltv and events_forecast_naive siblings as listed above —
+# events_cohort_ltv and events_forecast_naive siblings as listed above,
+# events_rfm (RFM quartile segmentation), text_sentiment (integer
+# lexicon valence with injected polarity arms), quality_lr_calibration
+# (reliability diagram over the trained LR scores) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
