@@ -378,3 +378,156 @@ def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - greatest(1, pos - 2) + 1), ' ')"
         ).alias("snippet"),
     )
+
+
+# --- RAKE keyphrase extraction (round 4 close) ---------------------------------------
+# Rose et al. 2010: candidate phrases are maximal stopword-free word
+# runs; each word scores degree/freq (degree = sum of the lengths of
+# the phrases it appears in, freq = its occurrence count among
+# candidates), and a phrase scores the sum of its member word scores —
+# per-document, corpus-free (the complement of tf-idf, which needs the
+# corpus df join). Integer spelling: word score e4 = degree * 10000 DIV
+# freq; phrase score = sum of member e4 scores; top-3 phrases per doc
+# by (score desc, phrase asc). Phrase segmentation is gaps-and-islands:
+# phrase id = running count of stopword boundaries in (doc, pos) order
+# — every exchange in the plan is doc-keyed. Candidates cap at 3 words
+# (RAKE's usual adjoining limit), dropped beyond, documented here.
+
+_RAKE_TOPK = 3
+_RAKE_MAXLEN = 3
+
+
+def _rake_sql() -> str:
+    from ocr_spark.queries import EN_STOP_SQL
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, pos, wd,
+    CASE WHEN list_contains({EN_STOP_SQL}, wd) THEN 1 ELSE 0 END AS st
+  FROM (
+    SELECT doc_id,
+      generate_subscripts(ws, 1) AS pos, unnest(ws) AS wd
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+      FROM documents
+    )
+  )
+),
+seg AS (
+  SELECT doc_id, pos, wd, st,
+    sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS pid
+  FROM w
+),
+ph AS (
+  SELECT doc_id, pid,
+    array_to_string(list(wd ORDER BY pos), ' ') AS phrase,
+    list(wd ORDER BY pos) AS members,
+    count(*) AS plen
+  FROM seg WHERE st = 0
+  GROUP BY 1, 2
+  HAVING count(*) <= {_RAKE_MAXLEN}
+),
+ws AS (
+  SELECT doc_id, wd,
+    count(*) AS freq, sum(plen) AS degree
+  FROM (SELECT doc_id, plen, unnest(members) AS wd FROM ph)
+  GROUP BY 1, 2
+),
+psc AS (
+  SELECT m.doc_id, m.pid, m.phrase,
+    sum(ws.degree * 10000 // ws.freq) AS score_e4
+  FROM (SELECT doc_id, pid, phrase, unnest(members) AS wd FROM ph) m
+  JOIN ws ON ws.doc_id = m.doc_id AND ws.wd = m.wd
+  GROUP BY 1, 2, 3
+),
+dedup AS (
+  SELECT doc_id, phrase, max(score_e4) AS score_e4
+  FROM psc GROUP BY 1, 2
+)
+SELECT doc_id, phrase, CAST(score_e4 AS BIGINT) AS score_e4,
+  CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, phrase, score_e4,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score_e4 DESC, phrase) AS rk
+  FROM dedup
+) WHERE rk <= {_RAKE_TOPK}
+"""
+
+
+@register("search_rake_keyphrases", _rake_sql())
+def q_search_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc RAKE top-3 keyphrases, integer degree/freq scores, every
+    exchange doc-keyed (block comment)."""
+    from pyspark.sql import Window
+
+    from ocr_spark.queries import EN_STOP_SPARK
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), ' '), x -> x != '')"
+        ).alias("ws"),
+    )
+    w = d.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "wd")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "wd",
+        F.expr(
+            f"CASE WHEN array_contains({EN_STOP_SPARK}, wd)"
+            " THEN 1 ELSE 0 END"
+        ).alias("st"),
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = w.withColumn("pid", F.sum("st").over(wseg))
+    ph = (
+        seg.filter(F.col("st") == 0)
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, wd))), s -> s.wd), ' ')"
+            ).alias("phrase"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, wd))),"
+                " s -> s.wd)"
+            ).alias("members"),
+            F.count("*").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAXLEN)
+    )
+    m = ph.select(
+        "doc_id", "pid", "phrase", "plen",
+        F.explode("members").alias("wd"),
+    )
+    ws = m.groupBy("doc_id", "wd").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    psc = (
+        m.join(ws, ["doc_id", "wd"])
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(
+            F.expr("sum(degree * 10000 DIV freq)").alias("score_e4")
+        )
+    )
+    dedup = psc.groupBy("doc_id", "phrase").agg(
+        F.max("score_e4").alias("score_e4")
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e4"), F.asc("phrase")
+    )
+    return (
+        dedup.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _RAKE_TOPK)
+        .select(
+            "doc_id", "phrase",
+            F.col("score_e4").cast("bigint"),
+            F.col("rk").cast("bigint").alias("rank"),
+        )
+    )

@@ -237,3 +237,46 @@ def test_keywords_tfidf_matches_python_reference(spark, tmp_path):
         for i, (w_e4, t) in enumerate(scored[:KW_TOPK], start=1):
             want[(d, i)] = (t, w_e4)
     assert got == want
+
+
+def test_rake_python_reference(spark):
+    """search_rake_keyphrases equals an independent Python RAKE replay
+    (stopword segmentation, <=3-word candidates, degree/freq e4 scores,
+    (score desc, phrase) top-3)."""
+    from collections import defaultdict
+
+    from ocr_spark import spec
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_search  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = defaultdict(dict)
+    for r in QUERIES["search_rake_keyphrases"](spark, sf).collect():
+        got[r["doc_id"]][r["rank"]] = (r["phrase"], r["score_e4"])
+
+    stops = set(spec.STOPWORDS["en"])
+    for r in t(spark, sf, "documents").select("doc_id", "text").collect():
+        words = [w for w in r["text"].lower().split(" ") if w]
+        phrases, cur = [], []
+        for w in words:
+            if w in stops:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        phrases = [p for p in phrases if len(p) <= 3]
+        freq, degree = defaultdict(int), defaultdict(int)
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                degree[w] += len(p)
+        scored = {}
+        for p in phrases:
+            s = sum(degree[w] * 10000 // freq[w] for w in p)
+            scored[" ".join(p)] = s
+        top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want = {i + 1: kv for i, kv in enumerate(top)}
+        assert got.get(r["doc_id"], {}) == want, r["doc_id"]
