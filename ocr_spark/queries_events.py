@@ -1394,3 +1394,129 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(m_score AS STRING))"
         ).alias("segment"),
     )
+
+
+# --- churn survival curve (Kaplan-Meier) -------------------------------------
+# Product analytics' survival question: what fraction of users is still
+# active t days after their first event? Lifetime = last_day -
+# first_day; users whose last activity falls within 3 days of the
+# corpus end are CENSORED (still alive — they leave the risk set
+# without counting as churn, the KM distinction a naive churn rate
+# gets wrong). S(t) = prod_{u<=t} (1 - d_u / n_u) with d_u = churns at
+# lifetime u and n_u = users with lifetime >= u. The product is floats
+# — made engine-exact by the fn_vector device: per-day factors are
+# exact-integer divisions collected into ONE day-ordered array and
+# sequentially folded per output row (both engines fold in index
+# order; IEEE ops are bit-deterministic), then floor-quantized to e6.
+# The day table is |distinct lifetimes| rows, so the fold is O(days^2)
+# over a broadcast-tiny relation — the corpus appears in exactly one
+# user-rollup shuffle.
+
+_SURV_CENSOR_DAYS = 3
+
+_SURV_SQL = f"""
+WITH base AS (SELECT min(CAST(ts AS DATE)) AS b FROM events),
+ev AS (
+  -- planted per-user activity windows: every user's raw history spans
+  -- the whole corpus month (lifetime variance ~0, a 3-point curve), so
+  -- each user only "stays" 5 + (user_id*7)%25 days — deterministic
+  -- heterogeneous lifetimes exercising churn AND censoring arms
+  SELECT e.user_id, e.ts FROM events e, base
+  WHERE CAST(CAST(e.ts AS DATE) - base.b AS BIGINT)
+        < 5 + (e.user_id * 7) % 25
+),
+u AS (
+  SELECT user_id,
+    min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM ev GROUP BY 1
+),
+mx AS (SELECT max(d1) AS dend FROM u),
+lt AS (
+  SELECT user_id, CAST(d1 - d0 AS BIGINT) AS life,
+    CASE WHEN CAST((SELECT dend FROM mx) - d1 AS BIGINT)
+              <= {_SURV_CENSOR_DAYS} THEN 1 ELSE 0 END AS censored
+  FROM u
+),
+day AS (
+  SELECT life AS day,
+    CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM lt GROUP BY 1
+),
+risk AS (
+  SELECT d1.day, d1.d,
+    (SELECT CAST(count(*) AS BIGINT) FROM lt WHERE lt.life >= d1.day)
+      AS n
+  FROM day d1
+),
+fct AS (
+  SELECT list(struct_pack(day := day,
+    v := CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY day)
+    AS fs
+  FROM risk
+)
+SELECT r.day, r.n AS n_risk, r.d AS n_churned,
+  CAST(floor(list_aggregate(list_transform(
+    list_filter(f.fs, s -> s.day <= r.day), s -> s.v), 'product')
+    * 1e6) AS BIGINT) AS surv_e6
+FROM risk r, fct f
+"""
+
+
+@register("events_survival", _SURV_SQL)
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival per lifetime day with right-censoring
+    (block comment): (day, n_risk, n_churned, surv_e6)."""
+    e0 = t(spark, sf_dir, "events")
+    base = e0.agg(F.min(F.to_date("ts")).alias("b"))
+    e = (
+        e0.crossJoin(F.broadcast(base))
+        .filter(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), b) AS BIGINT)"
+                " < 5 + (user_id * 7) % 25"
+            )
+        )
+        .select("user_id", "ts")
+    )
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    mx = u.agg(F.max("d1").alias("dend"))
+    lt = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("CAST(datediff(d1, d0) AS BIGINT)").alias("life"),
+        F.expr(
+            f"CASE WHEN CAST(datediff(dend, d1) AS BIGINT)"
+            f" <= {_SURV_CENSOR_DAYS} THEN 1 ELSE 0 END"
+        ).alias("censored"),
+    )
+    day = lt.groupBy(F.col("life").alias("day")).agg(
+        F.expr("CAST(sum(1 - censored) AS BIGINT)").alias("d")
+    )
+    # n_at_risk via a non-equi join against the tiny day table
+    risk = (
+        day.join(
+            lt.select("life"),
+            F.col("life") >= F.col("day"),
+        )
+        .groupBy("day", "d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    fct = risk.agg(
+        F.expr(
+            "array_sort(collect_list(struct(day,"
+            " CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS v)))"
+        ).alias("fs")
+    )
+    return risk.crossJoin(F.broadcast(fct)).select(
+        "day",
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_churned"),
+        F.expr(
+            "CAST(floor(aggregate(transform("
+            "filter(fs, s -> s.day <= day), s -> s.v),"
+            " CAST(1.0 AS DOUBLE), (acc, v) -> acc * v) * 1e6)"
+            " AS BIGINT)"
+        ).alias("surv_e6"),
+    )

@@ -389,3 +389,50 @@ def test_rfm_python_reference(spark):
     for k, v in u.items():
         seg = f"{rs[k]}{fs[k]}{ms[k]}"
         assert got[k] == (v[1], v[2], rs[k], fs[k], ms[k], seg), k
+
+
+def test_survival_km_python_reference(spark):
+    """events_survival equals a pure-Python Kaplan-Meier replay over
+    the planted activity windows; the curve is non-increasing, starts
+    <= 1e6, and both churn and censoring arms are populated."""
+    from collections import defaultdict
+    import math
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        QUERIES["events_survival"](spark, sf).collect(),
+        key=lambda r: r["day"],
+    )
+    got = {
+        r["day"]: (r["n_risk"], r["n_churned"], r["surv_e6"]) for r in rows
+    }
+
+    ev = t(spark, sf, "events").select("user_id", "ts").collect()
+    base = min(r["ts"].date() for r in ev)
+    spans = defaultdict(list)
+    for r in ev:
+        d = r["ts"].date()
+        if (d - base).days < 5 + (r["user_id"] * 7) % 25:
+            spans[r["user_id"]].append(d)
+    dend = max(max(ds) for ds in spans.values())
+    life, cens = {}, {}
+    for u, ds in spans.items():
+        life[u] = (max(ds) - min(ds)).days
+        cens[u] = 1 if (dend - max(ds)).days <= 3 else 0
+    days = sorted({v for v in life.values()})
+    want = {}
+    surv = 1.0
+    for t_ in days:
+        n = sum(1 for u in life if life[u] >= t_)
+        d = sum(1 for u in life if life[u] == t_ and cens[u] == 0)
+        surv *= (n - d) / n
+        want[t_] = (n, d, math.floor(surv * 1e6))
+    assert got == want
+    vals = [got[t_][2] for t_ in days]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[0] <= 1_000_000
+    assert any(got[t_][1] > 0 for t_ in days)  # churn fires
+    assert sum(cens.values()) > 0  # censoring fires
