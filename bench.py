@@ -193,6 +193,8 @@ HEADLINE = [
     "events_rfm",           # analytics: RFM quartile segmentation
     "text_sentiment",       # training-data: integer lexicon sentiment
     "quality_lr_calibration",  # ML eval: reliability diagram for the LR filter
+    "search_rake_keyphrases",  # retrieval: corpus-free RAKE keyphrases
+    "events_survival",      # analytics: Kaplan-Meier churn curve
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -902,7 +902,10 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_cohort_ltv and events_forecast_naive siblings as listed above,
 # events_rfm (RFM quartile segmentation), text_sentiment (integer
 # lexicon valence with injected polarity arms), quality_lr_calibration
-# (reliability diagram over the trained LR scores) —
+# (reliability diagram over the trained LR scores),
+# search_rake_keyphrases (corpus-free RAKE top-3, gaps-and-islands
+# segmentation), events_survival (Kaplan-Meier churn with censoring,
+# sequential-fold float product) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the
