@@ -664,3 +664,49 @@ def test_host_components_match_union_find(spark):
     sizes = Counter(want.values())
     assert set(sizes.values()) == {3}
     assert all(r.endswith("a.fam.example") for r in sizes)
+
+
+def test_2hop_recs_python_reference_and_cap_bound(spark):
+    """graph_2hop_recs equals a pure-Python replay of the df-capped
+    wedge count (hashlib md5 rank, same cap), and no supplier
+    contributes more than CAP parts to any wedge."""
+    import hashlib
+    from collections import defaultdict
+
+    from ocr_spark.queries import QUERIES, t
+    from ocr_spark.queries_webgraph import _REC_CAP, _REC_TOPK
+    import ocr_spark.queries_webgraph  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = defaultdict(dict)
+    for r in QUERIES["graph_2hop_recs"](spark, sf).collect():
+        got[r["part"]][r["rank"]] = (r["rec"], r["common_supps"])
+
+    edges = {
+        (r["l_partkey"], r["l_suppkey"])
+        for r in t(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    }
+    by_supp = defaultdict(list)
+    for part, supp in edges:
+        by_supp[supp].append(part)
+    common = defaultdict(int)
+    for supp, parts in by_supp.items():
+        parts.sort(
+            key=lambda p: (hashlib.md5(str(p).encode()).hexdigest(), p)
+        )
+        kept = parts[:_REC_CAP]
+        assert len(kept) <= _REC_CAP
+        for u in kept:
+            for v in kept:
+                if u != v:
+                    common[(u, v)] += 1
+    want = defaultdict(dict)
+    by_u = defaultdict(list)
+    for (u, v), c in common.items():
+        by_u[u].append((-c, v))
+    for u, lst in by_u.items():
+        for i, (negc, v) in enumerate(sorted(lst)[:_REC_TOPK]):
+            want[u][i + 1] = (v, -negc)
+    assert got == want
