@@ -857,3 +857,93 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return reservoir_totals(spark, out)
+
+
+# --- dataset card (round 4 close) ----------------------------------------------------
+# The one-row datasheet a corpus release ships with (Gebru et al.'s
+# "datasheets for datasets" reduced to its computable core): sizes,
+# token totals, source/lang coverage, the exact-dup rate, and source
+# balance as the GINI-SIMPSON diversity 1 - sum(p_i^2) — chosen over
+# Shannon entropy deliberately: it is a RATIONAL statistic (sum of
+# squared integer counts over N^2), so the card stays transcendental-
+# free and bit-identical across engines (the rational-sigmoid
+# discipline). One scan + one source rollup + tiny reductions.
+
+_CARD_SQL = """
+WITH s AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY 1
+),
+l AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+         AS BIGINT) AS n_tokens_total,
+    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT t.n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sources,
+  (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_langs,
+  t.n_chars_total, t.n_tokens_total,
+  CAST(t.n_chars_total // t.n_docs AS BIGINT) AS mean_chars,
+  CAST((t.n_docs - t.n_distinct) * 1000000 // t.n_docs AS BIGINT)
+    AS dup_rate_e6,
+  CAST(1000000 - (SELECT sum(c * c) FROM s) * 1000000
+       // (t.n_docs * t.n_docs) AS BIGINT) AS simpson_diversity_e6,
+  (SELECT source FROM s ORDER BY c DESC, source LIMIT 1) AS top_source,
+  (SELECT lang FROM l ORDER BY c DESC, lang LIMIT 1) AS top_lang
+FROM tot t
+"""
+
+
+@register("profile_dataset_card", _CARD_SQL)
+def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (block comment)."""
+    d = t(spark, sf_dir, "documents")
+    tot = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.expr(
+            "CAST(sum(size(filter(split(text, ' '), x -> x != '')))"
+            " AS BIGINT)"
+        ).alias("n_tokens_total"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct"),
+    )
+    s = d.groupBy("source").agg(F.count("*").alias("c"))
+    l = d.groupBy("lang").agg(F.count("*").alias("c"))
+    s_stats = s.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.expr("CAST(sum(c * c) AS BIGINT)").alias("sumsq"),
+    )
+    l_stats = l.agg(F.count("*").cast("bigint").alias("n_langs"))
+    top_s = s.orderBy(F.desc("c"), "source").limit(1).select(
+        F.col("source").alias("top_source")
+    )
+    top_l = l.orderBy(F.desc("c"), "lang").limit(1).select(
+        F.col("lang").alias("top_lang")
+    )
+    return (
+        tot.crossJoin(F.broadcast(s_stats))
+        .crossJoin(F.broadcast(l_stats))
+        .crossJoin(F.broadcast(top_s))
+        .crossJoin(F.broadcast(top_l))
+        .select(
+            "n_docs", "n_sources", "n_langs", "n_chars_total",
+            "n_tokens_total",
+            F.expr("CAST(n_chars_total DIV n_docs AS BIGINT)").alias(
+                "mean_chars"
+            ),
+            F.expr(
+                "CAST((n_docs - n_distinct) * 1000000 DIV n_docs"
+                " AS BIGINT)"
+            ).alias("dup_rate_e6"),
+            F.expr(
+                "CAST(1000000 - sumsq * 1000000 DIV (n_docs * n_docs)"
+                " AS BIGINT)"
+            ).alias("simpson_diversity_e6"),
+            "top_source", "top_lang",
+        )
+    )

@@ -1743,3 +1743,50 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'neu' END"
         ).alias("label"),
     )
+
+
+# --- zlib compressibility (round 4 close) ---------------------------------------------
+# The entropy-proxy quality signal real corpus filters use (repetitive
+# boilerplate compresses far better than natural prose — Gopher-family
+# pipelines threshold on exactly this): per doc, the zlib-level-6
+# compressed size of the utf-8 text and the e4 ratio. stdlib zlib is
+# deterministic for a fixed level/strategy, but no SQL engine replays
+# DEFLATE — rows-only by design (like the tokenizer trainers), gated in
+# tests/test_corpusml.py by invariant checks plus a direct python-zlib
+# replay. Arrow-batched iterator UDF: the justified-UDF case (per-doc
+# byte compression), never per-row plan-side Python.
+
+
+@register("text_compressibility", None)
+def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio_e4) via stdlib zlib level
+    6 in an Arrow-batched UDF; ratio_e4 = compressed * 10000 DIV raw."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def comp(it):
+        import zlib
+
+        for pdf in it:
+            ids, nb, nc = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = (txt or "").encode("utf-8")
+                ids.append(did)
+                nb.append(len(raw))
+                nc.append(len(zlib.compress(raw, 6)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": nb, "n_compressed": nc}
+            )
+
+    out = d.mapInPandas(
+        comp, "doc_id long, n_bytes long, n_compressed long"
+    )
+    return out.filter(F.col("n_bytes") > 0).select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.expr(
+            "CAST(n_compressed * 10000 DIV n_bytes AS BIGINT)"
+        ).alias("ratio_e4"),
+    )

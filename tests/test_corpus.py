@@ -406,3 +406,36 @@ def test_reservoir_sample_aes_reference_and_merge_law(spark):
     corpus_mean = sum(w_of(r["n_chars"]) for r in corpus) / len(corpus)
     kept_mean = sum(w_of(r["n_chars"]) for r in rows) / len(rows)
     assert kept_mean > corpus_mean
+
+
+def test_dataset_card_python_reference(spark):
+    """profile_dataset_card equals a pure-Python replay of every
+    datasheet statistic."""
+    import hashlib
+    from collections import Counter
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_pipeline  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    row = QUERIES["profile_dataset_card"](spark, sf).collect()[0]
+    docs = t(spark, sf, "documents").collect()
+    n = len(docs)
+    src = Counter(d["source"] for d in docs)
+    lng = Counter(d["lang"] for d in docs)
+    n_distinct = len({hashlib.md5(d["text"].encode()).hexdigest() for d in docs})
+    chars = sum(d["n_chars"] for d in docs)
+    toks = sum(len([w for w in d["text"].split(" ") if w]) for d in docs)
+    sumsq = sum(c * c for c in src.values())
+    assert (
+        row["n_docs"], row["n_sources"], row["n_langs"],
+        row["n_chars_total"], row["n_tokens_total"], row["mean_chars"],
+        row["dup_rate_e6"], row["simpson_diversity_e6"],
+        row["top_source"], row["top_lang"],
+    ) == (
+        n, len(src), len(lng), chars, toks, chars // n,
+        (n - n_distinct) * 1_000_000 // n,
+        1_000_000 - sumsq * 1_000_000 // (n * n),
+        min(s for s, c in src.items() if c == max(src.values())),
+        min(s for s, c in lng.items() if c == max(lng.values())),
+    )

