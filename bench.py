@@ -195,6 +195,9 @@ HEADLINE = [
     "quality_lr_calibration",  # ML eval: reliability diagram for the LR filter
     "search_rake_keyphrases",  # retrieval: corpus-free RAKE keyphrases
     "events_survival",      # analytics: Kaplan-Meier churn curve
+    "graph_2hop_recs",      # webtext: co-occurrence recs (capped wedge)
+    "text_compressibility",  # training-data: zlib entropy proxy (UDF)
+    "profile_dataset_card",  # warehouse: one-row corpus datasheet
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
