@@ -198,6 +198,7 @@ HEADLINE = [
     "graph_2hop_recs",      # webtext: co-occurrence recs (capped wedge)
     "text_compressibility",  # training-data: zlib entropy proxy (UDF)
     "profile_dataset_card",  # warehouse: one-row corpus datasheet
+    "events_active_users",  # analytics: DAU/WAU/MAU + stickiness
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

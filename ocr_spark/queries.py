@@ -908,7 +908,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequential-fold float product), graph_2hop_recs (df-capped wedge
 # co-occurrence recommendations), text_compressibility (zlib entropy
 # proxy — rows-only by design like the tokenizer trainers),
-# profile_dataset_card (one-row datasheet, Gini-Simpson balance) —
+# profile_dataset_card (one-row datasheet, Gini-Simpson balance),
+# events_active_users (DAU/WAU/MAU + stickiness, exact rolling
+# distinct over the user-day relation) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

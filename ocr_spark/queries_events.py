@@ -1520,3 +1520,80 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("surv_e6"),
     )
+
+
+# --- DAU / WAU / MAU ---------------------------------------------------------
+# The product-analytics staple: per day, the count of distinct users
+# active that day (DAU), in the trailing 7 days (WAU) and the trailing
+# 28 days (MAU). Rolling DISTINCT does not decompose into a window
+# aggregate — the standard exact formulation joins the (user, day)
+# distinct relation onto the day spine with a bounded range residual
+# (fan-out x7 / x28 on the |users|x|days| relation, NOT on raw events)
+# and re-counts distinct per spine day. The corpus appears in exactly
+# one shuffle (the user-day distinct); everything after is
+# days-spine-sized. At 10^12 events the exact form stays viable because
+# the fan-out is over user-days; the sketch alternative (per-day HLL
+# registers MAX-folded over the trailing window) is the documented
+# approximate fallback, already graded by sketch_hll_merge.
+
+_ACT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+spine AS (SELECT DISTINCT d FROM ud),
+wau AS (
+  SELECT s.d, count(DISTINCT u.user_id) AS n
+  FROM spine s JOIN ud u
+    ON u.d <= s.d AND u.d >= s.d - INTERVAL 6 DAY
+  GROUP BY 1
+),
+mau AS (
+  SELECT s.d, count(DISTINCT u.user_id) AS n
+  FROM spine s JOIN ud u
+    ON u.d <= s.d AND u.d >= s.d - INTERVAL 27 DAY
+  GROUP BY 1
+),
+dau AS (
+  SELECT d, count(*) AS n FROM ud GROUP BY 1
+)
+SELECT dau.d AS day, CAST(dau.n AS BIGINT) AS dau,
+  CAST(wau.n AS BIGINT) AS wau, CAST(mau.n AS BIGINT) AS mau,
+  CAST(dau.n * 1000000 // mau.n AS BIGINT) AS stickiness_e6
+FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+"""
+
+
+@register("events_active_users", _ACT_SQL)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + DAU/MAU stickiness per day (block comment)."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    spine = ud.select("d").distinct().withColumnRenamed("d", "sd")
+
+    def rolling(days: int, name: str) -> DataFrame:
+        return (
+            spine.join(
+                ud,
+                (F.col("d") <= F.col("sd"))
+                & (F.col("d") >= F.date_sub(F.col("sd"), days - 1)),
+            )
+            .groupBy("sd")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = ud.groupBy(F.col("d").alias("sd")).agg(
+        F.count("*").alias("dau")
+    )
+    out = (
+        dau.join(rolling(7, "wau"), "sd")
+        .join(rolling(28, "mau"), "sd")
+    )
+    return out.select(
+        F.col("sd").alias("day"),
+        F.col("dau").cast("bigint"),
+        F.col("wau").cast("bigint"),
+        F.col("mau").cast("bigint"),
+        F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias(
+            "stickiness_e6"
+        ),
+    )

@@ -436,3 +436,32 @@ def test_survival_km_python_reference(spark):
     assert vals[0] <= 1_000_000
     assert any(got[t_][1] > 0 for t_ in days)  # churn fires
     assert sum(cens.values()) > 0  # censoring fires
+
+
+def test_active_users_python_reference(spark):
+    """events_active_users equals a pure-Python DAU/WAU/MAU replay."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["mau"], r["stickiness_e6"])
+        for r in QUERIES["events_active_users"](spark, sf).collect()
+    }
+    by_day = defaultdict(set)
+    for r in t(spark, sf, "events").select("user_id", "ts").collect():
+        by_day[r["ts"].date()].add(r["user_id"])
+    want = {}
+    for d in by_day:
+        wau = set().union(
+            *(by_day.get(d - timedelta(days=k), set()) for k in range(7))
+        )
+        mau = set().union(
+            *(by_day.get(d - timedelta(days=k), set()) for k in range(28))
+        )
+        dau = len(by_day[d])
+        want[d] = (dau, len(wau), len(mau), dau * 1_000_000 // len(mau))
+    assert got == want
