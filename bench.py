@@ -199,6 +199,8 @@ HEADLINE = [
     "text_compressibility",  # training-data: zlib entropy proxy (UDF)
     "profile_dataset_card",  # warehouse: one-row corpus datasheet
     "events_active_users",  # analytics: DAU/WAU/MAU + stickiness
+    "events_streaks",       # analytics: consecutive-day islands
+    "events_heatmap",       # analytics: dense 7x24 usage matrix
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

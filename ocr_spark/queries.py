@@ -910,7 +910,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proxy — rows-only by design like the tokenizer trainers),
 # profile_dataset_card (one-row datasheet, Gini-Simpson balance),
 # events_active_users (DAU/WAU/MAU + stickiness, exact rolling
-# distinct over the user-day relation) —
+# distinct over the user-day relation), events_streaks (longest
+# consecutive-day islands per user), events_heatmap (dense 7x24
+# usage matrix, explicit zero cells) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

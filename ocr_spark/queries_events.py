@@ -1597,3 +1597,124 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_e6"
         ),
     )
+
+
+# --- activity streaks --------------------------------------------------------
+# Longest consecutive-day activity streak per user — the classic
+# date-arithmetic gaps-and-islands: over each user's DISTINCT active
+# days in order, d minus row_number is constant exactly within a run of
+# consecutive days, so grouping by that anchor yields the islands and
+# one more aggregate takes the longest. Two user-keyed exchanges over
+# the user-day relation; raw events shuffle once.
+
+_STREAK_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+r AS (
+  SELECT user_id, d,
+    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+             AS INTEGER) AS anchor
+  FROM ud
+),
+runs AS (
+  SELECT user_id, anchor, count(*) AS len,
+    min(d) AS start_day
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+  CAST(max(len) AS BIGINT) AS longest_streak,
+  CAST(count(*) AS BIGINT) AS n_streaks,
+  min(CASE WHEN len = (SELECT max(len) FROM runs r2
+                       WHERE r2.user_id = runs.user_id)
+       THEN start_day END) AS best_start
+FROM runs GROUP BY 1
+"""
+
+
+@register("events_streaks", _STREAK_SQL)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest consecutive-day streak, streak count, and the
+    earliest start of a maximal streak (block comment)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = ud.withColumn(
+        "anchor",
+        F.date_sub("d", F.row_number().over(w).cast("int")),
+    )
+    runs = r.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_day")
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        runs.withColumn("mx", F.max("len").over(wmax))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.min(
+                F.when(F.col("len") == F.col("mx"), F.col("start_day"))
+            ).alias("best_start"),
+        )
+    )
+
+
+# --- activity heatmap --------------------------------------------------------
+# The hour-of-day x day-of-week usage matrix every product dashboard
+# opens with: one groupBy over derived calendar keys (map-side
+# combined to a 7x24-bounded relation), integer cents for the value
+# column. Dense axis guaranteed by crossing the distinct keys (the
+# events_resample device) so EMPTY cells are explicit zero rows.
+
+_HEAT_SQL = """
+WITH c AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+    CAST(hour(ts) AS BIGINT) AS hod,
+    count(*) AS n,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS val_c
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT d.dow, h.hod
+  FROM (SELECT unnest(generate_series(1, 7)) AS dow) d,
+       (SELECT unnest(generate_series(0, 23)) AS hod) h
+)
+SELECT a.dow, a.hod,
+  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+  CAST(coalesce(c.val_c, 0) AS BIGINT) AS val_c
+FROM axis a LEFT JOIN c ON c.dow = a.dow AND c.hod = a.hod
+"""
+
+
+@register("events_heatmap", _HEAT_SQL)
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 7x24 activity heatmap with explicit zero cells (block
+    comment)."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("sundow"),
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)"
+        ).alias("val_c"),
+    ).select(
+        # Spark dayofweek is 1=Sunday; ISO dow is 1=Monday..7=Sunday
+        F.expr(
+            "CAST(CASE WHEN sundow = 1 THEN 7 ELSE sundow - 1 END"
+            " AS BIGINT)"
+        ).alias("dow"),
+        "hod", "n", "val_c",
+    )
+    axis = spark.range(1, 8).selectExpr("id AS dow").crossJoin(
+        spark.range(0, 24).selectExpr("id AS hod")
+    )
+    return axis.join(c, ["dow", "hod"], "left").select(
+        "dow", "hod",
+        F.expr("CAST(coalesce(n, 0) AS BIGINT)").alias("n"),
+        F.expr("CAST(coalesce(val_c, 0) AS BIGINT)").alias("val_c"),
+    )

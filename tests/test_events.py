@@ -465,3 +465,56 @@ def test_active_users_python_reference(spark):
         dau = len(by_day[d])
         want[d] = (dau, len(wau), len(mau), dau * 1_000_000 // len(mau))
     assert got == want
+
+
+def test_streaks_python_reference(spark):
+    """events_streaks equals a pure-Python islands replay."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"], r["best_start"])
+        for r in QUERIES["events_streaks"](spark, sf).collect()
+    }
+    days = defaultdict(set)
+    for r in t(spark, sf, "events").select("user_id", "ts").collect():
+        days[r["user_id"]].add(r["ts"].date())
+    for u, ds in days.items():
+        runs = []
+        cur = None
+        for d in sorted(ds):
+            if cur and d == cur[1] + timedelta(days=1):
+                cur = (cur[0], d)
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = (d, d)
+        runs.append(cur)
+        mx = max((b - a).days + 1 for a, b in runs)
+        best = min(a for a, b in runs if (b - a).days + 1 == mx)
+        assert got[u] == (mx, len(runs), best), u
+
+
+def test_heatmap_dense_axis_and_reference(spark):
+    """events_heatmap: all 168 cells present, zeros explicit, populated
+    cells match a Python fold with ISO day-of-week."""
+    from collections import defaultdict
+
+    from ocr_spark.queries import QUERIES, t
+    import ocr_spark.queries_events  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["events_heatmap"](spark, sf).collect()
+    assert len(rows) == 7 * 24
+    got = {(r["dow"], r["hod"]): (r["n"], r["val_c"]) for r in rows}
+    agg = defaultdict(lambda: [0, 0])
+    for r in t(spark, sf, "events").select("ts", "value").collect():
+        k = (r["ts"].isoweekday(), r["ts"].hour)
+        agg[k][0] += 1
+        agg[k][1] += int(round(r["value"] * 100))
+    for k, v in got.items():
+        assert v == tuple(agg.get(k, [0, 0])), k
