@@ -201,6 +201,7 @@ HEADLINE = [
     "events_active_users",  # analytics: DAU/WAU/MAU + stickiness
     "events_streaks",       # analytics: consecutive-day islands
     "events_heatmap",       # analytics: dense 7x24 usage matrix
+    "pipe_pack_ffd",        # training prep: FFD whole-doc packing
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))

@@ -533,3 +533,70 @@ def funnel_report(stages: dict[str, DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def pack_sequences_ffd(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_words",
+    num_shards: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing per-shard packing: docs + (pack_shard,
+    bin_id) — the PACKING-QUALITY alternative to pack_sequences' greedy
+    running-sum split.
+
+    The window packer is one JVM window pass but splits documents at
+    budget boundaries conceptually (a doc's tokens straddle seq_ids);
+    FFD keeps each doc WHOLE, sorts a shard's docs by descending token
+    count and drops each into the first bin it fits — the classic
+    11/9·OPT+1 heuristic, what a curriculum/packing stage runs when
+    sequences must not cross document boundaries. Inherently sequential
+    per shard, so it runs as an Arrow-batched applyInPandas over the
+    SAME hashed shard key (parallelism = num_shards, like
+    pack_sequences); the per-shard state is one bin-capacity list,
+    O(bins) memory. Oversized docs (> budget) get singleton bins —
+    kept, flagged by construction (their bin load exceeds budget),
+    never silently dropped. Deterministic: sort key is
+    (-tokens, id). Rows-only in the registry (FFD's first-fit scan is
+    not one SQL query); pinned against an independent Python reference
+    + bin-capacity/determinism properties in tests/test_corpus.py."""
+    import pandas as pd
+
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).alias(
+        "pack_shard"
+    )
+    src = docs.select(
+        F.col(id_col), F.col(tokens_col).alias("_tok"), shard
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip(pdf["_tok"], pdf[id_col]), key=lambda t: (-t[0], t[1])
+        )
+        loads: list[int] = []
+        out_id, out_bin, out_tok = [], [], []
+        for tok, did in rows:
+            placed = None
+            for b, ld in enumerate(loads):
+                if ld + tok <= budget:
+                    placed = b
+                    break
+            if placed is None:
+                placed = len(loads)
+                loads.append(0)
+            loads[placed] += int(tok)
+            out_id.append(did)
+            out_bin.append(placed)
+            out_tok.append(int(tok))
+        return pd.DataFrame({
+            id_col: out_id,
+            "pack_shard": [int(pdf["pack_shard"].iloc[0])] * len(out_id),
+            "bin_id": out_bin,
+            "n_tokens": out_tok,
+        })
+
+    return src.groupBy("pack_shard").applyInPandas(
+        ffd,
+        f"{id_col} long, pack_shard long, bin_id long, n_tokens long",
+    )

@@ -912,7 +912,8 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_active_users (DAU/WAU/MAU + stickiness, exact rolling
 # distinct over the user-day relation), events_streaks (longest
 # consecutive-day islands per user), events_heatmap (dense 7x24
-# usage matrix, explicit zero cells) —
+# usage matrix, explicit zero cells), pipe_pack_ffd (first-fit-
+# decreasing whole-doc packing, rows-only like the tokenizer trainers) —
 # plus anything registered after THIS note's last update (cross-check
 # against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
 # many of those 46 as fit in this file's order], then extract_wrapped — the

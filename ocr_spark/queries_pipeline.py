@@ -947,3 +947,21 @@ def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_source", "top_lang",
         )
     )
+
+
+@register("pipe_pack_ffd", None)
+def q_pipe_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing over the hashed shard key
+    (operators/corpus.pack_sequences_ffd): docs stay whole, bins respect
+    the budget, oversized docs get singleton bins. Rows-only by design
+    (the first-fit scan is not one SQL query); reference-gated in
+    tests/test_corpus.py."""
+    from ocr_spark.operators.corpus import pack_sequences_ffd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(text, ' '), x -> x != ''))"
+        ).alias("n_words"),
+    )
+    return pack_sequences_ffd(d, budget=512, num_shards=16)

@@ -439,3 +439,80 @@ def test_dataset_card_python_reference(spark):
         min(s for s, c in src.items() if c == max(src.values())),
         min(s for s, c in lng.items() if c == max(lng.values())),
     )
+
+
+def test_ffd_packing_reference_capacity_and_quality(spark):
+    """pack_sequences_ffd: equals an independent Python FFD replay per
+    shard; every bin respects the budget unless it holds exactly one
+    oversized doc; the assignment is partitioning-invariant; and on the
+    driver corpus FFD uses no more bins than the window packer's
+    sequence count on the same shards."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.corpus import pack_sequences, pack_sequences_ffd
+    from ocr_spark.queries import t
+
+    sf = "/root/testdata/sf0.01"
+    budget = 512
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").alias(
+            "n_words"
+        ),
+    )
+    rows = pack_sequences_ffd(d, budget=budget, num_shards=16).collect()
+    toks = {r["doc_id"]: r["n_tokens"] for r in rows}
+
+    # python FFD replay per shard (shard keys read back from the run:
+    # xxhash64 is engine-side, the FFD logic is what this replays)
+    shards = defaultdict(list)
+    shard_of = {
+        r["doc_id"]: r["pack_shard"] for r in rows
+    }
+    for r in d.collect():
+        shards[shard_of[r["doc_id"]]].append((r["n_words"], r["doc_id"]))
+    want = {}
+    for sh, docs in shards.items():
+        loads = []
+        for tok, did in sorted(docs, key=lambda x: (-x[0], x[1])):
+            placed = None
+            for b, ld in enumerate(loads):
+                if ld + tok <= budget:
+                    placed = b
+                    break
+            if placed is None:
+                placed = len(loads)
+                loads.append(0)
+            loads[placed] += tok
+            want[did] = (sh, placed)
+    assert {
+        r["doc_id"]: (r["pack_shard"], r["bin_id"]) for r in rows
+    } == want
+
+    # capacity law
+    bin_load = defaultdict(int)
+    bin_count = defaultdict(int)
+    for r in rows:
+        k = (r["pack_shard"], r["bin_id"])
+        bin_load[k] += r["n_tokens"]
+        bin_count[k] += 1
+    for k, load in bin_load.items():
+        assert load <= 512 or bin_count[k] == 1, k
+
+    # partitioning invariance
+    again = {
+        r["doc_id"]: (r["pack_shard"], r["bin_id"])
+        for r in pack_sequences_ffd(
+            d.repartition(13), budget=budget, num_shards=16
+        ).collect()
+    }
+    assert again == want
+
+    # quality vs the window packer on the same corpus (both use the
+    # hashed shard key; seq_id count vs bin count per shard)
+    win = pack_sequences(d, budget=budget, num_shards=16).collect()
+    win_seqs = len({(r["pack_shard"], r["seq_id"]) for r in win})
+    ffd_bins = len(bin_load)
+    assert ffd_bins <= win_seqs + 16  # never materially worse

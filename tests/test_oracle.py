@@ -89,11 +89,13 @@ def test_all_queries_have_callables():
     # lack an oracle (tokenizer_*: iterative trainers gated by
     # tests/test_bpe.py + tests/test_unigram.py reference
     # implementations; text_compressibility: no SQL engine replays
-    # DEFLATE — gated by the zlib replay in tests/test_corpusml.py)
+    # DEFLATE — gated by the zlib replay in tests/test_corpusml.py;
+    # pipe_pack_ffd: the first-fit scan is not one SQL query — gated by
+    # the FFD reference replay in tests/test_corpus.py)
     assert all(
         k.startswith(("agg_approx", "stream_", "gen_", "scan_pages",
                       "resume_", "tokenizer_"))
-        or k == "text_compressibility"
+        or k in ("text_compressibility", "pipe_pack_ffd")
         for k in missing_oracle
     ), missing_oracle
 
