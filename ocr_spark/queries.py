@@ -679,296 +679,110 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's CORRECTNESS_r{N}.json keeps only the FIRST 50 registry
-# entries in iteration order, so the registry is rotated each round to keep
-# every entry's driver row at most two rounds old. Round-4 priority order
-# (executing the plan recorded here at the end of round 3):
-#   1. `join_cross` FIRST — its source changed after its last driver
-#      grading (SQL VALUES literal replaced createDataFrame(list) in
-#      c240d27), so it needs the freshest possible row;
-#   2. the other 32 entries whose freshest driver row is r02 (everything
-#      past position 50 in CORRECTNESS_r03.json: sim_ann_ivf …
-#      agg_custom_pandas);
-#   3. `extract_wrapped` — the flagship keeps a fresh driver row every
-#      round by policy;
-#   4. `stream_dedup_minhash` — upgraded this round from rows-only to a
-#      DuckDB value-hash oracle, so the first hash grading must land;
-#   5. anything newly registered in r04 (lands in the head automatically):
-#      stream_dedup_cc, sim_ann_ivf_trained, pipe_pack_hashed, then the
-#      queries_corpusml block (dedup_substr_spans, dedup_substr_clean,
-#      dedup_substr_prod, text_ppl_proxy, text_gopher_rules,
-#      text_collocations, pipe_mix_domains, pipe_shuffle_shard,
-#      sim_ann_pq, tokenizer_bpe_merges, tokenizer_bpe_encode) —
-#      head 49 + scan_counts = exactly the 50-cap; the registry is FULL
-#      for r04, nothing more may be added ahead of the tail this round;
-#   6. everything r03-graded goes to the tail list.
+# entries in iteration order, so the registry is rotated each round to
+# keep driver coverage moving through the backlog. History: the r03 and
+# r04 heads are frozen below as _R03_DRIVER_GRADED / _PRIORITY_R04 (now
+# folded into _GRADED_R01_R04); the full r04 rotation rationale lives in
+# git history (round-4 close) and STATUS.md.
 #
-# ROUND-5 ROTATION PLAN (do this at the start of r05): FIRST in
-# _PRIORITY_R05 goes sim_ann_search — changed post-r03-grading (the r03
-# single-probe form was green on 0 rows at sf0.01, zero hash signal; now a
-# 10-probe batch with per-probe window top-k, 18 rows — locally
-# oracle-verified, but its freshest driver row predates the code, the same
-# situation join_cross led r04 for). Then: the r04 head is
-# EXACTLY the 50-cap (35 rotation + 14 corpus-block-2 + extract_links),
-# so the entries missing an r04 row are (a) the 13 LATE round-4 webgraph
-# entries past the cap (graph_hostlinks, graph_pagerank,
-# dedup_lines_boiler, pipe_dsir, quality_lr_weights, quality_lr_score,
-# pipe_url_filter, pipe_host_filter, graph_anchor_text, text_normalize,
-# stream_hostlinks, quality_lr_prod, pipe_dsir_prod — brand new, NEVER
-# driver-graded; they must lead _PRIORITY_R05) and (b)
-# _R03_DRIVER_GRADED minus scan_counts — 46 entries, all r03-green. Build
-# _PRIORITY_R05 = [the 13 late entries, then the 8 web-ingest entries added
-# after the round-close (scan_warc_roundtrip, scan_warc_gzip,
-# stream_warc_ingest, web_wet_roundtrip, web_cdx, web_crawl_diff,
-# web_crawl_schedule, pipe_robots_filter — also never driver-graded), then
-# the 3 weburl entries (web_url_canon, web_url_dedup_canon,
-# web_sitemap_parse — same status), then web_frontier, extract_meta and
-# web_wat_roundtrip (round-4 close additions, never graded), then the
-# queries_trainprep block (pipe_chunk_windows, pipe_split_holdout,
-# pipe_split_leakage — same status), then the queries_search block
-# (search_postings, search_bm25_topk, search_phrase — same status), then
-# the queries_media block (mm_decode_bmp, mm_resize_bmp, mm_audio_wav —
-# real codec-free decode, same status), then the queries_tables block
-# (table_snap_timetravel, table_snap_merge, table_snap_evolve,
-# table_snap_rollback — snapshot table layer, same status), then the
-# queries_cluster block (cluster_kmeans, dedup_semantic — integer-exact
-# k-means + SemDeDup, same status) and graph_hits (HITS beside
-# PageRank, same status), then the final late-r04 additions (all
-# never-graded): profile_table, table_snap_cdc, table_zorder_key,
-# table_mv_maintain, sketch_bloom_seen, sketch_cms_heavy,
-# sketch_hll_distinct, sketch_hist_quantile, stream_hll_registers,
-# events_sessionize, events_funnel, events_retention, graph_triangles,
-# dedup_editdist_pairs, dedup_editdist_keepers (SymSpell near-dup join),
-# extract_tables_wrapped, web_table_shapes, web_table_records (the SPEC §7
-# table product — golden-gated AND oracle-graded, never driver-graded),
-# dedup_para_keepfirst, dedup_para_survivors (CCNet keep-first paragraph
-# dedup, groupBy-min skew shape), search_keywords_tfidf (e4 tf-idf top-5),
-# graph_host_components (site families, CC over the real parsed host
-# graph), mm_phash_dedup (aHash image dedup through the real BMP decode),
-# extract_langid_wrapped (language-recovering extraction under the hash),
-# search_snippets (explode-free first-occurrence windows), stream_tables
-# (the §7 product through the streaming committer, batch-oracle-graded),
-# extract_outline (h1..h6 structure product, svg-decoy pinned),
-# stream_join_static + stream_join_interval (streaming joins: broadcast
-# stream-static enrich, watermarked stream-stream interval join — real
-# availableNow drains under batch value-hash oracles), text_ppl_kn
-# (interpolated Kneser-Ney bigram LM, two-corpus-pass persist shape),
-# pipe_ppl_buckets (CCNet head/middle/tail terciles, integer-exact
-# percentile_disc over the distinct-score histogram), dedup_containment
-# (Broder containment over a df-capped shingle inverted index — the
-# asymmetric quote/subset pairs resemblance LSH misses),
-# scan_jsonl_roundtrip + scan_csv_roundtrip + scan_orc_roundtrip
-# (text-format connectors: hostile-column exports read back under the
-# value hash — escaping/dialect/timestamp/nested-type coverage),
-# mm_decode_png (REAL stdlib-zlib PNG decode: chunk CRCs, multi-IDAT
-# inflate, all five scanline filters, grey/RGB/RGBA, reject families),
-# mm_decode_gif (REAL hand-rolled LZW GIF decode: bit unpacking, code
-# growth, clear codes, cScSc, interlace under a placement checksum),
-# mm_audio_frames (per-64-sample-frame integer energy + zero crossings)
-# and mm_sniff_decode (magic-byte dispatch over mixed BMP/PNG/GIF
-# payloads, per-branch closed-form oracle), tpch_q1/q3/q5/q6/q18 (the
-# named TPC-H suite through the spark.sql entry point, identical query
-# text on both engines, integer-cents revenue), events_resample
-# (gap-filled 6h time-series densification, broadcast dense axis),
-# mm_decode_tiff (REAL byte-order-honoring baseline TIFF: II/MM IFD
-# walk, inline-vs-offset values, multi-strip assembly under chk),
-# events_anomaly (rolling z-score outlier flags, integer cross-multiplied
-# 3-sigma test, one event_type Exchange for all three frame aggregates),
-# mm_mp4_meta (REAL ISO-BMFF box walk: version-aware mvhd/tkhd/mdhd,
-# u64 largesize + v1 durations, order-sensitive handler checksum),
-# dq_suite (Deequ-pattern constraint suite: 9 checks compiled into ONE
-# scan + single-row agg, integer-e6 verdicts, both pass/fail polarities),
-# mm_decode_jpeg (REAL baseline JPEG: canonical Huffman entropy decode,
-# DC prediction + restart resets, byte unstuffing, 4:2:0 upsample,
-# exact DC-only roundtrip under the placement checksum),
-# stream_dq_metrics (streaming DQ monitoring: one exactly-once counter
-# row per micro-batch, SUM-folded verdicts equal batch dq_check — the
-# merge law under the value hash; uniqueness rejected as non-mergeable),
-# events_range_frame (time-RANGE window frames: value-bounded trailing
-# 6h, tie-order-free), win_ntile_buckets (ntile quartiles over a unique
-# order), fn_pivot (listed-values PIVOT as one conditional-agg pass),
-# tpch_q4/q12/q14/q19/q22 (suite growth: EXISTS->semi, conditional
-# counts, promo share, OR-of-ANDs residual hash join, scalar-subquery +
-# NOT EXISTS->anti; plan shapes pinned in tests/test_plans.py),
-# tpch_q13 (LEFT OUTER with ON-residual + two-level aggregation),
-# mm_sniff_all (FIVE-format magic dispatch: bmp/png/gif/tiff/jpeg each
-# graded in its own closed-form oracle CASE arm), fn_unpivot (stack:
-# wide->long with explicit zero cells — the reshape pair of fn_pivot),
-# tpch_q2/q7/q8/q9/q10/q11/q15/q16/q17/q20/q21 (suite COMPLETION — all 22
-# named queries now run through the SQL entry point; the partsupp-built
-# four treat lineitem as the part-supplier catalog; plan pins for
-# Q2/Q16/Q17/Q20/Q21 in tests/test_plans.py), scan_xml_roundtrip (Spark 4
-# built-in xml source: entity escaping, null-as-omitted-element, struct/
-# array nesting under the hash — avro stays env-blocked like Iceberg, the
-# jar is not in the sandbox), join_lateral (correlated LATERAL subquery,
-# identical text both engines, WindowGroupLimit plan pinned), agg_rollup
-# (ROLLUP + grouping() — CUBE's prefix-hierarchy pair, one Expand pinned),
-# win_cume_dist (tie-safe empirical-CDF window), fn_xml_parse +
-# fn_csv_parse (from_xml/from_csv in-COLUMN parse expressions — the
-# per-value siblings of the file connectors, quoted-delimiter and
-# attribute coverage), web_feed_items (RSS-style channel assembly ->
-# from_xml ARRAY<STRUCT> -> explode), pipe_sample_systematic
-# (stride-walk weighted sampling: exact-BIGINT budget law, md5-permuted
-# per-bucket prefix sums — the low-variance pair of the Bernoulli
-# stratified sampler; property-tested in tests/test_corpus.py),
-# graph_bfs_dist (multi-source BFS frontier expansion vs a recursive-CTE
-# oracle — crawl-depth reachability; functions/graph.bfs_distances),
-# events_scd2 (SCD2 validity intervals via gaps-and-islands; current row
-# open), pipe_c4_rules (C4 line-level cleaning, Raffel et al. 2020:
-# terminal-punct/>=3-word line gates, lorem-ipsum/javascript drops,
-# curly-brace + <3-line doc rejection — lines synthesized
-# deterministically, both polarities fire), sketch_source_jaccard
-# (source-vs-source MinHash similarity matrix with the exact Jaccard
-# audit column riding along), sim_random_projection (Achlioptas +-1 JL
-# projection 64d->8d, literal sign arrays, zero exchanges), stream_scd2
-# (streaming SCD2 maintenance: exactly-once append-only purchase log +
-# read-side interval fold sharing events_scd2's code path — intervals are
-# deliberately log-structured, not merge-maintained; see
-# incremental_scd2's docstring), sql_recursive_cte (WITH RECURSIVE month
-# spine, fact aggregated BEFORE the broadcast join — UnionLoop never
-# touches corpus-sized data, plan-pinned), fn_variant (VARIANT
-# parse_json -> variant_get typed paths incl. nested/array/missing),
-# fn_sql_udf (catalog CREATE FUNCTION ... RETURN <expr>, Catalyst
-# inlines — no Python node, pushdown through the call site pinned),
-# agg_group_by_all (GROUP BY ALL / ORDER BY ALL sugar -> plain
-# partial/final agg, identical text both engines), set_union_byname
-# (UNION ALL BY NAME schema-evolution union vs DuckDB's native BY NAME),
-# join_dpp (dynamic partition pruning: month-partitioned fact side-write,
-# join-derived month set lands in the scan's PartitionFilters as a
-# dynamicpruningexpression — plan-pinned; oracle recomputes from raw
-# parquet), join_runtime_bloom (runtime bloom_filter_agg +
-# might_contain probe guard under floored thresholds on an isolated
-# newSession, conf non-leak pinned), privacy_k_anon (k-anonymous
-# release: pseudonymize + generalize + suppress QI groups < K, one
-# QI-keyed window exchange — plan-pinned), privacy_l_div (l-diversity
-# homogeneity audit per QI group), sketch_hll_merge (the merge algebra
-# graded end-to-end: per-source register tables, their MAX-fold, and a
-# direct global build agree bucket-for-bucket under one oracle — the
-# property distributed sketching rests on), events_ewma (integer-exact
-# EWMA over a bounded 16-row window frame: powers-of-two cent weights,
-# BIGINT throughout, one user-keyed exchange), sketch_hist_merge (the
-# SUM-monoid merge law beside HLL's MAX — per-source histograms fold to
-# the global table, P50 at bucket -1, exact median at -2),
-# join_temporal_scd2 (as-of tier enrichment against the SCD2 dim as a
-# union-fold: one user-keyed window, no interval join, no explode —
-# oracle spells the interval join independently), events_seqpattern
-# (MATCH_RECOGNIZE-style funnel counting: per-user event history as one
-# deterministic string, pattern negations as regex, ONE groupBy instead
-# of k-way self-joins; regex scan parity verified cross-engine),
-# scan_csv_corrupt (PERMISSIVE quarantine: three malformed classes
-# reconstructed closed-form by the oracle — parse/null/raw-line split
-# under the hash), udtf_table_arg (Spark 4 TABLE-argument UDTF with
-# PARTITION BY/ORDER BY: stateful per-group Python, oracle's lag/groupBy
-# checks the partition-and-order contract; parenthesized multi-key ORDER
-# BY parser quirk recorded), scan_merge_schema (mergeSchema
-# evolution-on-read: v1/v2 parquet generations union to the superset
-# schema, v1 rows NULL the added columns — oracle reconstructs the null
-# pattern closed-form), fn_collation (Spark 4 UTF8_LCASE collated
-# grouping — comparison-level case folding, case-preserving
-# representatives re-lowered on output; oracle is the lower() rewrite),
-# fn_try_arith (ANSI-mode try_divide/try_add/try_to_number error
-# containment; oracle spells each failure arm as CASE since DuckDB's own
-# ANSI addition would raise — and floor() on both sides of the divide
-# because bare double->BIGINT casts truncate in Spark but round in
-# DuckDB) —
-# pipe_sample_reservoir (A-ES weighted reservoir, integer-exact
-# max-of-w-draws priorities, TakeOrderedAndProject merge law),
-# dedup_sorted_neighborhood (two-pass SN blocking: one window Exchange,
-# lag candidates, exact levenshtein verify), graph_label_prop
-# (synchronous LPA communities over a planted-6-community graph, finer
-# than CC across sparse bridges), events_ab_test (two-proportion z-test
-# readout, cross-multiplied verdict, planted-uplift polarity),
-# pipe_triplets (contrastive anchor/positive/negative construction),
-# stream_reservoir (the reservoir merge law under the exactly-once
-# streaming committer, batch-oracle-graded), tokenizer_unigram_vocab +
-# tokenizer_unigram_encode (SentencePiece unigram Viterbi-EM — rows-only
-# like the BPE pair, pytest-gated vs an independent reference),
-# profile_join_advisor (broadcast/salt/shuffle advisory profile, all
-# arms fire), sim_maxsim (ColBERT MaxSim late interaction, e6-integer
-# cosines before any aggregation), text_readability (integer Flesch),
-# events_forecast_naive (seasonal-naive backtest), events_ab_test,
-# events_cohort_ltv (cohort LTV curve), graph_ppr (personalized
-# PageRank, seed-scoped teleport), join_bucketed (the co-located
-# bucketed join under the value hash end-to-end), scan_json_corrupt
-# (PERMISSIVE JSON quarantine: class-specific whole-row vs field-level
-# null semantics), events_path_analysis (Markov transition matrix),
-# pipe_span_corruption + pipe_fim_transform (T5 denoising + FIM/PSM
-# infilling example builders, round-trip pinned), sketch_kmv_jaccard
-# (bottom-k/theta sketch: merge law as literal kth equality, KMV
-# Jaccard), pipe_dpo_pairs (preference pairs by quality rank),
-# web_redirects (pointer-doubling redirect resolution + cycle flags),
-# table_snap_wap (branch/tag write-audit-publish on the snapshot
-# layer), mm_image_tiles (ViT-style patching through the real BMP
-# decode), events_attribution (linear + last-touch in one relation),
-# events_cohort_ltv and events_forecast_naive siblings as listed above,
-# events_rfm (RFM quartile segmentation), text_sentiment (integer
-# lexicon valence with injected polarity arms), quality_lr_calibration
-# (reliability diagram over the trained LR scores),
-# search_rake_keyphrases (corpus-free RAKE top-3, gaps-and-islands
-# segmentation), events_survival (Kaplan-Meier churn with censoring,
-# sequential-fold float product), graph_2hop_recs (df-capped wedge
-# co-occurrence recommendations), text_compressibility (zlib entropy
-# proxy — rows-only by design like the tokenizer trainers),
-# profile_dataset_card (one-row datasheet, Gini-Simpson balance),
-# events_active_users (DAU/WAU/MAU + stickiness, exact rolling
-# distinct over the user-day relation), events_streaks (longest
-# consecutive-day islands per user), events_heatmap (dense 7x24
-# usage matrix, explicit zero cells), pipe_pack_ffd (first-fit-
-# decreasing whole-doc packing, rows-only like the tokenizer trainers) —
-# plus anything registered after THIS note's last update (cross-check
-# against CORRECTNESS_r04's key set: no-driver-row-EVER leads), then as
-# many of those 46 as fit in this file's order], then extract_wrapped — the
-# handful of r03-green fn_* rows that fall past the cap rotate forward in
-# r06 (they are the lowest-risk rows in the registry). Demote this round's
-# head to the tail list. Verify with `list(all_queries())[:50]` before
+# ROUND-5 ROTATION (executing the r04 VERDICT "Next round" items 1+2):
+# 189 of 287 entries had never been driver-graded entering r05. The r05
+# head is EXACTLY the 50-cap:
+#   1. sim_ann_search — r03-graded but changed post-grading (single-probe
+#      form was green on 0 rows; now 10-probe batch, 18 rows) — the same
+#      regrade-first situation join_cross led r04 for;
+#   2. join_anti — fixed THIS round to produce survivors (was green on an
+#      empty result in r01/r02/r04 — zero signal; see its docstring);
+#      its fresh row must show spark_rows > 0;
+#   3. 48 never-driver-graded entries in the order the r04 plan queued
+#      them: the 13 late-r04 webgraph/quality entries, the 8 web-ingest
+#      entries, the 3 weburl entries, web_frontier/extract_meta/
+#      web_wat_roundtrip, the trainprep, search and media blocks, the
+#      4 core snapshot-table rows, cluster_kmeans + dedup_semantic,
+#      graph_hits, profile_table + the 3 remaining table rows, and
+#      extract_links_resolved (flagship-adjacent, called out by name in
+#      the r04 VERDICT).
+# All 50 have DuckDB value-hash oracles — no rows-only padding in the
+# window. extract_wrapped sits out one round (4 green rows r01–r04; the
+# golden byte-identity gate + bench still cover it) so the window holds
+# >=48 first-ever gradings, per the VERDICT's done-criterion.
+#
+# ROUND-6 ROTATION PLAN (do this at the start of r06): the never-graded
+# backlog after r05 is ~139 entries. Build _PRIORITY_R06 = [any entry
+# whose source changed after its freshest driver row, then the next 48+
+# never-graded in registry order: the events_* block (sessionize, funnel,
+# retention, resample, anomaly, range_frame, scd2, ewma, seqpattern,
+# ab_test, forecast_naive, cohort_ltv, path_analysis, attribution, rfm,
+# survival, active_users, streaks, heatmap), win_ntile_buckets,
+# win_cume_dist, join_temporal_scd2, stream_scd2, the editdist/
+# sorted-neighborhood trio, the webtables block (extract_tables_wrapped,
+# web_table_shapes, web_table_records, stream_tables, extract_outline),
+# the paradedup pair, the streamjoin pair, the formats block
+# (jsonl/csv/orc/xml roundtrips + corrupt/merge_schema), then as many
+# tpch_q* as fit]. Demote this round's head to _GRADED list. REGISTRY
+# GROWTH STAYS FROZEN until the never-graded backlog clears (~3 more
+# rounds at 50/round) — new entries only for driver-contract gaps or
+# verdict items. Verify with `list(all_queries())[:50]` before
 # committing.
-_PRIORITY_R04 = [
-    # (1) changed after its last driver grading — grade first
-    "join_cross",
-    # (2) freshest driver row is r02 (rotated out by the r03 50-cap)
-    "sim_ann_ivf", "text_langid", "text_quality", "text_tokens",
-    "text_fingerprint", "mm_decode_stub", "gen_pages", "scan_pages",
-    "stream_tumbling_counts", "agg_approx_distinct", "project_prune",
-    "filter_pred", "derive_host", "derive_hashes", "explode_blocks",
-    "classify_blocks", "smooth_labels", "span_offsets", "stopword_density",
-    "join_broadcast", "join_shuffle", "join_salted", "join_anti",
+_PRIORITY_R05 = [
+    # (1) changed after its last driver grading — regrade first
+    "sim_ann_search",
+    # (2) fixed this round: survivors now exist (was empty-green)
+    "join_anti",
+    # (3) never driver-graded, in the r04-plan queue order
+    "graph_hostlinks", "graph_pagerank", "dedup_lines_boiler", "pipe_dsir",
+    "quality_lr_weights", "quality_lr_score", "pipe_url_filter",
+    "pipe_host_filter", "graph_anchor_text", "text_normalize",
+    "stream_hostlinks", "quality_lr_prod", "pipe_dsir_prod",
+    "scan_warc_roundtrip", "scan_warc_gzip", "stream_warc_ingest",
+    "web_wet_roundtrip", "web_cdx", "web_crawl_diff", "web_crawl_schedule",
+    "pipe_robots_filter",
+    "web_url_canon", "web_url_dedup_canon", "web_sitemap_parse",
+    "web_frontier", "extract_meta", "web_wat_roundtrip",
+    "pipe_chunk_windows", "pipe_split_holdout", "pipe_split_leakage",
+    "search_postings", "search_bm25_topk", "search_phrase",
+    "mm_decode_bmp", "mm_resize_bmp", "mm_audio_wav",
+    "table_snap_timetravel", "table_snap_merge", "table_snap_evolve",
+    "table_snap_rollback",
+    "cluster_kmeans", "dedup_semantic", "graph_hits",
+    "profile_table", "table_snap_cdc", "table_zorder_key",
+    "table_mv_maintain",
+    "extract_links_resolved",
+]
+assert len(_PRIORITY_R05) == 50
+
+# Every entry with a driver row in CORRECTNESS_r01..r04 (98 distinct,
+# minus the two regrades leading _PRIORITY_R05) — registered LAST so the
+# 50-cap lands on never-graded entries first. Generated from the four
+# CORRECTNESS json files at round-5 start; keep append-only.
+_GRADED_R01_R04 = [
+    "join_cross", "sim_ann_ivf", "text_langid", "text_quality",
+    "text_tokens", "text_fingerprint", "mm_decode_stub", "gen_pages",
+    "scan_pages", "stream_tumbling_counts", "agg_approx_distinct",
+    "project_prune", "filter_pred", "derive_host", "derive_hashes",
+    "explode_blocks", "classify_blocks", "smooth_labels", "span_offsets",
+    "stopword_density", "join_broadcast", "join_shuffle", "join_salted",
     "join_semi", "join_range", "join_asof", "agg_basic", "agg_distinct",
     "agg_groupingsets", "agg_collect", "agg_percentile",
-    "agg_custom_pandas",
-    # (3) flagship: fresh row every round
-    "extract_wrapped",
-    # (4) rows-only in r03, value-hash oracle added this round
-    "stream_dedup_minhash",
-    # (5) the rest of the frozen r04 head-50, listed EXPLICITLY so a new
-    # registration in an early-imported module (e.g. queries_joins_aggs)
-    # cannot displace the window mid-round — insertion order alone proved
-    # fragile the day profile_table landed at slot 36 and pushed
-    # extract_links past the cap.
+    "agg_custom_pandas", "extract_wrapped", "stream_dedup_minhash",
     "stream_dedup_cc", "sim_ann_ivf_trained", "pipe_pack_hashed",
     "dedup_substr_spans", "text_ppl_proxy", "text_gopher_rules",
     "pipe_mix_domains", "pipe_shuffle_shard", "sim_ann_pq",
     "dedup_substr_clean", "dedup_substr_prod", "text_collocations",
     "tokenizer_bpe_merges", "tokenizer_bpe_encode", "extract_links",
-]
-
-# Everything with a green hash (or rows-only-by-design) driver row in
-# CORRECTNESS_r03.json — registered LAST so a 50-entry cap lands on them
-# before anything needing a fresh row. scan_counts leads so a basic
-# scan stays near the window edge if the cap ever grows.
-_R03_DRIVER_GRADED = [
-    "scan_counts",
-    "udf_grouped_map", "win_rownum_dedup", "win_rank_topk", "win_laglead",
-    "win_frame_sum", "sort_global", "topk", "set_union", "set_except",
-    "set_intersect", "fn_string", "fn_binary", "fn_datetime", "fn_math",
-    "fn_array", "fn_map", "fn_json", "fn_vector", "fn_window_batch",
-    "udf_scalar_iter", "udf_map_arrow",
+    "scan_counts", "udf_grouped_map", "win_rownum_dedup", "win_rank_topk",
+    "win_laglead", "win_frame_sum", "sort_global", "topk", "set_union",
+    "set_except", "set_intersect", "fn_string", "fn_binary", "fn_datetime",
+    "fn_math", "fn_array", "fn_map", "fn_json", "fn_vector",
+    "fn_window_batch", "udf_scalar_iter", "udf_map_arrow",
     "dedup_minhash_sig", "mm_resize_stub", "mm_frames_stub",
-    "dedup_minhash_prod", "dedup_cc", "sim_ann_2table",
-    "pipe_url_canon", "pipe_repetition", "pipe_contamination",
-    "pipe_sample_stratified", "pipe_pack_sequences", "pipe_scrub_pii",
-    "pipe_quality_filter", "pipe_funnel",
-    "join_range_bucket", "udtf_blocks", "dedup_exact", "dedup_minhash_pairs",
-    "dedup_minhash_groups", "dedup_simhash", "dedup_jaccard", "dedup_embcos",
-    "sim_cosine_topk", "sim_ann_lsh", "sim_ann_search", "sim_ann_multiprobe",
+    "dedup_minhash_prod", "dedup_cc", "sim_ann_2table", "pipe_url_canon",
+    "pipe_repetition", "pipe_contamination", "pipe_sample_stratified",
+    "pipe_pack_sequences", "pipe_scrub_pii", "pipe_quality_filter",
+    "pipe_funnel", "join_range_bucket", "udtf_blocks", "dedup_exact",
+    "dedup_minhash_pairs", "dedup_minhash_groups", "dedup_simhash",
+    "dedup_jaccard", "dedup_embcos", "sim_cosine_topk", "sim_ann_lsh",
+    "sim_ann_multiprobe",
 ]
 
 
@@ -1000,11 +814,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_spark import queries_scaleopt  # noqa: F401
     from ocr_spark import queries_privacy  # noqa: F401
 
-    prio = [k for k in _PRIORITY_R04 if k in QUERIES]
-    tail = set(_R03_DRIVER_GRADED)
-    new = [k for k in QUERIES if k not in set(prio) and k not in tail]
-    last = [k for k in _R03_DRIVER_GRADED if k in QUERIES]
-    return {k: QUERIES[k] for k in prio + new + last}
+    prio = [k for k in _PRIORITY_R05 if k in QUERIES]
+    tail = set(_GRADED_R01_R04)
+    mid = [k for k in QUERIES if k not in set(prio) and k not in tail]
+    last = [k for k in _GRADED_R01_R04 if k in QUERIES]
+    return {k: QUERIES[k] for k in prio + mid + last}
 
 
 # oracles whose SQL needs the sibling modules (circular at import time);

@@ -110,12 +110,25 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     """
 SELECT c.c_custkey, c.c_name FROM customer c
-ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+ANTI JOIN (SELECT * FROM orders WHERE o_custkey % 10 <> 3) o
+  ON c.c_custkey = o.o_custkey
 """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a guaranteed-non-empty survivor set.
+
+    The naive ``customer ANTI JOIN orders`` was graded green on **zero
+    rows** in r01/r02/r04 (every synthetic customer has at least one
+    order), so any empty-returning implementation would have passed —
+    the same zero-signal class that bit sim_ann_search in r03. The right
+    side is now the key-shifted orders subset ``o_custkey % 10 <> 3``:
+    every customer whose key is ≡3 (mod 10) survives deterministically
+    (~10% at every SF), so the hash grading carries real signal while
+    the plan stays a true BroadcastHashJoin/SortMergeJoin LeftAnti with
+    the subset predicate pushed into the orders scan.
+    """
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 != 3)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -105,6 +105,14 @@ def _q_ids():
     return sorted(k for k in q if k in o)
 
 
+# Entries allowed to produce an empty result at SF_ORACLE. Empty==empty
+# carries ZERO verification signal (any empty-returning implementation
+# passes the hash), so membership here must be justified in a comment.
+# That class bit twice — sim_ann_search r03 and join_anti r01/r02/r04 —
+# before this floor landed (r04 VERDICT "What's wrong" #1).
+_EMPTY_OK: set[str] = set()
+
+
 @pytest.mark.parametrize("name", _q_ids())
 def test_query_matches_oracle(spark, duck, name):
     q, o = _pairs()
@@ -112,6 +120,12 @@ def test_query_matches_oracle(spark, duck, name):
     dcols, drows = _duck_rows(duck, o[name])
     assert scols == dcols, f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    if name not in _EMPTY_OK:
+        assert len(srows) > 0, (
+            f"{name}: empty result — empty==empty is a zero-signal PASS; "
+            "make the query produce survivors or add it to _EMPTY_OK with "
+            "a written justification"
+        )
     if srows != drows:
         diff_a = [r for r in srows if r not in drows][:3]
         diff_b = [r for r in drows if r not in srows][:3]
