@@ -793,4 +793,11 @@ def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             wds.groupBy("source").agg(F.count("*").alias("cnt")),
         ))
     )
-    return out
+    # release discipline (the bfs_distances/personalized_pagerank
+    # pattern): the output is ~10 measure rows, so materialize it eagerly
+    # and release both cached intermediates — nothing stays persisted in
+    # executor memory after the query returns.
+    res = out.localCheckpoint(eager=True)
+    sk.unpersist()
+    h.unpersist()
+    return res

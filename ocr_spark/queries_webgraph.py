@@ -1512,7 +1512,7 @@ def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The community layer between connected components (any path merges) and
 # clustering: LPA keeps dense groups intact across sparse bridges. The
 # graded graph plants 6 communities of 11 nodes from doc_id arithmetic —
-# two affine intra-community edge families (t-coefficients 9 and 8 mod
+# two affine intra-community edge families (t-coefficients 7 and 5 mod
 # 11, both coprime, so the families sweep the full community) plus a
 # sparse bridge family (doc_id % 29 == 0) between adjacent communities.
 # CC would fuse every bridged pair into one blob; 3 LPA rounds keep the

@@ -106,6 +106,47 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX: the commit point
 
 
+def _exclusive_write(path: str, text: str) -> bool:
+    """Atomically create ``path`` with ``text`` iff it does not already
+    exist; returns False (never overwrites) when it does. os.link of a
+    fully-written temp file gives both atomicity (no partial file is ever
+    visible) and O_EXCL semantics (link fails on an existing target), so
+    the snapshot file itself is the allocation lock for its version
+    number — see _alloc_version."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _alloc_version(root: str, snap: dict) -> int:
+    """Write ``snap`` under the next free version number, exclusively.
+
+    Version numbers are a GLOBAL sequence across refs, but _commit's OCC
+    guards only CURRENT and append_branch's only its own branch ref — so
+    a concurrent mainline commit and branch commit (different refs) can
+    both read the same max(versions()) and race for the same number. The
+    exclusive create makes the version namespace itself enforce
+    uniqueness: the loser of the race simply advances to the next free
+    number instead of silently overwriting the winner's snapshot file
+    (which os.replace would have done — a lost commit with no error)."""
+    vs = versions(root)
+    version = (vs[-1] + 1) if vs else 1
+    os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+    while True:
+        snap["version"] = version
+        if _exclusive_write(_snap_path(root, version),
+                            json.dumps(snap, indent=1)):
+            return version
+        version += 1  # raced with a commit on another ref; retry
+
+
 def _file_stats(path: str) -> tuple[dict, list[str]]:
     """From the parquet FOOTER (no data read): per-column [min, max] for
     the JSON-safe primitive columns (the scan-planning metadata that lets
@@ -188,11 +229,10 @@ def _commit(
     # mainline commit numbering off its own parent would silently
     # overwrite a branch-allocated snapshot file (found by the WAP
     # divergence test). On a linear history the two rules coincide.
-    vs = versions(root)
-    version = (vs[-1] + 1) if vs else 1
-    os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+    # Allocation is exclusive-create (_alloc_version), so two refs racing
+    # for the same number cannot overwrite each other.
     snap = {
-        "version": version,
+        "version": -1,  # assigned by _alloc_version
         "parent": parent,
         "op": op,
         "files": files,
@@ -205,7 +245,7 @@ def _commit(
         "defaults": defaults or {},
         "ts": datetime.now(timezone.utc).isoformat(),
     }
-    _atomic_write(_snap_path(root, version), json.dumps(snap, indent=1))
+    version = _alloc_version(root, snap)
     _atomic_write(os.path.join(root, _CURRENT), f"v{version:08d}\n")
     return version
 
@@ -657,13 +697,27 @@ def expire(root: str, keep_last: int = 2) -> tuple[int, int]:
     cur = current_version(root)
     if cur is not None:
         keep.add(cur)
-    # ref-pointed snapshots (branch heads, tags) are pinned: expiring a
-    # tag's snapshot would break its reproducibility contract
+    # ref-pointed snapshots (branch heads, tags) are pinned, AND so is
+    # each head's ancestor chain down to the nearest already-kept
+    # snapshot: publish_branch walks parent pointers to prove CURRENT is
+    # an ancestor of the head, so expiring an intermediate branch (or
+    # branch-point) snapshot would wedge a legal fast-forward publish
+    # with a missing-file walk. Cost is bounded by branch length.
     for kind in ("branches", "tags"):
         d = os.path.join(root, "refs", kind)
         if os.path.isdir(d):
             for n in os.listdir(d):
-                keep.add(_read_ref(root, kind, n))
+                head = _read_ref(root, kind, n)
+                keep.add(head)
+                v: int | None = head
+                while True:
+                    try:
+                        v = _read_snapshot(root, v).get("parent")
+                    except FileNotFoundError:
+                        break  # already-expired history: walk ends
+                    if v is None or v in keep:
+                        break  # reached the nearest kept snapshot
+                    keep.add(v)
     reachable: set[str] = set()
     for v in keep:
         reachable.update(_read_snapshot(root, v)["files"])
@@ -824,11 +878,21 @@ def tag_version(root: str, name: str) -> int:
 
 
 def _ancestors(root: str, version: int) -> set[int]:
+    """Parent-pointer closure of ``version`` (inclusive). Tolerates an
+    expired (missing) ancestor snapshot by ending the walk there:
+    history beyond an expired snapshot is simply unreachable, so callers
+    (publish_branch) see an honest ConflictError — 'not an ancestor' —
+    instead of a FileNotFoundError crash. expire() pins every ref head's
+    chain down to the nearest kept snapshot precisely so a LEGAL
+    fast-forward never hits this truncation."""
     out = set()
     v: int | None = version
-    while v is not None:
+    while v is not None and v not in out:
         out.add(v)
-        v = _read_snapshot(root, v).get("parent")
+        try:
+            v = _read_snapshot(root, v).get("parent")
+        except FileNotFoundError:
+            break
     return out
 
 
@@ -837,15 +901,14 @@ def append_branch(df: DataFrame, root: str, name: str) -> int:
     CURRENT (and every other ref) never sees the rows until publish."""
     parent = branch_head(root, name)
     psnap = _read_snapshot(root, parent)
-    version = max(versions(root)) + 1
-    files, stats = _stage_and_move(df, root, version)
+    files, stats = _stage_and_move(df, root, max(versions(root)) + 1)
     # OCC on the BRANCH pointer (the _commit discipline, ref-scoped)
     if branch_head(root, name) != parent:
         raise ConflictError(
             f"concurrent branch commit on {name!r} at {root}"
         )
     snap = {
-        "version": version,
+        "version": -1,  # assigned by _alloc_version (exclusive-create)
         "parent": parent,
         "op": f"append-branch:{name}",
         "files": psnap["files"] + files,
@@ -855,7 +918,7 @@ def append_branch(df: DataFrame, root: str, name: str) -> int:
         "defaults": psnap.get("defaults", {}),
         "ts": datetime.now(timezone.utc).isoformat(),
     }
-    _atomic_write(_snap_path(root, version), json.dumps(snap, indent=1))
+    version = _alloc_version(root, snap)
     _write_ref(root, "branches", name, version)
     return version
 

@@ -671,3 +671,69 @@ def test_expire_keeps_ref_pinned_snapshots(spark, tmp_path):
     assert ts.read(
         spark, root, version=ts.tag_version(root, "first")
     ).count() == 4
+
+
+def test_expire_pins_branch_ancestors_for_publish(spark, tmp_path):
+    """ADVICE r05 (medium): expire() used to pin only ref HEADS, so
+    expiring an intermediate branch snapshot made a legal fast-forward
+    publish crash walking parent pointers (FileNotFoundError) and wedged
+    the branch forever. expire now pins each head's ancestor chain down
+    to the nearest kept snapshot, so publish still proves ancestry."""
+    from ocr_spark import tables_snapshot as ts
+
+    root = str(tmp_path / "t")
+    ts.create(spark.range(0, 4).selectExpr("id AS doc_id"), root)  # v1
+    ts.create_branch(root, "b")
+    for k in range(3):  # v2..v4 on the branch
+        ts.append_branch(
+            spark.range(10 * k, 10 * k + 2).selectExpr("id AS doc_id"),
+            root, "b",
+        )
+    dropped, _ = ts.expire(root, keep_last=1)
+    # the whole branch chain (v2..v4) plus CURRENT v1 must survive
+    assert dropped == 0
+    head = ts.publish_branch(root, "b")  # legal fast-forward: must work
+    assert ts.current_version(root) == head
+    assert ts.read(spark, root).count() == 10
+
+
+def test_ancestors_tolerate_missing_snapshot(tmp_path, spark):
+    """A table expired by an OLD build (ancestors already gone) must not
+    crash publish with FileNotFoundError — the walk stops and publish
+    reports an honest ConflictError instead."""
+    from ocr_spark import tables_snapshot as ts
+
+    root = str(tmp_path / "t")
+    ts.create(spark.range(0, 3).selectExpr("id AS doc_id"), root)
+    ts.create_branch(root, "b")
+    ts.append_branch(
+        spark.range(10, 12).selectExpr("id AS doc_id"), root, "b"
+    )  # v2
+    ts.append_branch(
+        spark.range(20, 22).selectExpr("id AS doc_id"), root, "b"
+    )  # v3
+    os.remove(snap._snap_path(root, 2))  # simulate old-build expiry
+    with pytest.raises(snap.ConflictError):
+        snap.publish_branch(root, "b")
+
+
+def test_version_allocation_is_exclusive(spark, tmp_path):
+    """ADVICE r05 (low): concurrent commits on DIFFERENT refs (mainline +
+    branch) could both read the same max(versions()) and overwrite one
+    snapshot file silently. Allocation is now exclusive-create: a
+    pre-existing file at the next number makes the allocator advance, so
+    no commit is ever lost."""
+    from ocr_spark import tables_snapshot as ts
+
+    root = str(tmp_path / "t")
+    ts.create(spark.range(0, 3).selectExpr("id AS doc_id"), root)  # v1
+    # squat the number a racing writer would claim (v2) with a fake
+    # already-committed snapshot file
+    squatted = snap._snap_path(root, 2)
+    v1 = json.load(open(snap._snap_path(root, 1)))
+    json.dump({**v1, "version": 2, "op": "squatter"}, open(squatted, "w"))
+    v = ts.append(spark.range(10, 13).selectExpr("id AS doc_id"), root)
+    # the append skipped v2 instead of overwriting it
+    assert v == 3
+    assert json.load(open(squatted))["op"] == "squatter"
+    assert ts.read(spark, root).count() == 6
