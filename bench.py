@@ -202,10 +202,50 @@ HEADLINE = [
     "events_streaks",       # analytics: consecutive-day islands
     "events_heatmap",       # analytics: dense 7x24 usage matrix
     "pipe_pack_ffd",        # training prep: FFD whole-doc packing
+    # round-5 additions
+    "scan_avro_roundtrip",  # connector: Avro round-trip (bundled classes)
+    "join_anti",            # D: anti join (non-empty survivor set, r05 fix)
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
 BENCH_CYCLES = int(os.environ.get("SPARK_GRAFT_BENCH_CYCLES", "3"))
+
+# ---------------------------------------------------------------------------
+# FROZEN cross-round anchor (r04 VERDICT item 5) — DO NOT OPTIMIZE OR EDIT.
+#
+# The headline docs/sec showed a 1.6x same-code spread across sessions
+# (26.7k..42.4k in r04) because this sandbox is a shared-host VM: steal
+# context makes a single round's number adjudicable, but cross-ROUND
+# comparisons still conflated host speed with engine speed. This anchor is
+# a pure-Spark job that touches no engine code (range -> md5 -> 997-key
+# shuffle agg), so its wall time moves ONLY with host conditions. The
+# normalized throughput
+#
+#     docs_per_sec_norm = docs_per_sec * (anchor_sec / ANCHOR_NOMINAL_SEC)
+#
+# cancels host speed to first order: on a 2x-slower host the anchor takes
+# 2x longer and docs/sec halves, so the product recovers the quiet-host
+# figure. ANCHOR_NOMINAL_SEC is the anchor's quiet-host median at local[32]
+# (sessions measured 2026-08-21: medians 2.44 / 1.96 over 3+6 cycles),
+# frozen at 2.0 so docs_per_sec_norm reads in quiet-host units. Compare
+# docs_per_sec_norm across rounds; the raw docs_per_sec stays on record.
+ANCHOR_NOMINAL_SEC = 2.0
+
+
+def _anchor_df(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 8_000_000)
+        .select(
+            (F.col("id") % 997).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.min("h").alias("lo"),
+             F.max("h").alias("hi"))
+    )
+# ---------------------------------------------------------------------------
 
 
 def _materialize(df) -> None:
@@ -405,6 +445,12 @@ def main() -> None:
         finally:
             shutil.rmtree(e2e_dir, ignore_errors=True)
 
+        # frozen anchor LAST (same protocol), so its steal context reflects
+        # the same session the query timings were taken in
+        _materialize(_anchor_df(spark))  # warm-up
+        tm.time("anchor_frozen", lambda: _materialize(_anchor_df(spark)))
+        anchor_sec = tm.med.pop("anchor_frozen")  # not a headline query
+
         total = round(sum(tm.med.values()), 3)
         result = {
             "metric": f"headline query wall time ({len(HEADLINE)} registry "
@@ -423,6 +469,16 @@ def main() -> None:
             "docs_per_sec": round(BENCH_DOCS / extract_sec, 1),
             "docs_per_sec_best": round(
                 BENCH_DOCS / tm.best["extract_synthetic_pages"], 1
+            ),
+            # host-normalized trend signal (see ANCHOR_NOMINAL_SEC note):
+            # compare THIS across rounds, not the raw docs_per_sec
+            "anchor_sec": anchor_sec,
+            "anchor_runs": tm.runs["anchor_frozen"],
+            "anchor_steal_jiffies": tm.steal["anchor_frozen"],
+            "anchor_nominal_sec": ANCHOR_NOMINAL_SEC,
+            "docs_per_sec_norm": round(
+                (BENCH_DOCS / extract_sec)
+                * (anchor_sec / ANCHOR_NOMINAL_SEC), 1
             ),
             "cpus": int(cpus),
             "e2e_stage_sec": e2e_stages,

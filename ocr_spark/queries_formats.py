@@ -153,6 +153,22 @@ FROM documents
 """
 
 
+@register("scan_avro_roundtrip", _NESTED_SQL)
+def q_scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-oriented sibling: Avro write/read with nested types — the
+    schema-evolution interchange of Kafka/streaming ecosystems. The r04
+    VERDICT queued a one-time probe; it found the avro classes bundled
+    inside spark-sql itself (only the short-name registration is missing),
+    so this runs for real via textfmt's full-classname spelling. Binary-
+    safe by construction — this entry gates the Avro type mapping
+    (micros timestamp, record, array) rather than escaping."""
+    base = _hostile(spark, sf_dir, nested=True)
+    work = tempfile.mkdtemp(prefix="ocr-spark-avro-")
+    path = os.path.join(work, "export")
+    textfmt.write_avro(base, path, num_shards=4)
+    return _unpack(textfmt.read_avro(spark, path), nested=True)
+
+
 @register("scan_xml_roundtrip", _XML_SQL)
 def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + XML-hostile columns → 4 XML shards (Spark 4 built-in

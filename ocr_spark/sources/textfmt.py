@@ -148,3 +148,55 @@ def read_xml(
         .schema(schema)
         .load(path)
     )
+
+
+AVRO_FORMAT_SHORT = "avro"
+# the short name needs the separate spark-avro module's
+# META-INF DataSourceRegister entry; this sandbox ships the avro classes
+# INSIDE spark-sql_2.13-4.1.2.jar but not that registration, so the full
+# class name is the working spelling (probed 2026-08-21: short name →
+# AnalysisException "external data source module since Spark 2.4"; full
+# name → clean write/read round-trip)
+AVRO_FORMAT_FULL = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True iff Avro IO is usable in this JVM (under either spelling).
+
+    The r04 VERDICT queued a one-time probe: /opt/spark/jars has the
+    avro-1.12.1 CORE jars and — it turns out — the spark-sql jar bundles
+    the org.apache.spark.sql.avro classes too, so Avro works via the
+    full-classname format spelling even without the spark-avro connector
+    module. Only the ``format("avro")`` short name is env-blocked."""
+    try:
+        spark._jvm.java.lang.Class.forName(AVRO_FORMAT_FULL)
+        return True
+    except Exception:
+        return False
+
+
+def _avro_format(df_or_spark) -> str:
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            AVRO_FORMAT_SHORT, spark._jsc.sc().conf()
+        )
+        return AVRO_FORMAT_SHORT
+    except Exception:
+        return AVRO_FORMAT_FULL
+
+
+def write_avro(df: DataFrame, path: str, num_shards: int | None = None) -> None:
+    """Write ``df`` as Avro (the row-oriented schema-evolution interchange
+    of Kafka/streaming ecosystems). Uses the short format name when the
+    connector registration exists, else the bundled full class name."""
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    df.write.mode("overwrite").format(_avro_format(df)).save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read Avro. Self-describing (writer schema embedded per file), so no
+    explicit schema is required; pass avroSchema via .option upstream for
+    reader-schema evolution."""
+    return spark.read.format(_avro_format(spark)).load(path)
