@@ -730,6 +730,114 @@ def _edge_cases(rng: random.Random) -> list[tuple[str, bytes | None, str]]:
           b'<p>between the tables</p>'
           b'<table><tr><td>second table</td></tr></table>'),
          "en"),
+        # --- round-5 §7/§6 torture family (r04 VERDICT item 7; appended —
+        # static bytes, no rng draws, earlier goldens untouched).
+        ("table-colspan-rowspan",
+         # span ATTRIBUTES are not structure: each <td> start is one cell
+         # event regardless of colspan/rowspan (quoted, unquoted, zero-
+         # padded, SHOUTED) — row_id counts <tr> starts only
+         (b'<table><tr><td colspan=2>wide cell</td>'
+          b"<td rowspan=\"3\">tall cell</td></tr>"
+          b"<tr><td COLSPAN='02' ROWSPAN=2>spanning next row</td></tr>"
+          b'</table>'),
+         "en"),
+        ("table-colspan-gt-in-attr",
+         # '>' inside a QUOTED attribute value must not end the tag: the
+         # cell text and the following cell survive intact
+         (b'<table><tr><td title="a>b" colspan="2>">angled attr cell</td>'
+          b'<td>plain neighbor</td></tr></table>'),
+         "en"),
+        ("table-thead-tbody-tfoot",
+         # section tags are BLOCK_TAGS (flush) but not table structure:
+         # the three <tr>s number 0,1,2 straight through the sections
+         (b'<table><thead><tr><th>head cell</th></tr></thead>'
+          b'<tbody><tr><td>body cell</td></tr></tbody>'
+          b'<tfoot><tr><td>foot cell</td></tr></tfoot></table>'),
+         "en"),
+        ("table-th-in-tbody",
+         # header=true comes from the th TAG, not from thead placement
+         (b'<table><tbody><tr><th>header in body</th>'
+          b'<td>data beside it</td></tr></tbody></table>'),
+         "en"),
+        ("table-td-in-thead",
+         # inverse: a td inside thead stays header=false
+         (b'<table><thead><tr><td>data in head</td>'
+          b'<th>real header</th></tr></thead></table>'),
+         "en"),
+        ("table-form-in-cell",
+         # form is a BLOCK_TAG: it splits the cell into three fragments,
+         # all attributed to the same td (stack scan passes over form)
+         (b'<table><tr><td>before form'
+          b'<form>inside form text</form>'
+          b'after form</td></tr></table>'),
+         "en"),
+        ("table-in-form-in-cell",
+         # a table nested inside a form inside an outer cell: the inner
+         # cell belongs to table 1; the trailing form text's nearest
+         # structural tag is the OUTER td -> back to table 0
+         (b'<table><tr><td>outer lead'
+          b'<form><table><tr><td>form table cell</td></tr></table>'
+          b'trailing in form</form></td></tr></table>'
+          b'<form>formed prose, no table open</form>'),
+         "en"),
+        ("table-caption-text",
+         # caption flushes but its nearest structural tag is table, not
+         # td/th: a block, never a fragment
+         (b'<table><caption>the caption text</caption>'
+          b'<tr><td>real cell</td></tr></table>'),
+         "en"),
+        ("table-empty-cells-no-advance",
+         # empty / whitespace-only cells emit nothing and do NOT advance
+         # cell_id: the kept fragment is cell 0
+         (b'<table><tr><td></td><td>   </td>'
+          b'<td>only kept cell</td></tr></table>'),
+         "en"),
+        ("table-entity-cells",
+         # convert_charrefs folds entities into data BEFORE flush: the
+         # fragment text carries the decoded characters
+         (b'<table><tr><th>a &amp; b</th>'
+          b'<td>&#65;&#x42; then &lt;tag&gt;</td></tr></table>'),
+         "en"),
+        ("table-rowspan-implicit-close-mix",
+         # unclosed tr/td with span attrs across a tbody boundary: the
+         # next <tr> start flushes and increments; counters stay per-table
+         (b'<table><tbody><tr><td rowspan=2>first dangling'
+          b'<tr><td>second row cell</tbody></table>'),
+         "en"),
+        ("table-deep-three-levels",
+         # ids 0,1,2 in OPEN order; each close returns attribution to the
+         # next outer open table (innermost-open rule, twice)
+         (b'<table><tr><td>level zero'
+          b'<table><tr><td>level one'
+          b'<table><tr><td>level two</td></tr></table>'
+          b'back to one</td></tr></table>'
+          b'back to zero</td></tr></table>'),
+         "en"),
+        ("meta-og-and-desc-one-tag",
+         # SPEC §6.4: ONE meta tag may claim description AND og_title
+         # simultaneously; later candidates never overwrite
+         (b'<meta name=description property="og:title"'
+          b' content="both slots at once">'
+          b'<meta name=description content="too late desc">'
+          b'<meta property="og:title" content="too late og">'
+          b'<p>the body prose of it</p>'),
+         "en"),
+        ("meta-canonical-rel-token-list",
+         # rel is whitespace-SPLIT and token-matched: "alternate
+         # canonical" qualifies; the first qualifying link wins and an
+         # empty-normalizing href is not a candidate
+         (b'<link rel="alternate  canonical" href="  /canon/path  ">'
+          b'<link rel=canonical href="/second-ignored">'
+          b'<p>canonical body of it</p>'),
+         "en"),
+        ("meta-title-selfclose-then-real",
+         # a self-closing <title/> is ignored ENTIRELY (does not claim);
+         # the real title captures data through nested markup; the third
+         # title is too late
+         (b'<title/><title>real <span>nested</span>  title</title>'
+          b'<title>ignored later title</title>'
+          b'<p>titled body of it</p>'),
+         "en"),
     ]
     return cases
 
