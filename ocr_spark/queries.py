@@ -709,7 +709,9 @@ def q_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-6 ROTATION PLAN (do this at the start of r06): the never-graded
 # backlog after r05 is ~139 entries. Build _PRIORITY_R06 = [any entry
-# whose source changed after its freshest driver row, then the next 48+
+# whose source changed after its freshest driver row, then
+# scan_avro_roundtrip (registered r05 under the verdict's Avro item —
+# brand new, never graded), then the next 47+
 # never-graded in registry order: the events_* block (sessionize, funnel,
 # retention, resample, anomaly, range_frame, scd2, ewma, seqpattern,
 # ab_test, forecast_naive, cohort_ltv, path_analysis, attribution, rfm,

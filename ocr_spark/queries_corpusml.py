@@ -953,9 +953,16 @@ def q_pipe_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (window over bounded-cardinality rows, not a doc sort);
     docs join the 1-row threshold frame broadcast."""
     kn = q_text_ppl_kn(spark, sf_dir)
+    # `scored` (doc_id + one int — |docs| rows) feeds THREE consumers
+    # (histogram, count, final bucket select); without materialization
+    # each re-runs the KN scoring join over the corpus. One eager
+    # localCheckpoint caps the scoring at a single pass (the
+    # dedup_semantic discipline: checkpointed once for its 3 consumers)
+    # and, unlike persist, leaks nothing cached to the caller. EAGER:
+    # Spark jobs run at DataFrame-construction time here.
     scored = kn.select(
         "doc_id", F.expr("sum_nll_e4 div n_bigrams").alias("avg_nll_e4")
-    )
+    ).localCheckpoint(eager=True)
     hist = scored.groupBy("avg_nll_e4").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("avg_nll_e4").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -665,3 +665,22 @@ def test_join_temporal_scd2_is_union_fold(spark):
     plan = _plan(QUERIES["join_temporal_scd2"](spark, "/root/testdata/sf0.001"))
     assert "Join" not in plan
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2
+
+
+def test_join_anti_pushdown_and_type(spark):
+    """The r05 join_anti fix (non-empty survivor set): the key-shifted
+    subset predicate must sit in the orders SCAN (DataFilters), the join
+    must stay a true LeftAnti hash join, and the orders side must read
+    only o_custkey — no full-row materialization of the big side."""
+    from ocr_spark.queries import QUERIES
+    import ocr_spark.queries_joins_aggs  # noqa: F401
+
+    df = QUERIES["join_anti"](spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert re.search(r"\(o_custkey#\d+L % 10\)", plan), plan
+    m = [mm for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)]
+    orders_side = [mm.group(1) for mm in m if "o_custkey" in mm.group(1)]
+    assert orders_side and all(
+        s.strip() == "o_custkey:bigint" for s in orders_side
+    ), plan

@@ -292,3 +292,111 @@ def test_sniff_decode_agrees_on_synthesized_declarations(
     decl = f"<meta charset{ws}={ws}{quote}{label}{quote}>".encode("ascii")
     raw = bom + prefix + decl + body
     assert sniff_decode(raw) == _sniff_decode(raw)
+
+
+def _random_table_doc(rng: random.Random) -> bytes:
+    """Seeded §7/§6-focused tag soup: table structure events (tr/td/th,
+    section tags, captions, forms, nesting, self-closing, svg skips, span
+    attributes, stray text) interleaved with metadata surface (title,
+    meta name/property/content, link rel/href) — the torture the round-5
+    golden families pin one case at a time, fuzzed in combination."""
+    out = []
+    struct_tags = ["table", "tr", "td", "th", "tbody", "thead", "tfoot",
+                   "caption", "form", "div", "svg"]
+    metas = [
+        '<title>fuzz title</title>', '<title/>',
+        '<title>second title</title>',
+        '<meta name=description content="fuzz desc">',
+        '<meta name=" Description " content=dq>',
+        '<meta property="og:title" content="fuzz og">',
+        '<meta name=description property="og:title" content="both">',
+        '<meta name=description>', '<meta content="valueless name">',
+        '<link rel=canonical href="/c1">',
+        '<link rel="alternate canonical" href=" /c2 ">',
+        '<link rel=canonical href="">', '<link rel=canonical>',
+    ]
+    for _ in range(rng.randint(1, 50)):
+        r = rng.random()
+        if r < 0.32:
+            t = rng.choice(struct_tags)
+            attr = ""
+            if t in ("td", "th") and rng.random() < 0.5:
+                attr = rng.choice(
+                    [' colspan=2', ' rowspan="3"', " COLSPAN='02'",
+                     ' colspan="2>"', ' title="a>b"', ' colspan']
+                )
+            if rng.random() < 0.12:
+                out.append(f"<{t}{attr}/>")
+            else:
+                out.append(f"<{t}{attr}>")
+        elif r < 0.44:
+            # a guaranteed-productive well-formed row, dropped INTO the
+            # surrounding soup (so misnesting context still applies)
+            out.append(
+                f"<tr><td>kept {rng.randint(0, 99)}</td>"
+                f"<th>head {rng.randint(0, 99)}</th></tr>"
+            )
+        elif r < 0.62:
+            out.append(f"</{rng.choice(struct_tags)}>")
+        elif r < 0.70:
+            out.append(rng.choice(metas))
+        elif r < 0.75:
+            out.append(rng.choice(["&amp;", "&#65;", "<!-- x -->", "</",
+                                   "&lt;td&gt;"]))
+        else:
+            n = rng.randint(1, 8)
+            out.append(" ".join(
+                rng.choice(["the", "cell", "of", "data", "row", "42", " "])
+                for _ in range(n)
+            ))
+    # half the docs start inside an open table so row snippets attach
+    prefix = "<table>" if rng.random() < 0.5 else ""
+    return (prefix + "".join(out)).encode("utf-8")
+
+
+def test_differential_fuzz_tables_meta_spark_equals_goldenref(spark):
+    """SPEC §6/§7 differential over table/metadata tag soup: the
+    pipeline's cell-fragment and metadata products must equal the frozen
+    reference exactly — ids, header flags, cell bytes, field claims —
+    including misnested/self-closing structure, span-attribute noise,
+    '>' inside quoted attributes, and skip-region ghosts. (The golden
+    corpus pins these one named case at a time; this fuzzes them in
+    combination, 150 seeded docs.)"""
+    import datetime as dt
+
+    from ocr_spark.operators.extract import extract_metadata, extract_tables
+    from ocr_spark.schemas import PAGES_SCHEMA
+
+    rng = random.Random(987)
+    corpus = [(f"tfuzz-{i}", _random_table_doc(rng), "en")
+              for i in range(150)]
+    golden = {
+        name: extract_document(name, html, lang)
+        for name, html, lang in corpus
+    }
+    rows = [
+        {"url": name, "warc_ts": dt.datetime(2024, 1, 1), "html": html,
+         "text": None, "lang": lang}
+        for name, html, lang in corpus
+    ]
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA).repartition(16)
+    got_cells: dict = {name: [] for name, _, _ in corpus}
+    for r in extract_tables(df).collect():
+        got_cells[r.url].append(
+            (r.table_id, r.row_id, r.cell_id, r.header, r.cell_text)
+        )
+    got_meta = {
+        r.url: {"title": r.title, "description": r.description,
+                "canonical": r.canonical, "og_title": r.og_title}
+        for r in extract_metadata(df).collect()
+    }
+    n_frags = 0
+    for name, g in golden.items():
+        want = [(c["table_id"], c["row_id"], c["cell_id"], c["header"],
+                 c["text"]) for c in g["tables"]]
+        assert sorted(got_cells[name]) == sorted(want), name
+        assert got_meta[name] == g["meta"], name
+        n_frags += len(want)
+    # the fuzz actually exercises the surface (not all-empty docs)
+    assert n_frags > 100
+    assert sum(1 for g in golden.values() if g["meta"]["title"]) > 10
