@@ -225,11 +225,15 @@ BENCH_CYCLES = int(os.environ.get("SPARK_GRAFT_BENCH_CYCLES", "3"))
 #
 # cancels host speed to first order: on a 2x-slower host the anchor takes
 # 2x longer and docs/sec halves, so the product recovers the quiet-host
-# figure. ANCHOR_NOMINAL_SEC is the anchor's quiet-host median at local[32]
-# (sessions measured 2026-08-21: medians 2.44 / 1.96 over 3+6 cycles),
-# frozen at 2.0 so docs_per_sec_norm reads in quiet-host units. Compare
-# docs_per_sec_norm across rounds; the raw docs_per_sec stays on record.
-ANCHOR_NOMINAL_SEC = 2.0
+# figure. ANCHOR_NOMINAL_SEC is the anchor's quiet-host median measured IN
+# BENCH POSITION (after the full headline sweep, JVM warm — a fresh
+# session runs it ~2.5x slower, so standalone probes do NOT calibrate it):
+# first full run 2026-08-21 gave quiet cycles [0.744, 0.805] (the third
+# hit a logged 5927-jiffy steal burst, 11.5s — exactly the noise the
+# median exists to drop). Frozen at 0.8; docs_per_sec_norm reads in
+# quiet-host units. Compare docs_per_sec_norm across rounds; the raw
+# docs_per_sec stays on record.
+ANCHOR_NOMINAL_SEC = 0.8
 
 
 def _anchor_df(spark):
@@ -446,9 +450,14 @@ def main() -> None:
             shutil.rmtree(e2e_dir, ignore_errors=True)
 
         # frozen anchor LAST (same protocol), so its steal context reflects
-        # the same session the query timings were taken in
+        # the same session the query timings were taken in; 5 cycles (it is
+        # sub-second) so one steal burst cannot drag the median
         _materialize(_anchor_df(spark))  # warm-up
-        tm.time("anchor_frozen", lambda: _materialize(_anchor_df(spark)))
+        tm.time(
+            "anchor_frozen",
+            lambda: _materialize(_anchor_df(spark)),
+            cycles=max(BENCH_CYCLES, 5),
+        )
         anchor_sec = tm.med.pop("anchor_frozen")  # not a headline query
 
         total = round(sum(tm.med.values()), 3)
