@@ -163,7 +163,18 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(1_000_000).cast("bigint").alias("r")
     )
-    prev = None
+    # LAZY rounds (r05): the walk has a FIXED iteration count — no
+    # convergence check reads a round's result on the driver — so the
+    # old per-round count() barriers bought nothing but scheduling
+    # overhead (measured 36% of graph_ppr's wall at sf0.1). Each round
+    # still persists (two consumers next round: dangling mass + the
+    # contribution join — without the cache the lineage re-expands
+    # 2^iters), the caches populate during the ONE final action, and
+    # every round frame is released after the eager localCheckpoint of
+    # the result. Memory holds iters × |V| small rows, MEMORY_AND_DISK.
+    # Iterative ops WITH driver-read convergence checks (CC, BFS, LPA)
+    # keep their eager rounds — the count IS the fixpoint test there.
+    cached = []
     for _ in range(iters):
         dm = (
             ranks.join(dangling, "node")
@@ -193,14 +204,12 @@ def pagerank(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        ranks.count()  # materialize the round; recompute depth stays 1
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    ed.unpersist()
-    nodes.unpersist()
-    dangling.unpersist()
-    return ranks.select("node", F.col("r").alias("rank_e6"))
+        cached.append(ranks)
+    out = ranks.select("node", F.col("r").alias("rank_e6"))
+    out = out.localCheckpoint(eager=True)
+    for df in (ed, nodes, dangling, *cached):
+        df.unpersist()
+    return out
 
 
 def hits(
@@ -496,7 +505,12 @@ def personalized_pagerank(
             " AS BIGINT)"
         ).alias("r"),
     )
-    prev = None
+    # LAZY rounds (r05) — same rationale as :func:`pagerank`: fixed
+    # iteration count, no driver-read convergence check, so the per-round
+    # count() barriers were pure scheduling overhead (9.5 → 6.1 s median
+    # at sf0.1, results bit-identical). Rounds stay persisted until the
+    # final eager localCheckpoint, then everything is released.
+    cached = []
     for _ in range(iters):
         dm = ranks.join(dangling, "node").agg(
             F.coalesce(F.sum("r"), F.lit(0)).alias("dm")
@@ -532,12 +546,9 @@ def personalized_pagerank(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
+        cached.append(ranks)
     out = ranks.select("node", F.col("r").alias("rank_e6"))
     out = out.localCheckpoint(eager=True)
-    for df in (e, ow, nodes, dangling, ranks):
+    for df in (e, ow, nodes, dangling, *cached):
         df.unpersist()
     return out
