@@ -81,9 +81,14 @@ def kmeans_assign(
     which is what the unrolled oracle replays. dist_q is the integer
     squared distance in (e3, shifted) units.
 
-    NOTE: eager — each round materializes its k-row centroid frame
-    (persist + count) before the next is planned, like graph.pagerank.
-    The final assignment frame is returned unpersisted.
+    NOTE: rounds are LAZY (r05, the graph.pagerank change): the round
+    count is fixed and no convergence check reads a centroid on the
+    driver, so per-round count() barriers were pure scheduling overhead.
+    Each round's k-row centroid frame stays persisted (its broadcast in
+    the next round's argmin forces materialization in dependency order
+    during the ONE final action); all round caches are released after the
+    eager localCheckpoint of the assignment. The final assignment frame
+    is returned unpersisted.
     """
     v = df.select(
         F.col(id_col).alias("_id"),
@@ -101,7 +106,7 @@ def kmeans_assign(
         .select("cid", F.col("q").alias("cent"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cent.count()
+    cached = [cent]
     assigned = None
     prev_cent = cent
     for r in range(rounds):
@@ -147,8 +152,7 @@ def kmeans_assign(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        nxt.count()
-        prev_cent.unpersist()
+        cached.append(nxt)
         prev_cent = nxt
     out = assigned.select(
         F.col("_id").alias(id_col),
@@ -157,9 +161,10 @@ def kmeans_assign(
     )
     if not checkpoint:
         # Plan-inspection mode (tests): the caller gets the lazy frame and
-        # the final centroid cache stays persisted for its lifetime.
+        # the round centroid caches stay persisted for their lifetime.
         return out
-    # Materialize before releasing the centroid cache the plan refers to.
+    # Materialize before releasing the centroid caches the plan refers to.
     out = out.localCheckpoint(eager=True)
-    prev_cent.unpersist()
+    for df in cached:
+        df.unpersist()
     return out
