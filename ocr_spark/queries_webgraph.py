@@ -582,13 +582,15 @@ def _lr_train(spark: SparkSession, sf_dir: str, b: int = LR_B,
               iters: int = LR_ITERS):
     """Returns (feats, weights) after LR_ITERS integer-GD steps.
 
-    Training is iterative, so it follows the eager-materialization contract
-    (functions/graph.py, q_graph_pagerank): feats is persisted and counted
-    once (it is scanned 2x per iteration — forward pass + gradient — plus
-    once for scoring), and each round's B-row weight table is persisted,
-    counted and the previous round dropped, so no round ever re-executes an
-    earlier round's aggregations through lineage. Weights never leave the
-    cluster (broadcast-joined, never collected). The returned frames stay
+    Training is iterative with a FIXED step count and no driver-read
+    convergence test, so rounds are LAZY (the r05 pagerank/kmeans change):
+    each round's B-row weight table stays persisted (its broadcast in the
+    next round's forward pass forces materialization in dependency order),
+    ONE count() after the loop materializes the final weights, and the
+    intermediate round caches are released immediately after — so no round
+    ever re-executes an earlier round's aggregations through lineage, at
+    one driver barrier instead of `iters`. Weights never leave the cluster
+    (broadcast-joined, never collected). The returned frames stay
     persisted — callers composing repeatedly should unpersist them.
     """
     from pyspark import StorageLevel
@@ -599,7 +601,7 @@ def _lr_train(spark: SparkSession, sf_dir: str, b: int = LR_B,
         F.col("id").cast("bigint").alias("j"),
         F.lit(0).cast("bigint").alias("w"),
     )
-    prev = None
+    cached = []
     for _ in range(iters):
         z = (
             feats.join(F.broadcast(w), "j", "left")
@@ -623,10 +625,11 @@ def _lr_train(spark: SparkSession, sf_dir: str, b: int = LR_B,
                 ).alias("w"),
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        w.count()  # materialize the round; bounds recompute depth at 1
-        if prev is not None:
-            prev.unpersist()
-        prev = w
+        cached.append(w)
+    w.count()  # ONE barrier: materialize the final round (and, through
+    # its broadcast chain, every intermediate round's cache)
+    for x in cached[:-1]:
+        x.unpersist()
     return feats, w
 
 
