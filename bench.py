@@ -346,13 +346,15 @@ def main() -> None:
             (
                 "dedup_minhash_pairs_64p16b",
                 lambda: minhash_candidate_pairs(
-                    docs, num_perms=PROD_NUM_PERMS, bands=PROD_BANDS
+                    docs, num_perms=PROD_NUM_PERMS, bands=PROD_BANDS,
+                    materialize_bands=True,
                 ),
             ),
             (
                 "dedup_minhash_groups_64p16b",
                 lambda: minhash_group_reps(
-                    docs, num_perms=PROD_NUM_PERMS, bands=PROD_BANDS
+                    docs, num_perms=PROD_NUM_PERMS, bands=PROD_BANDS,
+                    materialize_bands=True,
                 ),
             ),
             # the CC fixpoint at production width: same banding, a few extra

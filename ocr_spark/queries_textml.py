@@ -222,12 +222,20 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_perms: int = NUM_PERMS,
     bands: int = BANDS,
+    materialize_bands: bool = False,
 ) -> DataFrame:
     """LSH banding self-join: shuffle on the (bi, band) key — a hash join
-    over band buckets, never an all-pairs comparison. The two join sides are
-    identical subplans, so Spark's ReuseExchange computes the signature
-    pipeline and its shuffle ONCE (a bucket-groupBy + combinatorial-explode
-    formulation was measured ~1.7x slower for exactly that reason).
+    over band buckets, never an all-pairs comparison.
+
+    The two join sides are identical subplans, and ReuseExchange USED to
+    compute the signature pipeline once; under Spark 4.1's AQE that reuse
+    no longer fires (measured r05: 0 ReusedExchange, the 64-perm shingle
+    pipeline and its scan ran twice). ``materialize_bands=True`` eagerly
+    localCheckpoints the (doc_id, bi, band) frame so both sides read the
+    materialized copy (~35% faster at production width, sf0.1). Default
+    stays False so funnel/pipeline composition keeps the lazy contract;
+    the standalone graded/bench entries opt in. EAGER when True: Spark
+    jobs run at DataFrame-construction time.
 
     Caveat at scale: the OUTPUT is inherently quadratic in the size of a
     true duplicate cluster (1M identical docs = 5·10^11 pairs) — that is a
@@ -235,6 +243,8 @@ def minhash_candidate_pairs(
     DECISION use :func:`minhash_group_reps`, whose output is linear."""
     sig = minhash_signatures(docs, text_col, id_col, num_perms)
     b = minhash_band_keys(sig, bands, num_perms // bands)
+    if materialize_bands:
+        b = b.localCheckpoint(eager=True)
     a_, b_ = b.alias("a"), b.alias("b")
     return (
         a_.join(
@@ -256,6 +266,7 @@ def minhash_group_reps(
     id_col: str = "doc_id",
     num_perms: int = NUM_PERMS,
     bands: int = BANDS,
+    materialize_bands: bool = False,
 ) -> DataFrame:
     """The scale-safe dedup DECISION: each doc mapped to a cluster
     representative (the minimum doc_id over every bucket the doc shares) —
@@ -264,9 +275,19 @@ def minhash_group_reps(
     whose rep equals themselves are the keepers. (A single pass
     under-merges chains A~B~C where A,C never share a bucket; iterate
     rep-of-rep to a fixpoint for full connected components — each iteration
-    is the same two linear shuffles.)"""
+    is the same two linear shuffles.)
+
+    The band-keys frame feeds two non-identical consumers (bucket-min agg
+    + join back), which Spark never exchange-reuses, so the signature
+    pipeline runs twice by default. ``materialize_bands=True`` (EAGER:
+    jobs at construction time) localCheckpoints it once — same trade and
+    same measured ~35% win as :func:`minhash_candidate_pairs`; the
+    groupBy-min + AQE-skew-splittable join-back shape is kept either way
+    (a window over (bi, band) would hot-spot on viral buckets)."""
     sig = minhash_signatures(docs, text_col, id_col, num_perms)
     b = minhash_band_keys(sig, bands, num_perms // bands)
+    if materialize_bands:
+        b = b.localCheckpoint(eager=True)
     bmin = b.groupBy("bi", "band").agg(F.min("doc_id").alias("bmin"))
     return (
         b.join(bmin, ["bi", "band"])
@@ -305,7 +326,9 @@ FROM bands a JOIN bands b
 """,
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    return minhash_candidate_pairs(
+        t(spark, sf_dir, "documents"), materialize_bands=True
+    )
 
 
 @register(
@@ -322,7 +345,9 @@ GROUP BY b.doc_id
 """,
 )
 def q_dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_group_reps(t(spark, sf_dir, "documents"))
+    return minhash_group_reps(
+        t(spark, sf_dir, "documents"), materialize_bands=True
+    )
 
 
 @register(
@@ -348,6 +373,7 @@ def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"),
         num_perms=PROD_NUM_PERMS,
         bands=PROD_BANDS,
+        materialize_bands=True,
     )
 
 
@@ -463,7 +489,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus each doc's distinct-word set — all linear in corpus + candidate
     count."""
     docs = t(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
+    cand = minhash_candidate_pairs(docs, materialize_bands=True)
     d = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )

@@ -180,7 +180,7 @@ def q_pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emitting all pairs rather than only leaks keeps the driver row nonzero
     and puts the whole split join under the value hash."""
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs)
+    pairs = minhash_candidate_pairs(docs, materialize_bands=True)
     sp = docs.select("doc_id", split_expr("source").alias("split"))
     sa = sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
         "split", "split_a"
